@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Aggregation operators (SURVEY.md §2b "Aggregations").
+  *
+  * The reference's only aggregate-like state is Kafka's committed offset — a
+  * max-offset-per-group register (reference README.md:19) — reproduced here
+  * as `offset_watermark_agg`. The rest is the declared engine surface.
+  *
+  * Scale notes (100 TB):
+  *  - All groupBys are hash aggregates with map-side partial aggregation:
+  *    the shuffle carries one row per (partition × group), not per input
+  *    row. Group cardinalities here (returnflag×linestatus = 6,
+  *    region×nation = 25, user_id = |users|) stay far below input rows.
+  *  - `count(DISTINCT x, y)` expands to Expand + two-phase agg; cardinality
+  *    of the distinct keys bounds the shuffle.
+  *  - rollup/cube/grouping-sets use Expand (k× input rows map-side) but
+  *    still partial-aggregate before the shuffle.
+  *  - Money sums run in DECIMAL (exact, order-independent) then cast to
+  *    DOUBLE for output parity with the DuckDB oracle.
+  */
+object AggOps extends OpModule {
+
+  private val sumQty = "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"
+  private val sumPrice =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+  private val sumDisc =
+    """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      | (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"""
+      .stripMargin.replaceAll("\n", "")
+
+  /** TPC-H Q1-style pricing summary: the canonical hash aggregate. */
+  def hashGroup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr(sumQty).as("sum_qty"),
+        expr(sumPrice).as("sum_base"),
+        expr(sumDisc).as("sum_disc"),
+        count(lit(1)).as("n"))
+      .withColumn("avg_qty", col("sum_qty") / col("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Exact multi-column count-distinct per group. */
+  def countDistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP over the region→nation hierarchy (grand total + per-region
+    * subtotals + leaves). Null grouping keys sort FIRST on both engines.
+    */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+
+  /** CUBE over returnflag × linestatus (all 4 grouping combinations). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), expr(sumQty).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  /** Explicit GROUPING SETS: per-flag, per-status, and grand total. */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), expr(sumQty).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
+  /** The reference's offset ledger as a query: high-watermark id + counts
+    * per group (reference README.md:19 — committed offset per consumer
+    * group; here user_id plays the group, event_id the offset).
+    */
+  def offsetWatermark(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("event_id")).as("watermark_id"),
+        min(col("event_id")).as("min_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hash_group" -> hashGroup,
+    "agg_count_distinct" -> countDistinctAgg,
+    "agg_rollup" -> rollupAgg,
+    "agg_cube" -> cubeAgg,
+    "agg_grouping_sets" -> groupingSetsAgg,
+    "offset_watermark_agg" -> offsetWatermark
+  )
+
+  val oracle: Map[String, String] = Map(
+    "agg_hash_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |       $sumQty AS sum_qty, $sumPrice AS sum_base,
+        |       $sumDisc AS sum_disc, count(*) AS n,
+        |       $sumQty / count(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, $sumQty AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, $sumQty AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "offset_watermark_agg" ->
+      """SELECT user_id, max(event_id) AS watermark_id,
+        |       min(event_id) AS min_id, count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

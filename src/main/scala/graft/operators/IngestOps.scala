@@ -21,7 +21,7 @@ import graft.Tables
   * the shuffle partitions evenly; AQE coalesces small partitions. No
   * collect, no driver state.
   */
-object IngestOps {
+object IngestOps extends OpModule {
 
   /** Flagship: replayed-stream table → UPSERT-by-PK semantics → per-type
     * rollup. Mirrors reference README.md:135–139 (UPSERT keyed on counter)

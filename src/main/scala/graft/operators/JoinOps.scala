@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Join operators (SURVEY.md §2b "Joins" — none exist in the reference;
+  * declared per the north star over the harness tables).
+  *
+  * Scale notes (100 TB):
+  *  - `join_inner_equi` is the canonical shuffle hash/sort-merge join on the
+  *    fact-table key; both sides hash-partition on l_orderkey/o_orderkey, AQE
+  *    picks SMJ vs shuffled-hash and coalesces post-shuffle partitions.
+  *  - `join_broadcast` pins the dimension side with `broadcast()` — nation
+  *    (25 rows) and region (5 rows) stay tiny at every SF, so the fact side
+  *    is never shuffled at all.
+  *  - semi/anti joins ship only the key column of the build side.
+  *  - `join_range_theta` keeps the equi key (user_id) in the join condition
+  *    so Spark plans a partitioned join with the range as a post-condition,
+  *    NOT a cartesian product.
+  *  - `join_asof` is expressed as a window (`last(..., ignoreNulls)` over
+  *    rows-preceding) — one shuffle on user_id, no self-join blowup.
+  */
+object JoinOps extends OpModule {
+
+  /** Fact⋈fact equi join: lineitem ⋈ orders on orderkey. */
+  def innerEqui(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Star join through two broadcast dims, rolled up per region/nation.
+    * Money sums go through DECIMAL so Spark and DuckDB agree bit-for-bit
+    * (double += is order-dependent; decimal is exact).
+    */
+  def broadcastDims(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_acctbal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Left outer: every customer, with order count/spend (NULL spend when no
+    * orders — preserved, not coalesced, to exercise outer-join semantics).
+    */
+  def leftOuter(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("spend"))
+      .orderBy(col("c_custkey"))
+
+  /** Left semi = EXISTS: customers that placed at least one order. */
+  def semi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left anti = NOT EXISTS: customers with no high-value (>300k) order.
+    * The build-side filter keeps the broadcast/shuffle side small AND makes
+    * the result non-trivial (every customer has *some* order in the data).
+    */
+  def anti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Range/theta join with an equi anchor: pairs of events by the same user
+    * where b follows a within one hour. The user_id equality keeps this a
+    * partitioned join (range is a post-filter), never a cartesian product.
+    */
+  def rangeTheta(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.events(s, dir).select(
+      col("user_id").as("a_user"), col("ts").as("a_ts"),
+      col("event_type").as("type_a"))
+    val b = Tables.events(s, dir).select(
+      col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("event_type").as("type_b"))
+    a.join(b, col("a_user") === col("b_user") &&
+        col("b_ts") > col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** As-of join: for each event, the timestamp of the same user's most
+    * recent STRICTLY PRIOR 'signup' event. Window emulation (SURVEY.md §2b):
+    * one shuffle on user_id instead of a self range-join.
+    */
+  def asOf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("prev_signup_ts",
+        last(when(col("event_type") === "signup", col("ts")),
+          ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("prev_signup_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner_equi" -> innerEqui,
+    "join_broadcast" -> broadcastDims,
+    "join_left_outer" -> leftOuter,
+    "join_semi" -> semi,
+    "join_anti" -> anti,
+    "join_range_theta" -> rangeTheta,
+    "join_asof" -> asOf
+  )
+
+  val oracle: Map[String, String] = Map(
+    "join_inner_equi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_range_theta" ->
+      """SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |       count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "join_asof" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |       last_value(CASE WHEN event_type = 'signup'
+        |                       THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id
+        |               ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         AS prev_signup_ts
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

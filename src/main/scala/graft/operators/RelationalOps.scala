@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scans, projection, filters, and the reference's CSV message parse.
+  *
+  * The reference's only projection is the positional CSV-body → typed-column
+  * parse done by the HANA Client operator (reference README.md:4 and the DDL
+  * at README.md:144–146). `csv_parse_project` reproduces that round trip:
+  * serialize a typed row to a CSV body, then parse it back with `from_csv`
+  * against an explicit schema (never inference — the reference's schema is
+  * externally declared DDL).
+  *
+  * Scale notes: filters and column selection here compile to parquet
+  * PushedFilters + ReadSchema pruning, so a 100 TB scan only reads the
+  * row groups and columns the query touches. No shuffle in either query
+  * except the final tiny ordered output.
+  */
+object RelationalOps extends OpModule {
+
+  /** Plain full-table scan with a stable order — exercises the parquet
+    * source end-to-end (footer schema, vectorized read).
+    */
+  def scanParquet(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).orderBy(col("r_regionkey"))
+
+  /** σ + π that must reach the scan: predicate pushdown on shipdate +
+    * quantity, reading only 5 of 16 lineitem columns.
+    */
+  def filterPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") < to_timestamp(lit("1995-09-01")) &&
+        col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** The reference's message lifecycle as a query: typed row → CSV string
+    * body (what the Data Generator emits, README.md:4) → `from_csv` back to
+    * typed columns (what the HANA Client does positionally against the DDL).
+    */
+  def csvParseProject(s: SparkSession, dir: String): DataFrame = {
+    val body = concat_ws(",",
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val schema = "counter BIGINT, device BIGINT, etype STRING, reading DOUBLE"
+    Tables.events(s, dir)
+      .select(col("event_id"), body.as("body"))
+      .select(col("event_id"),
+        from_csv(col("body"), org.apache.spark.sql.types.StructType.fromDDL(schema),
+          Map.empty[String, String]).as("m"))
+      .select(col("event_id"), col("m.counter").as("counter"),
+        col("m.device").as("device"), col("m.etype").as("etype"),
+        col("m.reading").as("reading"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_parquet" -> scanParquet,
+    "filter_pushdown" -> filterPushdown,
+    "csv_parse_project" -> csvParseProject
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-09-01' AND l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "csv_parse_project" ->
+      """WITH msg AS (
+        |  SELECT event_id,
+        |         event_id::VARCHAR || ',' || user_id::VARCHAR || ',' ||
+        |         event_type || ',' || value::VARCHAR AS body
+        |  FROM events)
+        |SELECT event_id,
+        |       split_part(body, ',', 1)::BIGINT AS counter,
+        |       split_part(body, ',', 2)::BIGINT AS device,
+        |       split_part(body, ',', 3) AS etype,
+        |       split_part(body, ',', 4)::DOUBLE AS reading
+        |FROM msg ORDER BY event_id""".stripMargin
+  )
+}

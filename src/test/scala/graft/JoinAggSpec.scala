@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.{AggOps, JoinOps}
+
+class JoinAggSpec extends SparkSpec {
+  test("join_inner_equi preserves every lineitem (FK is total)") {
+    assert(JoinOps.innerEqui(spark, sf0001).count() ===
+      Tables.lineitem(spark, sf0001).count())
+  }
+
+  test("join_semi + join_anti partition customers against the same build side") {
+    val semiHi = Tables.customer(spark, sf0001)
+      .join(Tables.orders(spark, sf0001)
+          .filter(org.apache.spark.sql.functions.col("o_totalprice") > 300000),
+        org.apache.spark.sql.functions.col("c_custkey") ===
+          org.apache.spark.sql.functions.col("o_custkey"), "left_semi")
+      .count()
+    val anti = JoinOps.anti(spark, sf0001).count()
+    assert(semiHi + anti === Tables.customer(spark, sf0001).count())
+  }
+
+  test("agg_hash_group counts cover all of lineitem") {
+    val rows = AggOps.hashGroup(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum ===
+      Tables.lineitem(spark, sf0001).count())
+  }
+
+  test("agg_rollup grand-total row equals table count") {
+    val rows = AggOps.rollupAgg(spark, sf0001).collect()
+    val total = rows.head // nulls sort first → grand total is row 0
+    assert(total.isNullAt(0) && total.isNullAt(1))
+    assert(total.getAs[Long]("n_cust") ===
+      Tables.customer(spark, sf0001).count())
+  }
+
+  test("join_asof: prev_signup_ts is strictly before ts when present") {
+    val bad = JoinOps.asOf(spark, sf0001)
+      .filter("prev_signup_ts IS NOT NULL AND prev_signup_ts > ts")
+      .count()
+    assert(bad === 0L)
+  }
+}
