@@ -7,7 +7,8 @@ object SparkEntry {
     * DataFrame builder) and `oracle` (name → DuckDB twin SQL).
     */
   private val modules: Seq[OpModule] = Seq(
-    IngestOps, RelationalOps, JoinOps, AggOps)
+    IngestOps, RelationalOps, JoinOps, AggOps, WindowOps, SortSetOps,
+    ScalarFnOps, StreamTwinOps, UdfOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Scalar function surface (SURVEY.md §2b "Scalar functions"): string,
+  * date/time, math, array (higher-order), and JSON functions — all built-in
+  * `org.apache.spark.sql.functions` (codegen'd, no UDFs).
+  *
+  * The string queries reproduce the reference's commit-token shape
+  * `topic/partition/offset` (reference images/wiretapAtMostOnce.png:
+  * `message.commit.token: "my_sensors_data/0/3"`); the JSON query parses the
+  * same kind of per-message attribute payload the envelope carries.
+  *
+  * Scale notes: all queries are narrow (no shuffle except the final output
+  * sort) and stay inside whole-stage codegen; the array query uses
+  * higher-order functions (`transform`/`aggregate`/`filter`) which run over
+  * the array in-place, no explode → no row blowup.
+  */
+object ScalarFnOps extends OpModule {
+
+  /** Commit-token build + string ops over it. */
+  def fnString(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("token", concat_ws("/",
+        col("event_type"), col("user_id"), col("event_id")))
+      .select(
+        col("event_id"),
+        col("token"),
+        upper(col("event_type")).as("type_upper"),
+        substring(col("token"), 1, 8).as("token_prefix"),
+        length(col("token")).as("token_len"),
+        element_at(split(col("token"), "/"), 1).as("token_topic"),
+        regexp_replace(col("event_type"), "[aeiou]", "*").as("type_masked"))
+      .orderBy(col("event_id"))
+
+  /** Date/time extraction, truncation, and interval arithmetic on event ts. */
+  def fnDate(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        year(col("ts")).as("y"),
+        month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"),
+        hour(col("ts")).as("h"),
+        date_trunc("day", col("ts")).as("day_start"),
+        (col("ts") + expr("INTERVAL 3 DAYS")).as("ts_plus3d"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .as("days_since"))
+      .orderBy(col("event_id"))
+
+  /** Math functions over lineitem prices. sqrt/abs/floor/ceil are IEEE-exact;
+    * ln/exp agree to ≤1 ulp across engines, far inside the comparator's
+    * 9-decimal canonicalization.
+    */
+  def fnMath(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        sqrt(col("l_extendedprice")).as("price_sqrt"),
+        log(col("l_extendedprice")).as("price_ln"),
+        floor(col("l_quantity")).as("qty_floor"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        pow(col("l_tax"), 2).as("tax_sq"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Higher-order array functions over embeddings: size, positive count
+    * (filter), L2 norm (transform + aggregate in DOUBLE, sequential — the
+    * same left-to-right sum DuckDB's list_sum does).
+    */
+  def fnArray(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+          .as("l2_norm"))
+      .orderBy(col("vec_id"))
+
+  /** JSON attribute extraction from events.props (the envelope payload). */
+  def fnJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+      .withColumn("k_bucket", col("k_int") % 10)
+      .orderBy(col("event_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string" -> fnString,
+    "fn_date" -> fnDate,
+    "fn_math" -> fnMath,
+    "fn_array" -> fnArray,
+    "fn_json" -> fnJson
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """WITH t AS (
+        |  SELECT event_id,
+        |         event_type || '/' || user_id || '/' || event_id AS token,
+        |         event_type FROM events)
+        |SELECT event_id, token,
+        |       upper(event_type) AS type_upper,
+        |       substring(token, 1, 8) AS token_prefix,
+        |       length(token) AS token_len,
+        |       string_split(token, '/')[1] AS token_topic,
+        |       regexp_replace(event_type, '[aeiou]', '*', 'g') AS type_masked
+        |FROM t ORDER BY event_id""".stripMargin,
+    "fn_date" ->
+      """SELECT event_id,
+        |       CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |       CAST(day(ts) AS INT) AS d, CAST(hour(ts) AS INT) AS h,
+        |       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+        |       CAST(ts AS TIMESTAMP) + INTERVAL 3 DAY AS ts_plus3d,
+        |       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |            AS INT) AS days_since
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS disc_dev,
+        |       sqrt(l_extendedprice) AS price_sqrt,
+        |       ln(l_extendedprice) AS price_ln,
+        |       CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        |       CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |       pow(l_tax, 2) AS tax_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS INT) AS dim,
+        |       CAST(embedding[1] AS DOUBLE) AS first_val,
+        |       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+        |       sqrt(list_sum(list_transform(embedding,
+        |            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        |       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
