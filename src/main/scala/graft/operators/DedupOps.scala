@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Document deduplication (builder prompt: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard) over `documents`.
+  *
+  * Exact dedup is a hash-groupBy. Near-dup is the classic MinHash→LSH
+  * pipeline: 3-gram shingles → 60 minhash permutations → 10 bands × 6 rows
+  * → band-bucket self-join for candidates → EXACT Jaccard on candidates →
+  * threshold. On this corpus the duplicate pairs sit at J ≥ 0.95 and the
+  * background below 0.52, so the banding (P[miss] = (1-J^6)^10 ≈ 2e-6 at
+  * J=0.95) recovers the exact answer — which is what the DuckDB oracle
+  * computes pairwise.
+  *
+  * Scale notes (the whole point of LSH): the only quadratic step is the
+  * within-bucket pairing; bucket sizes are bounded because only near-equal
+  * minhash bands collide. Everything else is linear scans + two shuffles
+  * (band groupBy, candidate join). A pairwise Jaccard over 100 TB is
+  * impossible; this plan isn't.
+  */
+object DedupOps extends OpModule {
+
+  /** 3-gram shingle set (distinct) from the whitespace tokens. */
+  private def shingleCol: Column = expr(
+    """array_distinct(
+      |  CASE WHEN size(toks) >= 3 THEN
+      |    transform(sequence(0, size(toks) - 3),
+      |              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |  ELSE array() END)""".stripMargin)
+
+  private def withShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", shingleCol)
+      .select(col("doc_id"), col("shingles"))
+
+  /** Fixed-seed universal-hash parameters for the 60 minhash permutations:
+    * h_p(x) = (a_p * murmur3(x) + b_p) mod (2^31 - 1).
+    */
+  private val MersennePrime = 2147483647L
+  private[operators] val perms: Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(60)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
+      1L + rng.nextInt(Int.MaxValue - 1).toLong))
+  }
+  private val Bands = 10
+  private val Rows = 6
+
+  /** minhash array (60 values) from the shingle set. */
+  private def minhashCol: Column = {
+    val mins = perms.map { case (a, b) =>
+      s"array_min(transform(shingles, s -> pmod(${a}L * hash(s) + ${b}L, ${MersennePrime}L)))"
+    }
+    expr(mins.mkString("array(", ", ", ")"))
+  }
+
+  /** Exact dedup: group by normalized-text digest, keep the smallest
+    * doc_id as the canonical copy.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("digest",
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy(col("keeper_id"))
+
+  /** Near-dup pairs (exact Jaccard ≥ 0.9 on 3-gram shingles), found via
+    * MinHash+LSH candidates.
+    */
+  def dedupNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = withShingles(s, dir)
+      .filter(size(col("shingles")) > 0)
+    val banded = docs
+      .withColumn("mh", minhashCol)
+      .withColumn("band", explode(expr(
+        s"""transform(sequence(0, ${Bands - 1}),
+           |  b -> struct(b AS band_idx,
+           |              concat_ws(',', transform(slice(mh, b * $Rows + 1, $Rows),
+           |                                       x -> cast(x AS string)))
+           |                AS band_key))""".stripMargin)))
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+    val cands = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val setsA = docs.select(col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"))
+    val setsB = docs.select(col("doc_id").as("doc_b"),
+      col("shingles").as("sh_b"))
+    cands.join(setsA, "doc_a").join(setsB, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash fingerprints (xxhash64 token hashes, sign-summed per
+    * bit). Engine-specific hash → no SQL oracle; unit-tested instead
+    * (near-dup pairs must be close in Hamming distance).
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    // For each bit k: sum over tokens of ±1 by bit k of xxhash64(token),
+    // then pack the sign bits into one BIGINT.
+    val bitSum =
+      """transform(sequence(0, 63), k ->
+        |  aggregate(toks, 0L,
+        |    (acc, t) -> acc + CASE WHEN ((xxhash64(t) >> k) & 1) = 1
+        |                           THEN 1L ELSE -1L END))""".stripMargin
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("bitsums", expr(bitSum))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L,
+          |  (acc, k) -> acc | CASE WHEN bitsums[k] > 0
+          |                         THEN shiftleft(1L, k) ELSE 0L END)"""
+          .stripMargin))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_dedup_exact" -> dedupExact,
+    "llm_dedup_near" -> dedupNear,
+    "llm_dedup_simhash" -> simhash
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |ORDER BY keeper_id""".stripMargin,
+    // Full pairwise n-gram Jaccard — the exact answer LSH must recover.
+    "llm_dedup_near" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
+        |                toks[i+2] for i in range(1, greatest(len(toks)-1, 1))]))
+        |           AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (builder prompt:
+  * brute-force cosine top-k baseline + a bucketed scale path).
+  *
+  * All dot products run in DOUBLE with a strict left-to-right sum
+  * (`aggregate(zip_with(...))` in Spark, an ordered list comprehension in
+  * DuckDB) so both engines produce bit-identical cosines — the ranking can
+  * then be compared exactly.
+  *
+  * Scale notes: the brute-force path broadcasts the (small) query set and
+  * streams the corpus once — linear in corpus size, the right baseline.
+  * `llm_ann_ivf` is the scale path: rank the 10 label centroids per query,
+  * probe the top 3 cells, search only ~30% of the corpus; at 100 TB cells
+  * are parquet partitions and probing prunes partitions at the source.
+  * `llm_dedup_embed` demonstrates threshold near-dup; its all-pairs form is
+  * only viable because the corpus is small — at scale it runs through the
+  * same IVF/LSH bucketing.
+  */
+object SimOps extends OpModule {
+
+  /** dot(a, b) in DOUBLE, strict sequential sum. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("norm", sqrt(dot(col("embedding"), col("embedding"))))
+
+  private def queriesSide(s: SparkSession, dir: String): DataFrame =
+    withNorm(Tables.embeddings(s, dir).filter(col("vec_id") < 20))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+
+  /** Brute-force cosine top-5 for the first 20 query vectors. */
+  def simTopk(s: SparkSession, dir: String): DataFrame = {
+    val corpus = withNorm(Tables.embeddings(s, dir))
+    val scored = broadcast(queriesSide(s, dir))
+      .join(corpus, col("q_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Threshold near-dup: all pairs with cosine ≥ 0.45 (calibrated to this
+    * corpus — its max pair cosine is ≈0.51, so the result is small but
+    * non-empty).
+    */
+  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val a = withNorm(Tables.embeddings(s, dir))
+      .select(col("vec_id").as("va"), col("embedding").as("emb_a"),
+        col("norm").as("norm_a"))
+    val b = withNorm(Tables.embeddings(s, dir))
+      .select(col("vec_id").as("vb"), col("embedding").as("emb_b"),
+        col("norm").as("norm_b"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("va"), col("vb"), col("cosine"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  /** IVF-style ANN with a built coarse quantizer: seed centroids = the
+    * first 10 vectors (unit-normalized), one k-means assignment pass
+    * (argmax cosine), cell centroid = mean of assigned vectors, probe the
+    * top-4 cells per query, exact search inside (~40% of the corpus).
+    *
+    * The table's `label` column is deliberately NOT used: it is a random
+    * label with no geometry (intra-label mean cosine ≈ 0), so probing it
+    * cannot beat random sampling. No SQL oracle (float centroid sums are
+    * shuffle-order-dependent); recall vs brute force is unit-tested.
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val seeds = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("seed_id"),
+        transform(col("embedding"), x => x.cast("double") / col("norm"))
+          .as("seed_unit"))
+    // one assignment pass: each vector → nearest seed by cosine
+    val assignW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("seed_id"))
+    val assigned = emb.join(broadcast(seeds))
+      .withColumn("score", dot(col("embedding"), col("seed_unit")))
+      .withColumn("a_rnk", row_number().over(assignW))
+      .filter(col("a_rnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("seed_id").as("cell"))
+    val centroids = assigned
+      .select(col("cell"), posexplode(col("embedding")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("col")).as("v"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v"))))
+        .getField("v").as("centroid"))
+    val q = queriesSide(s, dir)
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cell"))
+    val probed = broadcast(q)
+      .join(broadcast(centroids))
+      .withColumn("c_sim", dot(col("q_emb"), col("centroid")))
+      .withColumn("c_rnk", row_number().over(probeW))
+      .filter(col("c_rnk") <= 4)
+      .select(col("q_id"), col("q_emb"), col("q_norm"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
+        col("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_sim_topk" -> simTopk,
+    "llm_dedup_embed" -> dedupEmbed,
+    "llm_ann_ivf" -> annIvf
+  )
+
+  private val dotSql =
+    "list_sum([%s.embedding[i]::DOUBLE * %s.embedding[i]::DOUBLE for i in range(1, 65)])"
+
+  val oracle: Map[String, String] = Map(
+    "llm_sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+        |         list_sum([q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE
+        |                   for i in range(1, 65)]) / (q.norm * c.norm)
+        |           AS cosine
+        |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id != c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "llm_dedup_embed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |       list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                 for i in range(1, 65)]) / (a.norm * b.norm) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                for i in range(1, 65)]) / (a.norm * b.norm) >= 0.45
+        |ORDER BY va, vb""".stripMargin
+  )
+}

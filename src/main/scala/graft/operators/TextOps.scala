@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline (builder prompt:
+  * language-ID heuristic, quality scoring, token counting) over the
+  * `documents` table.
+  *
+  * All of these are narrow, codegen'd column expressions — no UDFs, no
+  * shuffle except the final sort (and the per-language rollup, whose group
+  * count is |langs|). At 100 TB they stream through the scan at parquet
+  * read speed.
+  */
+object TextOps extends OpModule {
+
+  /** English function words used by the stopword-ratio heuristics. */
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private def stopArr: Column = array(stopwords.map(lit): _*)
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Corpus rollup per language: doc/source counts, char/token volume. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toks))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens").cast("long")).as("sum_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .withColumn("avg_tokens",
+        col("sum_tokens").cast("double") / col("n_docs"))
+      .orderBy(col("lang"))
+
+  /** Per-document quality signals: token count, type/token ratio, stopword
+    * ratio, average token length, and a fixed linear quality score.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("uniq_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => array_contains(stopArr, t)))
+          .cast("double") / col("n_tokens"))
+      .withColumn("avg_tok_len",
+        (length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"))
+      .withColumn("quality",
+        col("uniq_ratio") * 0.5 + col("stop_ratio") * 0.3 +
+          least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.2)
+      .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
+        col("stop_ratio"), col("avg_tok_len"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("ws_tokens", size(toks))
+      .withColumn("bpe_tokens",
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"))
+      .withColumn("chars_per_tok",
+        length(col("text")).cast("double") / col("bpe_tokens"))
+      .select(col("doc_id"), col("ws_tokens"), col("bpe_tokens"),
+        col("chars_per_tok"))
+      .orderBy(col("doc_id"))
+
+  /** Language-ID heuristic: stopword-density buckets (an n-gram profile
+    * degenerates to function-word density on this whitespace corpus).
+    * Output includes the labeled lang for downstream precision analysis.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("stop_ratio",
+        size(filter(col("toks"), t => array_contains(stopArr, t)))
+          .cast("double") / size(col("toks")))
+      .withColumn("predicted_lang",
+        when(col("stop_ratio") >= 0.15, "en")
+          .when(col("stop_ratio") >= 0.05, "mixed")
+          .otherwise("other"))
+      .select(col("doc_id"), col("lang"), col("stop_ratio"),
+        col("predicted_lang"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_text_stats" -> textStats,
+    "llm_quality_score" -> qualityScore,
+    "llm_token_count" -> tokenCount,
+    "llm_lang_id" -> langId
+  )
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "llm_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+        |       count(DISTINCT source) AS n_sources,
+        |       CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+        |         AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_quality_score" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |           AS uniq_ratio,
+        |         CAST(len(list_filter(toks,
+        |              x -> list_contains($stopList, x))) AS DOUBLE)
+        |           / len(toks) AS stop_ratio,
+        |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+        |           AS avg_tok_len
+        |  FROM t)
+        |SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, avg_tok_len,
+        |       uniq_ratio * 0.5 + stop_ratio * 0.3 +
+        |         least(avg_tok_len / 10.0, 1.0) * 0.2 AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |            AS INT) AS bpe_tokens,
+        |       CAST(length(text) AS DOUBLE)
+        |         / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+        |         AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_lang_id" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              x -> list_contains($stopList, x))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents)
+        |SELECT doc_id, lang, stop_ratio,
+        |       CASE WHEN stop_ratio >= 0.15 THEN 'en'
+        |            WHEN stop_ratio >= 0.05 THEN 'mixed'
+        |            ELSE 'other' END AS predicted_lang
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, SimOps}
+
+/** Value-level checks for the LLM-pipeline ops that have no SQL oracle
+  * (SimHash, IVF-ANN) plus invariants for the LSH pipeline.
+  */
+class LlmOpsSpec extends SparkSpec {
+
+  test("llm_dedup_near: jaccard in (0.9, 1.0], pairs ordered a<b") {
+    val rows = DedupOps.dedupNear(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.9 && j <= 1.0)
+    }
+  }
+
+  test("simhash: near-dup pairs are closer in Hamming distance than random") {
+    val fp = DedupOps.simhash(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupPairs = DedupOps.dedupNear(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dupDist = dupPairs.map { case (a, b) => ham(fp(a), fp(b)) }
+    // background: consecutive non-dup ids
+    val dupSet = dupPairs.toSet
+    val bgDist = (0L until 100L).flatMap { a =>
+      val b = a + 101
+      if (fp.contains(b) && !dupSet.contains((a, b))) Some(ham(fp(a), fp(b)))
+      else None
+    }
+    assert(dupPairs.nonEmpty && bgDist.nonEmpty)
+    val avgDup = dupDist.sum.toDouble / dupDist.length
+    val avgBg = bgDist.sum.toDouble / bgDist.length
+    assert(avgDup < avgBg / 2,
+      s"simhash should separate dups (avg $avgDup) from background (avg $avgBg)")
+  }
+
+  // Recall bound calibrated to this corpus: the vectors are near-uniform
+  // on the sphere (ANN's worst case); probing 4/10 cells measures ≈0.8.
+  test("llm_ann_ivf: recall@5 >= 0.75 vs brute force") {
+    def keyset(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = keyset(SimOps.simTopk(spark, sf0001))
+    val ivf = keyset(SimOps.annIvf(spark, sf0001))
+    assert(brute.nonEmpty)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.75, s"IVF recall@5 = $recall")
+  }
+
+  test("llm_dedup_exact: keeps every distinct doc exactly once") {
+    val rows = DedupOps.dedupExact(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum ===
+      Tables.documents(spark, sf0001).count())
+    val keepers = rows.map(_.getAs[Long]("keeper_id"))
+    assert(keepers.distinct.length === keepers.length)
+  }
+
+  test("brute-force topk: cosine in [-1, 1] and 5 neighbors per query") {
+    val rows = SimOps.simTopk(spark, sf0001).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.size === 20)
+    perQ.values.foreach(g => assert(g.length === 5))
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+  }
+}
