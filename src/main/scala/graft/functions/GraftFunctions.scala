@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for the engine's native Catalyst expressions. Two paths:
+  *
+  *  - [[GraftFunctions.register]]: imperative, idempotent, called by any
+  *    operator that uses the functions (works on an already-built session);
+  *  - [[GraftExtensions]]: the `SparkSessionExtensions` route for
+  *    cluster-wide installation via
+  *    `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftFunctions {
+
+  /** Fixed-seed parameters for the 60 minhash permutations — the LSH
+    * banding (10 bands × 6 rows) in graft.operators.DedupOps depends on
+    * exactly these.
+    */
+  val (minhashAs, minhashBs): (Array[Long], Array[Long]) = {
+    val rng = new scala.util.Random(42)
+    val pairs = Seq.fill(60)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
+      1L + rng.nextInt(Int.MaxValue - 1).toLong))
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  private def dotInfo = new ExpressionInfo(
+    classOf[DotProduct].getName, "graft_dot")
+  private def dotBuilder(children: Seq[Expression]): Expression =
+    DotProduct(children(0), children(1))
+
+  private def minhashInfo = new ExpressionInfo(
+    classOf[MinHash].getName, "graft_minhash")
+  private def minhashBuilder(children: Seq[Expression]): Expression =
+    MinHash(children.head, minhashAs, minhashBs)
+
+  private def simhashInfo = new ExpressionInfo(
+    classOf[SimHash].getName, "graft_simhash")
+
+  /** Idempotent per-session registration (overwrites any prior binding). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(FunctionIdentifier("graft_dot"), dotInfo,
+      dotBuilder _)
+    reg.registerFunction(FunctionIdentifier("graft_minhash"), minhashInfo,
+      minhashBuilder _)
+    reg.registerFunction(FunctionIdentifier("graft_simhash"), simhashInfo,
+      (children: Seq[Expression]) => SimHash(children.head))
+    reg.registerFunction(FunctionIdentifier("graft_minhash_tokens"),
+      new ExpressionInfo(classOf[MinHashTokens].getName,
+        "graft_minhash_tokens"),
+      (children: Seq[Expression]) =>
+        MinHashTokens(children.head, minhashAs, minhashBs))
+  }
+}
+
+/** `spark.sql.extensions` entry point installing the native functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHash].getName, "graft_minhash"),
+      (children: Seq[Expression]) =>
+        MinHash(children.head, GraftFunctions.minhashAs,
+          GraftFunctions.minhashBs)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash(children.head)))
+  }
+}

@@ -38,25 +38,11 @@ object DedupOps extends OpModule {
       .withColumn("shingles", shingleCol)
       .select(col("doc_id"), col("shingles"))
 
-  /** Fixed-seed universal-hash parameters for the 60 minhash permutations:
-    * h_p(x) = (a_p * murmur3(x) + b_p) mod (2^31 - 1).
+  /** LSH banding over the 60-permutation minhash sketch (params fixed-seed
+    * in graft.functions.GraftFunctions): 10 bands × 6 rows.
     */
-  private val MersennePrime = 2147483647L
-  private[operators] val perms: Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(42)
-    Seq.fill(60)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
-      1L + rng.nextInt(Int.MaxValue - 1).toLong))
-  }
   private val Bands = 10
   private val Rows = 6
-
-  /** minhash array (60 values) from the shingle set. */
-  private def minhashCol: Column = {
-    val mins = perms.map { case (a, b) =>
-      s"array_min(transform(shingles, s -> pmod(${a}L * hash(s) + ${b}L, ${MersennePrime}L)))"
-    }
-    expr(mins.mkString("array(", ", ", ")"))
-  }
 
   /** Exact dedup: group by normalized-text digest, keep the smallest
     * doc_id as the canonical copy.
@@ -73,12 +59,21 @@ object DedupOps extends OpModule {
 
   /** Near-dup pairs (exact Jaccard ≥ 0.9 on 3-gram shingles), found via
     * MinHash+LSH candidates.
+    *
+    * Plan shape (the 100 TB architecture): the corpus-wide pass computes
+    * ONLY the 60-long minhash sketch per doc — fused from the token array
+    * by graft_minhash_tokens, no shingle strings materialized, no distinct
+    * (min is duplicate-insensitive). Shingle SETS are then built just for
+    * the candidate docs (a semi-join-reduced sliver of the corpus) to
+    * compute exact Jaccard. The only quadratic step is within-band-bucket
+    * pairing.
     */
   def dedupNear(s: SparkSession, dir: String): DataFrame = {
-    val docs = withShingles(s, dir)
-      .filter(size(col("shingles")) > 0)
-    val banded = docs
-      .withColumn("mh", minhashCol)
+    graft.functions.GraftFunctions.register(s)
+    val banded = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("mh", expr("graft_minhash_tokens(toks)"))
       .withColumn("band", explode(expr(
         s"""transform(sequence(0, ${Bands - 1}),
            |  b -> struct(b AS band_idx,
@@ -93,9 +88,14 @@ object DedupOps extends OpModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val setsA = docs.select(col("doc_id").as("doc_a"),
+    // Exact Jaccard only for docs that appear in some candidate pair.
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = withShingles(s, dir)
+      .join(candIds, "doc_id")
+    val setsA = sets.select(col("doc_id").as("doc_a"),
       col("shingles").as("sh_a"))
-    val setsB = docs.select(col("doc_id").as("doc_b"),
+    val setsB = sets.select(col("doc_id").as("doc_b"),
       col("shingles").as("sh_b"))
     cands.join(setsA, "doc_a").join(setsB, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -107,26 +107,17 @@ object DedupOps extends OpModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash fingerprints (xxhash64 token hashes, sign-summed per
-    * bit). Engine-specific hash → no SQL oracle; unit-tested instead
-    * (near-dup pairs must be close in Hamming distance).
+  /** 64-bit SimHash fingerprints (xxhash64 token hashes, per-bit majority
+    * vote), via the native one-pass graft_simhash expression
+    * (graft.functions.SimHash). Engine-specific hash → no SQL oracle;
+    * unit-tested instead (near-dup pairs must be close in Hamming
+    * distance).
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    // For each bit k: sum over tokens of ±1 by bit k of xxhash64(token),
-    // then pack the sign bits into one BIGINT.
-    val bitSum =
-      """transform(sequence(0, 63), k ->
-        |  aggregate(toks, 0L,
-        |    (acc, t) -> acc + CASE WHEN ((xxhash64(t) >> k) & 1) = 1
-        |                           THEN 1L ELSE -1L END))""".stripMargin
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("bitsums", expr(bitSum))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L,
-          |  (acc, k) -> acc | CASE WHEN bitsums[k] > 0
-          |                         THEN shiftleft(1L, k) ELSE 0L END)"""
-          .stripMargin))
+      .withColumn("simhash", expr("graft_simhash(toks)"))
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
   }
