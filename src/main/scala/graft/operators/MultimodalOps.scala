@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing (builder prompt): image/audio/video as opaque
+  * `binary` columns with typed metadata, decode/feature-extract as
+  * batch-shaped partition-local transforms.
+  *
+  * The container has no media codecs and the harness no media files, so the
+  * payload is synthesized (UTF-8 bytes of `documents.text` standing in for
+  * an encoded image) and the DECODE STEP IS A STUB — [[MultimodalOps.decodeStub]]
+  * is a deterministic fake that consumes bytes and emits a fixed-dim
+  * feature vector where a real codec (JPEG decode → resize → embed) would
+  * run. Everything around it — binary schema, metadata struct, typed
+  * Dataset + mapPartitions batch shape, partition sizing — is the real
+  * production plumbing and is what the tests exercise.
+  *
+  * Scale notes: media rows are wide (payload) and narrow in count, so the
+  * feature pass uses mapPartitions (one decoder init per partition, not per
+  * row — the expensive part of real decoders), stays shuffle-free, and
+  * projects the payload away as early as possible.
+  */
+object MultimodalOps extends OpModule {
+
+  /** A media row: opaque payload + typed metadata (the schema a real
+    * image/audio table would carry).
+    */
+  case class MediaRecord(doc_id: Long, media: Array[Byte],
+      media_type: String, width: Int, height: Int, channels: Int)
+
+  case class MediaFeatures(doc_id: Long, n_bytes: Int,
+      features: Array[Float])
+
+  /** Synthesize the media table from documents: payload = UTF-8 bytes,
+    * metadata derived deterministically.
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("media_type"),
+      (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(3)) * 120 + 240).cast("int").as("height"),
+      lit(3).as("channels"))
+
+  /** STUB — stands in for the real decoder (e.g. JPEG → pixels → model
+    * features). Deterministic: 16-bin byte histogram, L1-normalized.
+    * Replace with a codec call; the signature (bytes in, fixed-dim floats
+    * out) is the contract the pipeline depends on.
+    */
+  def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Metadata/bookkeeping pass over the media table — pure column ops,
+    * oracle-checked (payload handled as opaque bytes end-to-end).
+    */
+  def mmMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(
+        col("doc_id"), col("media_type"), col("width"), col("height"),
+        octet_length(col("media")).as("n_bytes"),
+        (col("width") * col("height") * col("channels")).as("n_pixels_decoded"))
+      .orderBy(col("doc_id"))
+
+  /** Feature extraction: typed Dataset + mapPartitions (batch shape: the
+    * stub decoder is "initialized" once per partition, like a real codec /
+    * model session would be).
+    */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds = mediaTable(s, dir).as[MediaRecord]
+    ds.mapPartitions { it =>
+      // real pipeline: val codec = Codec.open(); val model = Session.load()
+      it.map { r =>
+        MediaFeatures(r.doc_id, r.media.length, decodeStub(r.media))
+      }
+    }.toDF()
+      .select(col("doc_id"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 6)
+          .as("f0"),
+        round(element_at(col("features"), 2).cast("double"), 6)
+          .as("f1"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** "Video" frame sampling: cut the payload into 256-byte frames, keep
+    * every 4th — the explode/row-shape plumbing of a real frame sampler.
+    */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .filter(col("media_type") === "video/mp4")
+      .withColumn("frame_idx", explode(sequence(lit(0),
+        floor(octet_length(col("media")) / 256).cast("int"), lit(4))))
+      .select(col("doc_id"), col("frame_idx"),
+        octet_length(substring(col("media"), col("frame_idx") * 256 + 1,
+          lit(256))).as("frame_bytes"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta" -> mmMeta,
+    "mm_features" -> mmFeatures,
+    "mm_frame_sample" -> mmFrameSample
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS media_type,
+        |       CAST((doc_id % 4) * 160 + 320 AS INT) AS width,
+        |       CAST((doc_id % 3) * 120 + 240 AS INT) AS height,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       CAST(((doc_id % 4) * 160 + 320) * ((doc_id % 3) * 120 + 240)
+        |            * 3 AS INT) AS n_pixels_decoded
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
