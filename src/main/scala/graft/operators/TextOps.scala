@@ -90,11 +90,34 @@ object TextOps extends OpModule {
         col("predicted_lang"))
       .orderBy(col("doc_id"))
 
+  /** Order-sensitive document fingerprint: Rabin-Karp-style rolling hash
+    * over the token stream (acc·31 + xxhash64(token) mod 2^31-1 — modular
+    * so ANSI mode can't overflow) plus a winnowing-lite minimum over
+    * 8-token window hashes — the classic near-exact-dup / containment
+    * fingerprint pair. Engine-internal hash → no SQL oracle (rows-only
+    * check + unit invariants).
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("fingerprint",
+        expr("""aggregate(toks, 0L, (acc, t) ->
+          | pmod(acc * 31L + pmod(xxhash64(t), 2147483647L), 2147483647L))"""
+          .stripMargin))
+      .withColumn("win_min_hash", expr(
+        """CASE WHEN size(toks) >= 8 THEN
+          |  array_min(transform(sequence(0, size(toks) - 8),
+          |    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 8)))))
+          |ELSE xxhash64(concat_ws(' ', toks)) END""".stripMargin))
+      .select(col("doc_id"), col("fingerprint"), col("win_min_hash"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_text_stats" -> textStats,
     "llm_quality_score" -> qualityScore,
     "llm_token_count" -> tokenCount,
-    "llm_lang_id" -> langId
+    "llm_lang_id" -> langId,
+    "llm_fingerprint" -> fingerprint
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -59,6 +59,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(keepers.distinct.length === keepers.length)
   }
 
+  test("llm_fingerprint: deterministic, order-sensitive, one row per doc") {
+    val a = graft.operators.TextOps.fingerprint(spark, sf0001).collect()
+    val b = graft.operators.TextOps.fingerprint(spark, sf0001).collect()
+    assert(a.sameElements(b))
+    assert(a.length === Tables.documents(spark, sf0001).count())
+    // distinct texts → (near-certainly) distinct rolling fingerprints
+    val fps = a.map(_.getAs[Long]("fingerprint"))
+    assert(fps.distinct.length === fps.length)
+  }
+
   test("brute-force topk: cosine in [-1, 1] and 5 neighbors per query") {
     val rows = SimOps.simTopk(spark, sf0001).collect()
     val perQ = rows.groupBy(_.getAs[Long]("q_id"))
