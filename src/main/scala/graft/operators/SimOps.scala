@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -41,21 +41,32 @@ object SimOps extends OpModule {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("norm").as("q_norm"))
 
-  /** Brute-force cosine top-5 for the first 20 query vectors. */
+  /** Brute-force cosine top-5 for the first 20 query vectors.
+    *
+    * Top-k runs through the bounded-heap Aggregator
+    * (graft.functions.TopKByScore) instead of a window `row_number`: the
+    * map side keeps only 5 candidates per (query × partition), so the
+    * shuffle carries 5·|queries|·|partitions| rows — not the full scored
+    * corpus a window repartition would move. Output is byte-identical to
+    * the window form (score DESC, id ASC tiebreak), which the oracle
+    * verifies.
+    */
   def simTopk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScore
     graft.functions.GraftFunctions.register(s)
     val corpus = withNorm(Tables.embeddings(s, dir))
     val scored = broadcast(queriesSide(s, dir))
       .join(corpus, col("q_id") =!= col("vec_id"))
       .withColumn("cosine",
         dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+    val topk = udaf(TopKByScore.TopKAgg(5),
+      Encoders.product[TopKByScore.ScoredId])
     scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        col("cosine"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
