@@ -101,13 +101,27 @@ object AggOps extends OpModule {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
+  /** Exact percentiles (linear interpolation — Spark `percentile` ≡ DuckDB
+    * `quantile_cont`) per group; a sort-based aggregate, unlike the hash
+    * aggregates above.
+    */
+  def percentileAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.9)").as("qty_p90"),
+        expr("percentile(l_extendedprice, 0.25)").as("price_p25"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hash_group" -> hashGroup,
     "agg_count_distinct" -> countDistinctAgg,
     "agg_rollup" -> rollupAgg,
     "agg_cube" -> cubeAgg,
     "agg_grouping_sets" -> groupingSetsAgg,
-    "offset_watermark_agg" -> offsetWatermark
+    "offset_watermark_agg" -> offsetWatermark,
+    "agg_percentile" -> percentileAgg
   )
 
   val oracle: Map[String, String] = Map(
@@ -142,6 +156,12 @@ object AggOps extends OpModule {
     "offset_watermark_agg" ->
       """SELECT user_id, max(event_id) AS watermark_id,
         |       min(event_id) AS min_id, count(*) AS n_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |       quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |       quantile_cont(l_quantity, 0.9) AS qty_p90,
+        |       quantile_cont(l_extendedprice, 0.25) AS price_p25
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -92,12 +92,30 @@ object ScalarFnOps extends OpModule {
       .withColumn("k_bucket", col("k_int") % 10)
       .orderBy(col("event_id"))
 
+  /** Conditional / null-handling functions: CASE banding, nullif+coalesce,
+    * greatest/least, boolean projection.
+    */
+  def fnConditional(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("low").as("band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+          .as("status_or_open"),
+        greatest(col("o_totalprice"), lit(200000.0)).as("floor_price"),
+        least(col("o_totalprice"), lit(200000.0)).as("capped_price"),
+        (col("o_orderstatus") === "F").as("is_final"))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
     "fn_array" -> fnArray,
-    "fn_json" -> fnJson
+    "fn_json" -> fnJson,
+    "fn_conditional" -> fnConditional
   )
 
   val oracle: Map[String, String] = Map(
@@ -143,6 +161,16 @@ object ScalarFnOps extends OpModule {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
         |       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_conditional" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 300000 THEN 'high'
+        |            WHEN o_totalprice > 150000 THEN 'mid'
+        |            ELSE 'low' END AS band,
+        |       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        |       greatest(o_totalprice, 200000.0) AS floor_price,
+        |       least(o_totalprice, 200000.0) AS capped_price,
+        |       (o_orderstatus = 'F') AS is_final
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }

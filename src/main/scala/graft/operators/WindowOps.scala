@@ -93,12 +93,47 @@ object WindowOps extends OpModule {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Time-RANGE frame: trailing-30-day average spend per customer — a
+    * value-based frame (all rows within 30 days), not a row-count frame.
+    */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-30L * 86400, Window.currentRow)
+    Tables.orders(s, dir)
+      .withColumn("t30_sum",
+        sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).over(w)
+          .cast("double"))
+      .withColumn("t30_n", count(lit(1)).over(w))
+      .withColumn("trailing_avg", col("t30_sum") / col("t30_n"))
+      .select(col("o_custkey"), col("o_orderkey"), col("trailing_avg"),
+        col("t30_n"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Distribution functions: quartile bucket, percent_rank, cume_dist of
+    * customers by balance within market segment.
+    */
+  def distribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_row_number" -> rowNumber,
     "win_rank_dense" -> rankDense,
     "win_lag_lead" -> lagLead,
     "win_running_sum" -> runningSum,
-    "win_sliding_avg" -> slidingAvg
+    "win_sliding_avg" -> slidingAvg,
+    "win_range_frame" -> rangeFrame,
+    "win_distribution" -> distribution
   )
 
   val oracle: Map[String, String] = Map(
@@ -142,6 +177,25 @@ object WindowOps extends OpModule {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         / (COUNT(*) OVER w) AS trailing_avg,
+        |       COUNT(*) OVER w AS t30_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |       ntile(4) OVER w AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin
   )
 }
