@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** Subquery surface, exercised through `spark.sql` on registered views so
+  * Catalyst's actual subquery machinery runs: correlated scalar subqueries
+  * (RewriteCorrelatedScalarSubquery decorrelates to an aggregate+join),
+  * uncorrelated scalar subqueries (one-row broadcast), and IN-subqueries
+  * (planned as left-semi joins). SURVEY.md §4: these rewrites come free
+  * from Catalyst — this module proves them on the engine's tables.
+  */
+object SubqueryOps extends OpModule {
+
+  private def views(s: SparkSession, dir: String): Unit = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+  }
+
+  /** Customers above their own nation's average balance (correlated
+    * scalar subquery → decorrelated join).
+    */
+  def correlatedScalar(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_acctbal FROM customer_v c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Orders above the global average price (uncorrelated scalar subquery —
+    * evaluated once, broadcast into the filter).
+    */
+  def uncorrelatedScalar(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM orders_v
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_v)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** IN-subquery → left-semi join. */
+  def inSubquery(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT o_orderkey, o_custkey FROM orders_v
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer_v
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "subquery_correlated" -> correlatedScalar,
+    "subquery_scalar" -> uncorrelatedScalar,
+    "subquery_in" -> inSubquery
+  )
+
+  val oracle: Map[String, String] = Map(
+    "subquery_correlated" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "subquery_in" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
