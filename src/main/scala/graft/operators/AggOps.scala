@@ -114,6 +114,23 @@ object AggOps extends OpModule {
         expr("percentile(l_extendedprice, 0.25)").as("price_p25"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch aggregates — the 100 TB form of count-distinct/quantiles:
+    * HyperLogLog++ (`approx_count_distinct`) and GK quantile sketches
+    * (`approx_percentile`) are mergeable fixed-size state, so the shuffle
+    * carries one sketch per partition instead of the distinct key set.
+    * Deterministic within Spark but engine-specific → no SQL oracle;
+    * error bounds vs the exact aggregates are unit-tested.
+    */
+  def approxSketch(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+          .as("approx_price_p50"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hash_group" -> hashGroup,
     "agg_count_distinct" -> countDistinctAgg,
@@ -121,7 +138,8 @@ object AggOps extends OpModule {
     "agg_cube" -> cubeAgg,
     "agg_grouping_sets" -> groupingSetsAgg,
     "offset_watermark_agg" -> offsetWatermark,
-    "agg_percentile" -> percentileAgg
+    "agg_percentile" -> percentileAgg,
+    "agg_approx_sketch" -> approxSketch
   )
 
   val oracle: Map[String, String] = Map(

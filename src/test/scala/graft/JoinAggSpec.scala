@@ -33,6 +33,31 @@ class JoinAggSpec extends SparkSpec {
       Tables.customer(spark, sf0001).count())
   }
 
+  test("agg_approx_sketch: HLL within 5% of exact, median sketch within 2%") {
+    val approx = AggOps.approxSketch(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = AggOps.countDistinctAgg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_parts")).toMap
+    val exactP50 = AggOps.percentileAgg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("qty_p50")).toMap
+    exact.foreach { case (flag, nExact) =>
+      val nApprox = approx(flag).getAs[Long]("approx_parts")
+      assert(math.abs(nApprox - nExact).toDouble / nExact < 0.05,
+        s"$flag: HLL $nApprox vs exact $nExact")
+    }
+    // approx_percentile returns an element of the dataset near the median
+    val priceExact = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.expr(
+        "percentile(l_extendedprice, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("p")).toMap
+    priceExact.foreach { case (flag, p) =>
+      val ap = approx(flag).getAs[Double]("approx_price_p50")
+      assert(math.abs(ap - p) / p < 0.02, s"$flag: approx $ap vs exact $p")
+    }
+    assert(exactP50.nonEmpty)
+  }
+
   test("join_asof: prev_signup_ts is strictly before ts when present") {
     val bad = JoinOps.asOf(spark, sf0001)
       .filter("prev_signup_ts IS NOT NULL AND prev_signup_ts > ts")
