@@ -17,12 +17,22 @@ import org.apache.spark.sql.types._
   * overhead dominates, so the hot path gets a scalar Expression with
   * `doGenCode`.
   */
-case class DotProduct(left: Expression, right: Expression)
+/** @param strict when true, reproduce the higher-order form's null
+  *   semantics exactly (result is NULL if the arrays differ in length or
+  *   any element is null — `zip_with` pads the shorter side with nulls and
+  *   `acc + null` poisons the sum). The rewrite rule
+  *   (graft.functions.RewriteDotProduct) must use strict=true; direct
+  *   callers on known-clean columns use the default fast path.
+  */
+case class DotProduct(left: Expression, right: Expression,
+    strict: Boolean = false)
     extends BinaryExpression {
 
   // Inputs must be array<float>/array<double> (either mix); enforced at the
   // two call sites rather than via ExpectsInputTypes (private[sql] in 4.x).
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = strict || super.nullable
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -30,12 +40,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (strict && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (strict && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -51,11 +63,21 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val strictChecks = if (strict)
+        s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }"""
+      else ""
+      val strictElem = if (strict)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |$strictChecks
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $strictElem
+         |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -52,6 +52,10 @@ object GraftFunctions {
         "graft_minhash_tokens"),
       (children: Seq[Expression]) =>
         MinHashTokens(children.head, minhashAs, minhashBs))
+    // optimizer rule on a live session (extensions only bind at build time)
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotProduct
   }
 }
 
@@ -69,5 +73,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash(children.head)))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }
