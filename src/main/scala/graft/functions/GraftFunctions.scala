@@ -52,6 +52,10 @@ object GraftFunctions {
         "graft_minhash_tokens"),
       (children: Seq[Expression]) =>
         MinHashTokens(children.head, minhashAs, minhashBs))
+    reg.registerFunction(FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName,
+        "graft_fingerprint"),
+      (children: Seq[Expression]) => RollingFingerprint(children.head))
     // optimizer rule on a live session (extensions only bind at build time)
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =

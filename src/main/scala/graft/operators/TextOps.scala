@@ -97,20 +97,15 @@ object TextOps extends OpModule {
     * fingerprint pair. Engine-internal hash → no SQL oracle (rows-only
     * check + unit invariants).
     */
-  def fingerprint(s: SparkSession, dir: String): DataFrame =
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("toks", toks)
-      .withColumn("fingerprint",
-        expr("""aggregate(toks, 0L, (acc, t) ->
-          | pmod(acc * 31L + pmod(xxhash64(t), 2147483647L), 2147483647L))"""
-          .stripMargin))
-      .withColumn("win_min_hash", expr(
-        """CASE WHEN size(toks) >= 8 THEN
-          |  array_min(transform(sequence(0, size(toks) - 8),
-          |    i -> xxhash64(concat_ws(' ', slice(toks, i + 1, 8)))))
-          |ELSE xxhash64(concat_ws(' ', toks)) END""".stripMargin))
-      .select(col("doc_id"), col("fingerprint"), col("win_min_hash"))
+      .withColumn("fp", expr("graft_fingerprint(toks)"))
+      .select(col("doc_id"), col("fp")(0).as("fingerprint"),
+        col("fp")(1).as("win_min_hash"))
       .orderBy(col("doc_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_text_stats" -> textStats,

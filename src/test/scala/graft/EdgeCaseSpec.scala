@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.streaming.DeliverySemantics
+
+/** Degenerate-input behavior: empty and single-row inputs must flow
+  * through the operator library without exceptions and with sane results.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  test("aggregates over an empty filter produce zero groups, not errors") {
+    val empty = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") < -1)
+    assert(empty.groupBy("l_returnflag").count().count() === 0)
+    assert(empty.agg(sum("l_quantity")).collect().head.isNullAt(0))
+  }
+
+  test("upsert into an empty target is an insert-all") {
+    val target = Tables.events(spark, sf0001).filter(lit(false))
+      .select("event_id", "ts", "event_type")
+    val batch = Tables.events(spark, sf0001).limit(10)
+      .select("event_id", "ts", "event_type")
+    val merged = DeliverySemantics.upsert(target, batch, "event_id", "ts")
+    assert(merged.count() === 10)
+  }
+
+  test("windows over single-row partitions behave (lag null, rn=1)") {
+    val one = Tables.events(spark, sf0001).limit(1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val r = one
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev", lag("ts", 1).over(w))
+      .collect().head
+    assert(r.getAs[Int]("rn") === 1)
+    assert(r.isNullAt(r.fieldIndex("prev")))
+  }
+
+  test("dedupNear on a tiny corpus (3 docs) does not explode or NPE") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
+    Seq(
+      (0L, "a b c d e f", "en", "s0", 11L),
+      (1L, "a b c d e f", "en", "s1", 11L), // exact dup of 0
+      (2L, "x y z", "en", "s2", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupOps.dedupNear(spark, dir).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("doc_a") === 0L)
+    assert(pairs.head.getAs[Long]("doc_b") === 1L)
+    assert(pairs.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("simhash of identical texts is identical; of empty token list is 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh").toString
+    Seq(
+      (0L, "p q r s", "en", "s0", 7L),
+      (1L, "p q r s", "en", "s1", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = DedupOps.simhash(spark, dir).collect()
+    assert(fps(0).getLong(1) === fps(1).getLong(1))
+  }
+}
