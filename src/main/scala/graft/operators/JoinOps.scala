@@ -120,10 +120,38 @@ object JoinOps extends OpModule {
       .orderBy(col("event_id"))
   }
 
+  /** Full outer: per-nation customer counts vs HIGH-BALANCE supplier
+    * counts — the filter makes the right side partial, so real one-sided
+    * rows appear. Keys coalesced for a total output order.
+    */
+  def fullOuter(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("c_nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") > 6000)
+      .groupBy(col("s_nationkey").as("s_nk"))
+      .agg(count(lit(1)).as("n_hisupp"))
+    c.join(p, col("c_nk") === col("s_nk"), "full_outer")
+      .select(coalesce(col("c_nk"), col("s_nk")).as("nkey"),
+        col("n_cust"), col("n_hisupp"))
+      .orderBy(col("nkey"))
+  }
+
+  /** Explicit cartesian product of two tiny dims (25 rows) — the one case
+    * where a cross join is the right plan.
+    */
+  def crossSmall(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).select(col("r_regionkey").as("rk_a"))
+      .crossJoin(Tables.region(s, dir).select(col("r_regionkey").as("rk_b")))
+      .orderBy(col("rk_a"), col("rk_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_inner_equi" -> innerEqui,
     "join_broadcast" -> broadcastDims,
     "join_left_outer" -> leftOuter,
+    "join_full_outer" -> fullOuter,
+    "join_cross_small" -> crossSmall,
     "join_semi" -> semi,
     "join_anti" -> anti,
     "join_range_theta" -> rangeTheta,
@@ -147,6 +175,19 @@ object JoinOps extends OpModule {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(c.c_nk, p.s_nk) AS nkey, c.n_cust, p.n_hisupp
+        |FROM (SELECT c_nationkey AS c_nk, count(*) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL JOIN (SELECT s_nationkey AS s_nk, count(*) AS n_hisupp
+        |           FROM supplier WHERE s_acctbal > 6000
+        |           GROUP BY s_nationkey) p
+        |  ON c.c_nk = p.s_nk
+        |ORDER BY nkey""".stripMargin,
+    "join_cross_small" ->
+      """SELECT a.r_regionkey AS rk_a, b.r_regionkey AS rk_b
+        |FROM region a CROSS JOIN region b
+        |ORDER BY rk_a, rk_b""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -109,13 +109,28 @@ object ScalarFnOps extends OpModule {
         (col("o_orderstatus") === "F").as("is_final"))
       .orderBy(col("o_orderkey"))
 
+  /** Advanced string functions: edit distance (fuzzy-dedup primitive),
+    * padding, initcap, translate, reverse.
+    */
+  def fnStringAdvanced(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        levenshtein(col("event_type"), lit("click")).as("lev_click"),
+        initcap(col("event_type")).as("type_title"),
+        lpad(col("event_type"), 10, ".").as("padded"),
+        translate(col("event_type"), "aeiou", "AEIOU").as("vowels_up"),
+        reverse(col("event_type")).as("reversed"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
     "fn_array" -> fnArray,
     "fn_json" -> fnJson,
-    "fn_conditional" -> fnConditional
+    "fn_conditional" -> fnConditional,
+    "fn_string_advanced" -> fnStringAdvanced
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,6 +176,15 @@ object ScalarFnOps extends OpModule {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
         |       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_string_advanced" ->
+      """SELECT event_id,
+        |       CAST(levenshtein(event_type, 'click') AS INT) AS lev_click,
+        |       upper(substring(event_type, 1, 1)) ||
+        |         substring(event_type, 2) AS type_title,
+        |       lpad(event_type, 10, '.') AS padded,
+        |       translate(event_type, 'aeiou', 'AEIOU') AS vowels_up,
+        |       reverse(event_type) AS reversed
         |FROM events ORDER BY event_id""".stripMargin,
     "fn_conditional" ->
       """SELECT o_orderkey,

@@ -69,4 +69,29 @@ class StreamingRestartSpec extends SparkSpec {
     assert(parsed.count() === 20)
     assert(parsed.filter("counter IS NULL").count() === 0)
   }
+
+  test("Kafka-shaped envelope mints the reference's commit token") {
+    import org.apache.spark.sql.functions._
+    // the built-in Kafka source schema, synthesized from the generator
+    val kafkaShaped = SensorGenerator.toCsvBody(
+        SensorGenerator.batch(spark, 10))
+      .select(
+        col("key").cast("string").as("key"),
+        col("body").as("value"),
+        lit("my_sensors_data").as("topic"),
+        (col("key") % 2).cast("int").as("partition"),
+        col("key").as("offset"),
+        current_timestamp().as("timestamp"))
+    val tokens = graft.sources.Envelope.withCommitToken(kafkaShaped)
+      .select("commit_token", "partition", "offset").collect()
+    tokens.foreach { r =>
+      // e.g. "my_sensors_data/0/3" (reference images/wiretapAtMostOnce.png)
+      assert(r.getString(0) ===
+        s"my_sensors_data/${r.getInt(1)}/${r.getLong(2)}")
+    }
+    // and the value parses back against the declared sensor schema
+    val parsed = graft.sources.Envelope.parseBody(
+      kafkaShaped.withColumnRenamed("value", "body"))
+    assert(parsed.filter("counter IS NULL").count() === 0)
+  }
 }
