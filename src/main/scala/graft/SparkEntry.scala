@@ -9,7 +9,7 @@ object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     IngestOps, RelationalOps, JoinOps, AggOps, WindowOps, SortSetOps,
     ScalarFnOps, StreamTwinOps, UdfOps, TextOps, DedupOps, SimOps,
-    MultimodalOps, ComposedOps, SubqueryOps, ReshapeOps)
+    MultimodalOps, ComposedOps, SubqueryOps, ReshapeOps, DataQualityOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

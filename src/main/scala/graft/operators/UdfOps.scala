@@ -86,10 +86,38 @@ object UdfOps extends OpModule {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("token"))
 
+  /** Typed cogroup: per customer, walk the customer row and its orders as
+    * iterators (KeyValueGroupedDataset.cogroup — the typed-API form of a
+    * per-key merge). Aggregates are order-insensitive (count/max) because
+    * cogroup iterator order is not defined.
+    */
+  def typedCogroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customers = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+    customers.cogroup(orders) { (key, cust, ords) =>
+      val bal = cust.map(_._2).foldLeft(Double.MinValue)(math.max)
+      var n = 0L
+      var maxPrice = Double.MinValue
+      ords.foreach { o => n += 1; maxPrice = math.max(maxPrice, o._2) }
+      if (bal == Double.MinValue) Iterator.empty // order w/o customer: none
+      else Iterator((key, bal, n,
+        if (n == 0) None else Some(maxPrice)))
+    }.toDF("c_custkey", "c_acctbal", "n_orders", "max_price")
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_scalar" -> udfScalar,
     "udaf_typed" -> udafTyped,
-    "udtf_explode" -> udtfExplode
+    "udtf_explode" -> udtfExplode,
+    "typed_cogroup" -> typedCogroup
   )
 
   val oracle: Map[String, String] = Map(
@@ -107,6 +135,13 @@ object UdfOps extends OpModule {
       """SELECT token, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |WHERE length(token) > 0
-        |GROUP BY token ORDER BY token""".stripMargin
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "typed_cogroup" ->
+      """SELECT c_custkey, c_acctbal,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_custkey = c_custkey) AS n_orders,
+        |       (SELECT max(o_totalprice) FROM orders
+        |        WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }
