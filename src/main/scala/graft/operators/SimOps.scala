@@ -145,10 +145,33 @@ object SimOps extends OpModule {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Cluster assignment as a first-class query: each vector → nearest of
+    * the 10 unit-normalized seed centroids (the IVF quantizer's assignment
+    * step, exposed). `affinity` = dot(v, seed_unit) = cos·‖v‖; argmax ties
+    * broken by seed id.
+    */
+  def clusterAssign(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val seeds = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("seed_id"),
+        transform(col("embedding"), x => x.cast("double") / col("norm"))
+          .as("seed_unit"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("affinity").desc, col("seed_id"))
+    emb.join(broadcast(seeds))
+      .withColumn("affinity", dot(col("embedding"), col("seed_unit")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("seed_id").as("cell"), col("affinity"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_topk" -> simTopk,
     "llm_dedup_embed" -> dedupEmbed,
-    "llm_ann_ivf" -> annIvf
+    "llm_ann_ivf" -> annIvf,
+    "llm_cluster_assign" -> clusterAssign
   )
 
   private val dotSql =
@@ -174,6 +197,28 @@ object SimOps extends OpModule {
         |  FROM scored)
         |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "llm_cluster_assign" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS seed_id,
+        |         [embedding[i]::DOUBLE / norm for i in range(1, 65)]
+        |           AS seed_unit
+        |  FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |         list_sum([e.embedding[i]::DOUBLE * s.seed_unit[i]
+        |                   for i in range(1, 65)]) AS affinity,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_sum([e.embedding[i]::DOUBLE
+        |                              * s.seed_unit[i] for i in range(1, 65)])
+        |                              DESC, s.seed_id) AS rn
+        |  FROM e CROSS JOIN seeds s)
+        |SELECT vec_id, seed_id AS cell, affinity FROM scored
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "llm_dedup_embed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

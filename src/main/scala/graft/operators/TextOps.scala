@@ -107,12 +107,36 @@ object TextOps extends OpModule {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF per (doc, token): tf · ln(N/df). One explode, two hash
+    * aggregates, one broadcast-able join of the (tiny) df table back onto
+    * the term rows — the canonical text-weighting pipeline. ln of a
+    * single division is one IEEE op each → cross-engine identical.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count() // corpus size: one cheap metadata-count job
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "token")
+      .withColumn("tfidf",
+        col("tf") * log(lit(n.toDouble) / col("df")))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_text_stats" -> textStats,
     "llm_quality_score" -> qualityScore,
     "llm_token_count" -> tokenCount,
     "llm_lang_id" -> langId,
-    "llm_fingerprint" -> fingerprint
+    "llm_fingerprint" -> fingerprint,
+    "llm_tfidf" -> tfidf
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -153,6 +177,20 @@ object TextOps extends OpModule {
         |         / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
         |         AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |terms_f AS (SELECT * FROM terms WHERE length(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM terms_f GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM
+        |       (SELECT DISTINCT doc_id, token FROM terms_f) GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |       tf.tf * ln(n.n / df.df) AS tfidf
+        |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
     "llm_lang_id" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang,
