@@ -42,6 +42,48 @@ class StreamingWindowSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("late data beyond the watermark is dropped in append-mode windows") {
+    val base = Files.createTempDirectory("graft_late").toString
+    val src = s"$base/src"
+    import spark.implicits._
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "ts_s")
+        .selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts")
+        .coalesce(1).write.mode("append").parquet(src)
+    def run(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val q = spark.readStream.schema(schema).parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("string").as("s"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: on-time events establish the watermark (13:10 − 1h = 12:10)
+    writeBatch(Seq((1L, "2024-01-10 12:00:00"), (2L, "2024-01-10 12:30:00"),
+      (3L, "2024-01-10 13:10:00")))
+    run()
+    // run 2: a 3-days-late event — beyond the checkpointed watermark
+    writeBatch(Seq((4L, "2024-01-07 12:05:00")))
+    run()
+    // run 3: a far-future event pushes the watermark past all windows so
+    // append mode emits the closed ones
+    writeBatch(Seq((5L, "2024-01-20 00:00:00")))
+    run()
+    val windows = spark.read.parquet(s"$base/out")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!windows.keySet.exists(_.startsWith("2024-01-07")),
+      s"late row leaked: $windows")
+    assert(windows.getOrElse("2024-01-10 12:00:00", 0L) === 2L, windows)
+    assert(windows.getOrElse("2024-01-10 13:00:00", 0L) === 1L, windows)
+  }
+
   test("watermarked dropDuplicates suppresses replayed keys across batches") {
     val base = Files.createTempDirectory("graft_stream_dedup").toString
     val src = s"$base/src"
