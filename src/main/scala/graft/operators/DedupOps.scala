@@ -68,7 +68,17 @@ object DedupOps extends OpModule {
     * compute exact Jaccard. The only quadratic step is within-band-bucket
     * pairing.
     */
-  def dedupNear(s: SparkSession, dir: String): DataFrame = {
+  def dedupNear(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** LSH candidate pairs with their exact shingle-set statistics:
+    * (doc_a, doc_b, inter, uni, size_a, size_b).
+    */
+  private def pairStats(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val banded = Tables.documents(s, dir)
       .withColumn("toks", split(col("text"), " "))
@@ -88,7 +98,7 @@ object DedupOps extends OpModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Exact Jaccard only for docs that appear in some candidate pair.
+    // Exact shingle sets only for docs that appear in some candidate pair.
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sets = withShingles(s, dir)
@@ -99,13 +109,29 @@ object DedupOps extends OpModule {
       col("shingles").as("sh_b"))
     cands.join(setsA, "doc_a").join(setsB, "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni",
-        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("size_a", size(col("sh_a")))
+      .withColumn("size_b", size(col("sh_b")))
+      .withColumn("uni", col("size_a") + col("size_b") - col("inter"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        col("size_a"), col("size_b"))
+  }
+
+  /** Directional containment |A∩B|/|A| and |A∩B|/|B| for the near-dup
+    * pairs (jaccard ≥ 0.9 precondition keeps the LSH candidate set exact
+    * by construction — a containment-only threshold could admit pairs the
+    * jaccard-tuned banding never proposes).
+    */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
       .withColumn("jaccard", col("inter").cast("double") / col("uni"))
       .filter(col("jaccard") >= 0.9)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .withColumn("contain_a",
+        col("inter").cast("double") / col("size_a"))
+      .withColumn("contain_b",
+        col("inter").cast("double") / col("size_b"))
+      .select(col("doc_a"), col("doc_b"), col("contain_a"),
+        col("contain_b"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** 64-bit SimHash fingerprints (xxhash64 token hashes, per-bit majority
     * vote), via the native one-pass graft_simhash expression
@@ -125,7 +151,8 @@ object DedupOps extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_near" -> dedupNear,
-    "llm_dedup_simhash" -> simhash
+    "llm_dedup_simhash" -> simhash,
+    "llm_containment" -> containment
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +177,27 @@ object DedupOps extends OpModule {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
+        |                toks[i+2] for i in range(1, greatest(len(toks)-1, 1))]))
+        |           AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |       CAST(i AS DOUBLE) / sa.n AS contain_a,
+        |       CAST(i AS DOUBLE) / sb.n AS contain_b
         |FROM inter
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id

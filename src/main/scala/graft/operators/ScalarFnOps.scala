@@ -123,6 +123,20 @@ object ScalarFnOps extends OpModule {
         reverse(col("event_type")).as("reversed"))
       .orderBy(col("event_id"))
 
+  /** Array manipulation over the token array: sort+slice, distinct count,
+    * position lookup, containment.
+    */
+  def fnArrayOps(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        slice(array_sort(col("toks")), 1, 3).as("first3_sorted"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        array_position(col("toks"), "the").cast("long").as("pos_the"),
+        array_contains(col("toks"), "spark").as("has_spark"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -130,7 +144,8 @@ object ScalarFnOps extends OpModule {
     "fn_array" -> fnArray,
     "fn_json" -> fnJson,
     "fn_conditional" -> fnConditional,
-    "fn_string_advanced" -> fnStringAdvanced
+    "fn_string_advanced" -> fnStringAdvanced,
+    "fn_array_ops" -> fnArrayOps
   )
 
   val oracle: Map[String, String] = Map(
@@ -177,6 +192,16 @@ object ScalarFnOps extends OpModule {
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
         |       CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_array_ops" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id,
+        |       list_sort(toks)[1:3] AS first3_sorted,
+        |       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |       CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT)
+        |         AS pos_the,
+        |       list_contains(toks, 'spark') AS has_spark
+        |FROM t ORDER BY doc_id""".stripMargin,
     "fn_string_advanced" ->
       """SELECT event_id,
         |       CAST(levenshtein(event_type, 'click') AS INT) AS lev_click,

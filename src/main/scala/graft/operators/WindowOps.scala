@@ -126,6 +126,22 @@ object WindowOps extends OpModule {
       .orderBy(col("c_custkey"))
   }
 
+  /** Value window functions: first/last/nth order value per customer
+    * (frame pinned to the whole partition so last_value is the true last).
+    */
+  def valueFns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_row_number" -> rowNumber,
     "win_rank_dense" -> rankDense,
@@ -133,7 +149,8 @@ object WindowOps extends OpModule {
     "win_running_sum" -> runningSum,
     "win_sliding_avg" -> slidingAvg,
     "win_range_frame" -> rangeFrame,
-    "win_distribution" -> distribution
+    "win_distribution" -> distribution,
+    "win_value_fns" -> valueFns
   )
 
   val oracle: Map[String, String] = Map(
@@ -187,6 +204,17 @@ object WindowOps extends OpModule {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "win_value_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       last_value(o_totalprice) OVER w AS last_price,
+        |       nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING
+        |                      AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "win_distribution" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
