@@ -18,6 +18,17 @@ class JdbcUpsertSpec extends SparkSpec {
     try f(c.createStatement()) finally c.close()
   }
 
+  test("mergeSql renders a keyed ANSI MERGE for native-upsert dialects") {
+    val sql = JdbcUpsert.mergeSql("sensordata",
+      Seq("counter", "deviceid", "temperature"), Seq("counter"))
+    assert(sql.contains("MERGE INTO sensordata t"))
+    assert(sql.contains("ON t.counter = s.counter"))
+    assert(sql.contains(
+      "WHEN MATCHED THEN UPDATE SET t.deviceid = s.deviceid, t.temperature = s.temperature"))
+    assert(sql.contains(
+      "WHEN NOT MATCHED THEN INSERT (counter, deviceid, temperature)"))
+  }
+
   test("upsert twice == once, and replayed rows update not duplicate") {
     withStmt { st =>
       try st.execute("DROP TABLE sensordata") catch { case _: Throwable => () }
