@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** Optimizer rule: rewrite the composed higher-order dot-product pattern
   *
@@ -51,6 +51,16 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** DotProduct reads elements via getFloat/getDouble only, so the rewrite
+    * is sound solely for float/double arrays; int/long arrays must keep the
+    * higher-order form (8-byte reads over 4-byte elements would corrupt).
+    */
+  private def isFloatingArray(e: Expression): Boolean =
+    e.resolved && (e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    })
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case ArrayAggregate(
@@ -60,7 +70,8 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
             LambdaFunction(addBody,
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             LambdaFunction(finBody, Seq(fin: NamedLambdaVariable), _))
-          if isZeroDouble(zero) && isMulOfVars(mulBody, x, y) &&
+          if isZeroDouble(zero) && isFloatingArray(l) && isFloatingArray(r) &&
+            isMulOfVars(mulBody, x, y) &&
             isAddOfVars(addBody, acc, v) && isVar(finBody, fin) =>
         DotProduct(l, r, strict = true)
     }

@@ -39,7 +39,10 @@ object IngestOps extends OpModule {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 4).as("sum_value"))
+        // Exact, shuffle-order-independent double aggregate: sum in
+        // DECIMAL(18,2) then cast back (the repo-wide parity pattern).
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
       .orderBy(col("event_type"))
   }
 
@@ -52,7 +55,7 @@ object IngestOps extends OpModule {
         |    FROM events) t
         |  WHERE rn = 1)
         |SELECT event_type, count(*) AS n_events,
-        |       round(sum(value), 4) AS sum_value
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM dedup GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 

@@ -131,7 +131,10 @@ object ScalarFnOps extends OpModule {
       .withColumn("toks", split(col("text"), " "))
       .select(
         col("doc_id"),
-        slice(array_sort(col("toks")), 1, 3).as("first3_sorted"),
+        // Serialized to a scalar string so the driver's pandas comparator can
+        // hash it (raw array<string> columns are unhashable there).
+        array_join(slice(array_sort(col("toks")), 1, 3), " ")
+          .as("first3_sorted"),
         size(array_distinct(col("toks"))).as("n_distinct"),
         array_position(col("toks"), "the").cast("long").as("pos_the"),
         array_contains(col("toks"), "spark").as("has_spark"))
@@ -196,7 +199,7 @@ object ScalarFnOps extends OpModule {
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents)
         |SELECT doc_id,
-        |       list_sort(toks)[1:3] AS first3_sorted,
+        |       array_to_string(list_sort(toks)[1:3], ' ') AS first3_sorted,
         |       CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
         |       CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT)
         |         AS pos_the,

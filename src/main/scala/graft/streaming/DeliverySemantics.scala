@@ -26,8 +26,15 @@ object DeliverySemantics {
     */
   def upsert(target: DataFrame, batch: DataFrame, key: String,
       ord: String): DataFrame = {
+    // Tiebreak on every payload column (name-sorted) so rows sharing
+    // (key, ord) with different payloads still pick a total-ordered winner
+    // — replayed rows are usually bit-identical, but determinism must not
+    // depend on that.
+    val tiebreaks = target.columns
+      .filterNot(c => c == key || c == ord).sorted
+      .map(col(_).desc)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ord).desc, col(key))
+      .orderBy((col(ord).desc +: tiebreaks.toSeq): _*)
     target.unionByName(batch)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

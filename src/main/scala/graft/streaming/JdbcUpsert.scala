@@ -76,6 +76,7 @@ object JdbcUpsert {
     val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (" +
       cols.map(_ => "?").mkString(", ") + ")"
     val updOrder = (nonKey ++ keyCols).map(schema.fieldIndex)
+    val keyIdx = keyCols.map(schema.fieldIndex)
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.nonEmpty) {
         val conn: Connection = DriverManager.getConnection(url)
@@ -83,16 +84,29 @@ object JdbcUpsert {
           conn.setAutoCommit(false)
           val upd = conn.prepareStatement(updSql)
           val ins = conn.prepareStatement(insSql)
-          var pendingInserts = 0
+          // Keys whose INSERT is still sitting in the JDBC batch: a second
+          // row with the same key would also UPDATE 0 rows and queue a
+          // second INSERT → PK violation at executeBatch. Flushing the
+          // batch before touching such a key turns the second row into a
+          // plain UPDATE (last-write-wins within the partition).
+          val pendingKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
           rows.foreach { r =>
+            val k: Seq[Any] = keyIdx.map(r.get)
+            if (pendingKeys.contains(k)) {
+              ins.executeBatch()
+              pendingKeys.clear()
+            }
             updOrder.zipWithIndex.foreach { case (fieldIdx, pos) =>
               bindOne(upd, pos + 1, r, schema.fields(fieldIdx), fieldIdx)
             }
             if (upd.executeUpdate() == 0) {
               bind(ins, r, schema)
               ins.addBatch()
-              pendingInserts += 1
-              if (pendingInserts % batchSize == 0) ins.executeBatch()
+              pendingKeys += k
+              if (pendingKeys.size % batchSize == 0) {
+                ins.executeBatch()
+                pendingKeys.clear()
+              }
             }
           }
           ins.executeBatch()
