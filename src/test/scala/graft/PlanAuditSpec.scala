@@ -39,6 +39,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("llm_dedup_embed: no corpus×corpus join — equi-join on probe cells") {
+    val p = plan(SimOps.dedupEmbed(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join must be keyed on the quantizer cell
+    assert(p.contains("cell"), p)
+  }
+
   test("sort_limit_topk: TakeOrderedAndProject, no global sort") {
     val p = plan(SortSetOps.sortLimitTopk(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)
