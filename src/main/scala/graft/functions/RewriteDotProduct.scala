@@ -34,7 +34,11 @@ object RewriteDotProduct extends Rule[LogicalPlan] {
 
   private def isMulOfVars(body: Expression, x: NamedLambdaVariable,
       y: NamedLambdaVariable): Boolean = strip(body) match {
-    case Multiply(a, b, _) =>
+    // the Multiply itself must run in DOUBLE: a float×float multiply
+    // under an outer double cast rounds each product before accumulating,
+    // and the fused DotProduct (which multiplies in double) would differ
+    // in low-order bits
+    case m @ Multiply(a, b, _) if m.dataType == DoubleType =>
       (isVar(a, x) && isVar(b, y)) || (isVar(a, y) && isVar(b, x))
     case _ => false
   }

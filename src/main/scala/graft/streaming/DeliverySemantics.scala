@@ -26,12 +26,17 @@ object DeliverySemantics {
     */
   def upsert(target: DataFrame, batch: DataFrame, key: String,
       ord: String): DataFrame = {
-    // Tiebreak on every payload column (name-sorted) so rows sharing
-    // (key, ord) with different payloads still pick a total-ordered winner
-    // — replayed rows are usually bit-identical, but determinism must not
-    // depend on that.
-    val tiebreaks = target.columns
-      .filterNot(c => c == key || c == ord).sorted
+    // Tiebreak on every ORDERABLE payload column (name-sorted) so rows
+    // sharing (key, ord) with different payloads still pick a total-ordered
+    // winner — replayed rows are usually bit-identical, but determinism
+    // must not depend on that. Non-orderable columns (maps) are skipped:
+    // sorting on them throws, and schemas carrying them keep the plain
+    // (ord, key) ordering for those columns' ties.
+    val tiebreaks = target.schema.fields
+      .filterNot(f => f.name == key || f.name == ord)
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(_.name).sorted
       .map(col(_).desc)
     val w = Window.partitionBy(col(key))
       .orderBy((col(ord).desc +: tiebreaks.toSeq): _*)

@@ -47,6 +47,7 @@ object JdbcUpsert {
       case DoubleType => ps.setDouble(idx, row.getDouble(i))
       case StringType => ps.setString(idx, row.getString(i))
       case TimestampType => ps.setTimestamp(idx, row.getTimestamp(i))
+      case BinaryType => ps.setBytes(idx, row.getAs[Array[Byte]](i))
       case _ => ps.setObject(idx, row.get(i))
     }
 
@@ -91,7 +92,13 @@ object JdbcUpsert {
           // plain UPDATE (last-write-wins within the partition).
           val pendingKeys = scala.collection.mutable.HashSet.empty[Seq[Any]]
           rows.foreach { r =>
-            val k: Seq[Any] = keyIdx.map(r.get)
+            // Array[Byte] compares by reference — normalize binary key
+            // columns to value-equal Seqs so duplicate binary keys are
+            // caught like any other type.
+            val k: Seq[Any] = keyIdx.map(r.get(_) match {
+              case bytes: Array[Byte] => bytes.toSeq
+              case v => v
+            })
             if (pendingKeys.contains(k)) {
               ins.executeBatch()
               pendingKeys.clear()

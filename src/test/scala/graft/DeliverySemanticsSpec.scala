@@ -44,4 +44,35 @@ class DeliverySemanticsSpec extends SparkSpec {
     val out = upsert(target, batch, "k", "v").orderBy("k").collect()
     assert(out.map(_.getString(2)).toSeq === Seq("new", "keep"))
   }
+
+  // Regression for the payload tiebreak: rows sharing (key, ord) with
+  // DIFFERENT payloads must pick one deterministic winner no matter how
+  // the inputs are partitioned or which side they arrive on.
+  test("same (key, ord), different payloads: deterministic winner") {
+    import spark.implicits._
+    val target = Seq((1L, 5L, "a", 10)).toDF("k", "v", "tag", "x")
+    val batch = Seq((1L, 5L, "b", 3)).toDF("k", "v", "tag", "x")
+    // name-sorted desc tiebreak: tag desc first → "b" wins
+    val winners = Seq(
+      upsert(target, batch, "k", "v"),
+      upsert(batch, target, "k", "v"),
+      upsert(target.repartition(7), batch.repartition(3), "k", "v"),
+      upsert(target.repartition(1), batch.repartition(5), "k", "v")
+    ).map(_.collect() match {
+      case Array(r) => (r.getAs[String]("tag"), r.getAs[Int]("x"))
+    })
+    assert(winners.distinct === List(("b", 3)),
+      s"winner must be stable across partitionings/sides: $winners")
+  }
+
+  // Regression for the orderable-tiebreak filter: map payload columns are
+  // not orderable — upsert must skip them instead of throwing.
+  test("upsert accepts non-orderable (map) payload columns") {
+    import spark.implicits._
+    val target = Seq((1L, 1L, Map("a" -> 1), "t1")).toDF("k", "v", "m", "tag")
+    val batch = Seq((1L, 2L, Map("b" -> 2), "t2")).toDF("k", "v", "m", "tag")
+    val out = upsert(target, batch, "k", "v").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Map[String, Int]]("m") === Map("b" -> 2))
+  }
 }

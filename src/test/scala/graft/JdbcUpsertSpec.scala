@@ -29,6 +29,49 @@ class JdbcUpsertSpec extends SparkSpec {
       "WHEN NOT MATCHED THEN INSERT (counter, deviceid, temperature)"))
   }
 
+  // Regression for the pending-keys flush: two rows with the same key in
+  // ONE partition both take the insert path; without the flush the second
+  // INSERT queues behind the first and executeBatch raises a PK violation.
+  test("two same-key rows in one partition: no PK violation, last write wins") {
+    withStmt { st =>
+      try st.execute("DROP TABLE dupkeys") catch { case _: Throwable => () }
+      st.execute("CREATE TABLE dupkeys (k BIGINT PRIMARY KEY, v INT)")
+    }
+    import spark.implicits._
+    val df = Seq((1L, 1), (2L, 5), (1L, 2)).toDF("k", "v").coalesce(1)
+    assert(df.rdd.getNumPartitions === 1)
+    JdbcUpsert.write(df, url, "dupkeys", Seq("k"))
+    withStmt { st =>
+      val rs = st.executeQuery("SELECT v FROM dupkeys WHERE k = 1")
+      rs.next()
+      assert(rs.getInt(1) === 2, "last write within the partition must win")
+      val rs2 = st.executeQuery("SELECT count(*) FROM dupkeys")
+      rs2.next()
+      assert(rs2.getLong(1) === 2L)
+    }
+  }
+
+  // Regression for binary-key normalization: Array[Byte] compares by
+  // reference, so without normalization a duplicate binary key slips past
+  // pendingKeys and the PK violation resurfaces.
+  test("duplicate binary keys in one partition are detected") {
+    withStmt { st =>
+      try st.execute("DROP TABLE binkeys") catch { case _: Throwable => () }
+      st.execute(
+        "CREATE TABLE binkeys (k CHAR(4) FOR BIT DATA PRIMARY KEY, v INT)")
+    }
+    import spark.implicits._
+    val key = Array[Byte](1, 2, 3, 4)
+    val df = Seq((key.clone(), 1), (key.clone(), 2)).toDF("k", "v")
+      .coalesce(1)
+    JdbcUpsert.write(df, url, "binkeys", Seq("k"))
+    withStmt { st =>
+      val rs = st.executeQuery("SELECT count(*), max(v) FROM binkeys")
+      rs.next()
+      assert(rs.getLong(1) === 1L && rs.getInt(2) === 2)
+    }
+  }
+
   test("upsert twice == once, and replayed rows update not duplicate") {
     withStmt { st =>
       try st.execute("DROP TABLE sensordata") catch { case _: Throwable => () }

@@ -70,6 +70,26 @@ class RewriteDotProductSpec extends SparkSpec {
       direct.orderBy("id").collect().map(_.getDouble(1)).toSeq)
   }
 
+  // A float×float multiply under an outer double cast rounds each product
+  // to float before accumulating — the fused DotProduct multiplies in
+  // double, so rewriting would change low-order bits. The guard must keep
+  // the higher-order form.
+  test("rule does NOT fire when the multiply runs in float precision") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val src = viaParquet(Seq(
+      (1L, Seq(1.1f, 2.2f), Seq(3.3f, 4.4f))
+    ).toDF("id", "a", "b"))
+    val df = src.selectExpr("id",
+      """aggregate(zip_with(a, b, (x, y) -> CAST(x * y AS DOUBLE)),
+        | CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS dot""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      df.queryExecution.optimizedPlan.toString)
+    // and the unrewritten result keeps float-product semantics
+    val expected = (1.1f * 3.3f).toDouble + (2.2f * 4.4f).toDouble
+    assert(df.collect().head.getDouble(1) === expected)
+  }
+
   test("rule does NOT fire on a different fold (sum of maxes)") {
     GraftFunctions.register(spark)
     import spark.implicits._
