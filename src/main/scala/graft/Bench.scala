@@ -29,19 +29,30 @@ object Bench {
       try runOnce(fn, warmDir) catch { case _: Throwable => () }
     }
     // best-of-2 per query: damps GC/JIT noise so round-over-round
-    // comparisons track the plan, not the weather
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try runOnce(fn, sfDir) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    // comparisons track the plan, not the weather. A failed run records
+    // null — never its (near-zero) elapsed time, which would masquerade
+    // as a speedup in round-over-round comparisons.
+    val results: Map[String, Option[Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val times = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            runOnce(fn, sfDir)
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+          }
+        }
+        name -> (if (times.nonEmpty) Some(times.min) else None)
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.flatten.sum
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val failedJson = failed.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -77,6 +77,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash_tokens"),
+      new ExpressionInfo(classOf[MinHashTokens].getName,
+        "graft_minhash_tokens"),
+      (children: Seq[Expression]) =>
+        MinHashTokens(children.head, GraftFunctions.minhashAs,
+          GraftFunctions.minhashBs)))
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName,
+        "graft_fingerprint"),
+      (children: Seq[Expression]) => RollingFingerprint(children.head)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -38,6 +38,59 @@ object JdbcUpsert {
       .stripMargin
   }
 
+  /** ANSI column type for the DDL renderer — the portable subset every
+    * target dialect (Derby, HANA) accepts.
+    */
+  private def sqlType(dt: DataType): String = dt match {
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case FloatType => "REAL"
+    case DoubleType => "DOUBLE"
+    case BooleanType => "BOOLEAN"
+    case StringType => "VARCHAR(4000)"
+    case TimestampType => "TIMESTAMP"
+    case DateType => "DATE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other =>
+      throw new IllegalArgumentException(s"no DDL mapping for $other")
+  }
+
+  /** Render the CREATE TABLE for the HANA Client's
+    * `Table initialization: Create` (reference README.md:76–78,
+    * images/HanaConfigAtMostOnce.png): columns from the DataFrame schema,
+    * PRIMARY KEY from `keyCols` (the UPSERT identity).
+    */
+  def createTableSql(table: String, schema: StructType,
+      keyCols: Seq[String]): String = {
+    val cols = schema.fields.map { f =>
+      val notNull =
+        if (!f.nullable || keyCols.contains(f.name)) " NOT NULL" else ""
+      s"${f.name} ${sqlType(f.dataType)}$notNull"
+    }
+    s"CREATE TABLE $table (${cols.mkString(", ")}, " +
+      s"PRIMARY KEY (${keyCols.mkString(", ")}))"
+  }
+
+  /** Create `table` if it does not exist yet (probed with a zero-row
+    * SELECT — dialect-portable, no metadata-catalog case games). Returns
+    * true if this call created it.
+    */
+  def ensureTable(url: String, table: String, schema: StructType,
+      keyCols: Seq[String]): Boolean = {
+    val conn: Connection = DriverManager.getConnection(url)
+    try {
+      val exists =
+        try {
+          conn.createStatement().executeQuery(
+            s"SELECT 1 FROM $table WHERE 1=0").close()
+          true
+        } catch { case _: java.sql.SQLException => false }
+      if (!exists)
+        conn.createStatement().execute(createTableSql(table, schema, keyCols))
+      !exists
+    } finally conn.close()
+  }
+
   private def bindOne(ps: PreparedStatement, idx: Int, row: Row,
       f: StructField, i: Int): Unit =
     if (row.isNullAt(i)) ps.setObject(idx, null)
@@ -66,8 +119,9 @@ object JdbcUpsert {
     * in tests; a real endpoint in prod).
     */
   def write(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-      batchSize: Int = 500): Unit = {
+      batchSize: Int = 500, createIfAbsent: Boolean = false): Unit = {
     val schema = df.schema
+    if (createIfAbsent) ensureTable(url, table, schema, keyCols)
     val cols = schema.fieldNames.toSeq
     val nonKey = cols.filterNot(keyCols.contains)
     require(nonKey.nonEmpty, "upsert needs at least one non-key column")

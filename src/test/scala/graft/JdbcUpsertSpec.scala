@@ -29,6 +29,41 @@ class JdbcUpsertSpec extends SparkSpec {
       "WHEN NOT MATCHED THEN INSERT (counter, deviceid, temperature)"))
   }
 
+  // The HANA Client's `Table initialization: Create`: first write against
+  // a missing table creates it from the DataFrame schema with the upsert
+  // key as PRIMARY KEY; subsequent writes round-trip through the same
+  // table idempotently.
+  test("createIfAbsent: missing table is created, then upserts round-trip") {
+    withStmt { st =>
+      try st.execute("DROP TABLE autotbl") catch { case _: Throwable => () }
+    }
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "tag", "x")
+    JdbcUpsert.write(df, url, "autotbl", Seq("k"), createIfAbsent = true)
+    // replay + changed payload: same table, upsert semantics
+    val df2 = Seq((2L, "B", 9.9), (3L, "c", 3.5)).toDF("k", "tag", "x")
+    JdbcUpsert.write(df2, url, "autotbl", Seq("k"), createIfAbsent = true)
+    withStmt { st =>
+      val rs = st.executeQuery(
+        "SELECT count(*), max(k) FROM autotbl")
+      rs.next()
+      assert(rs.getLong(1) === 3L && rs.getLong(2) === 3L)
+      val rs2 = st.executeQuery("SELECT tag FROM autotbl WHERE k = 2")
+      rs2.next()
+      assert(rs2.getString(1) === "B")
+      // the PK really is enforced by the created DDL
+      val dup = try {
+        st.execute("INSERT INTO autotbl VALUES (1, 'dup', 0.0)")
+        false
+      } catch { case _: java.sql.SQLException => true }
+      assert(dup, "created table must carry the PRIMARY KEY")
+    }
+    assert(JdbcUpsert.createTableSql("t",
+      Tables.orders(spark, sf0001).select("o_orderkey", "o_orderstatus")
+        .schema, Seq("o_orderkey"))
+      .startsWith("CREATE TABLE t (o_orderkey BIGINT"))
+  }
+
   // Regression for the pending-keys flush: two rows with the same key in
   // ONE partition both take the insert path; without the flush the second
   // INSERT queues behind the first and executeBatch raises a PK violation.
