@@ -61,9 +61,81 @@ object ComposedOps extends OpModule {
       .agg(expr(revenue).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** Q8 shape: a nation's market share per order-year — a TWO-LEVEL join
+    * tree (fact spine lineitem→orders→customer plus two dimension arms:
+    * part filter, supplier→nation) with a conditional-share aggregate.
+    * All four dimension arms are explicitly broadcast (nation/region are
+    * tiny; the filtered part slice is small even at 100 TB because the
+    * filter lands before the join); the only shuffles left are the two
+    * fact-fact joins and the final year aggregate. Numerics: volume in
+    * exact DECIMAL, one double division at the very edge — both engines
+    * divide bit-identical sums.
+    */
+  def q8Shape(s: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.nation(s, dir)
+      .join(Tables.region(s, dir).filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNations = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))
+    val parts = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("cn_key"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("sn_key"))
+      .withColumn("o_year", year(col("o_orderdate")))
+      .withColumn("volume", expr(
+        """CAST(l_extendedprice AS DECIMAL(18,2)) *
+          | (1 - CAST(l_discount AS DECIMAL(18,2)))""".stripMargin))
+      .groupBy(col("o_year"))
+      .agg(
+        expr(
+          """CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+            |          THEN volume ELSE 0 END) AS DOUBLE) /
+            | CAST(SUM(volume) AS DOUBLE)""".stripMargin).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_year"))
+  }
+
+  /** Q17 shape: revenue from small-quantity orders, i.e. lineitems under
+    * 20% of their part's average quantity, per brand. The correlated
+    * scalar subquery is DECORRELATED by hand into aggregate-then-join —
+    * the per-part stats table shuffles once on partkey and joins the fact
+    * on the same key (no row explosion, no re-aggregation per outer row,
+    * the only form that scales). The threshold predicate is division-free:
+    * qty < 0.2·avg  ⟺  5·qty·cnt < sum, kept in exact DECIMAL so both
+    * engines pick the identical row set.
+    */
+  def q17Shape(s: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("agg_pk"))
+      .agg(sum(expr("CAST(l_quantity AS DECIMAL(18,2))")).as("sum_qty"),
+        count(lit(1)).as("cnt_qty"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(stats, col("l_partkey") === col("agg_pk"))
+      .filter(expr(
+        "CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty"))
+      .groupBy(col("p_brand"))
+      .agg(
+        expr("""CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+               | AS DOUBLE) / 7.0""".stripMargin).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3_shape" -> q3Shape,
-    "tpch_q5_shape" -> q5Shape
+    "tpch_q5_shape" -> q5Shape,
+    "tpch_q8_shape" -> q8Shape,
+    "tpch_q17_shape" -> q17Shape
   )
 
   val oracle: Map[String, String] = Map(
@@ -90,6 +162,42 @@ object ComposedOps extends OpModule {
         |WHERE r_name = 'ASIA'
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q8_shape" ->
+      """SELECT CAST(o_year AS INT) AS o_year,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+        |                 THEN volume ELSE 0 END) AS DOUBLE) /
+        |         CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+        |       count(*) AS n_items
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |         n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "tpch_q17_shape" ->
+      """WITH stats AS (
+        |  SELECT l_partkey AS agg_pk,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |         count(*) AS cnt_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_brand,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |         AS DOUBLE) / 7.0 AS avg_yearly,
+        |       count(*) AS n_small
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN stats ON l_partkey = agg_pk
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

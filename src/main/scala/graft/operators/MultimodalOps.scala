@@ -88,11 +88,12 @@ object MultimodalOps extends OpModule {
         MediaFeatures(r.doc_id, r.media.length, decodeStub(r.media))
       }
     }.toDF()
+      // f0/f1 are the stub's FLOAT ratios cast to double unrounded: the
+      // oracle reproduces the same float32 division, so both sides carry
+      // bit-identical values into the comparator
       .select(col("doc_id"), col("n_bytes"),
-        round(element_at(col("features"), 1).cast("double"), 6)
-          .as("f0"),
-        round(element_at(col("features"), 2).cast("double"), 6)
-          .as("f1"))
+        element_at(col("features"), 1).cast("double").as("f0"),
+        element_at(col("features"), 2).cast("double").as("f1"))
       .orderBy(col("doc_id"))
   }
 
@@ -126,6 +127,35 @@ object MultimodalOps extends OpModule {
         |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |       CAST(((doc_id % 4) * 160 + 320) * ((doc_id % 3) * 120 + 240)
         |            * 3 AS INT) AS n_pixels_decoded
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // frame_bytes is pure arithmetic over the payload length: frames start
+    // every 4·256 bytes, the last (possibly empty) frame is clipped
+    "mm_frame_sample" ->
+      """SELECT doc_id, frame_idx,
+        |       CAST(least(256, octet_length(encode(text)) - frame_idx * 256)
+        |            AS INT) AS frame_bytes
+        |FROM (
+        |  SELECT doc_id, text,
+        |         CAST(unnest(generate_series(0,
+        |           octet_length(encode(text)) // 256, 4)) AS INT)
+        |           AS frame_idx
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the stub decoder is a 16-bin high-nibble byte histogram normalized
+    // in FLOAT32; the text is pure ASCII (byte == codepoint), so the same
+    // float division is reproducible in SQL — CAST AS FLOAT keeps the
+    // arithmetic in float32 and the resulting doubles bit-identical
+    "mm_features" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       CAST(CAST(len(list_filter(range(1, length(text) + 1),
+        |              i -> ascii(text[i]) // 16 = 0)) AS FLOAT) /
+        |            CAST(greatest(octet_length(encode(text)), 1) AS FLOAT)
+        |            AS DOUBLE) AS f0,
+        |       CAST(CAST(len(list_filter(range(1, length(text) + 1),
+        |              i -> ascii(text[i]) // 16 = 1)) AS FLOAT) /
+        |            CAST(greatest(octet_length(encode(text)), 1) AS FLOAT)
+        |            AS DOUBLE) AS f1
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -140,7 +140,36 @@ object ScalarFnOps extends OpModule {
         array_contains(col("toks"), "spark").as("has_spark"))
       .orderBy(col("doc_id"))
 
+  /** Map-type functions: parse the JSON props into a map, mint a second
+    * map from delimited text (str_to_map), merge them (map_concat), then
+    * key/value extraction. Maps serialize for the comparator as sorted
+    * key and value strings (maps themselves are unordered, so a sorted
+    * scalar projection is the only stable cross-engine form).
+    */
+  def fnMap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val sortedKeys = array_sort(map_keys(col("m")))
+    Tables.events(s, dir)
+      .withColumn("pm",
+        from_json(col("props"), MapType(StringType, StringType)))
+      .withColumn("kv", str_to_map(
+        concat(lit("type:"), col("event_type"), lit(",uid:"),
+          col("user_id")),
+        lit(","), lit(":")))
+      .withColumn("m", map_concat(col("pm"), col("kv")))
+      .select(
+        col("event_id"),
+        size(col("m")).as("n_entries"),
+        array_join(sortedKeys, ",").as("keys_sorted"),
+        array_join(transform(sortedKeys, k => element_at(col("m"), k)), ",")
+          .as("vals_by_key"),
+        element_at(col("kv"), lit("uid")).cast("int").as("uid_val"),
+        element_at(col("pm"), lit("k")).cast("int").as("k_val"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_map" -> fnMap,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_math" -> fnMath,
@@ -152,6 +181,20 @@ object ScalarFnOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_map" ->
+      """SELECT event_id,
+        |       CAST(len(json_keys(props)) + 2 AS INT) AS n_entries,
+        |       array_to_string(list_sort(json_keys(props) ||
+        |         ['type', 'uid']), ',') AS keys_sorted,
+        |       array_to_string(list_transform(
+        |         list_sort(json_keys(props) || ['type', 'uid']),
+        |         k -> CASE WHEN k = 'type' THEN event_type
+        |                   WHEN k = 'uid' THEN CAST(user_id AS VARCHAR)
+        |                   ELSE json_extract_string(props, '$.' || k) END),
+        |         ',') AS vals_by_key,
+        |       CAST(user_id AS INT) AS uid_val,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_string" ->
       """WITH t AS (
         |  SELECT event_id,

@@ -47,6 +47,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cell"), p)
   }
 
+  test("tpch_q8: dimension arms broadcast, no cartesian in the join tree") {
+    val p = plan(ComposedOps.q8Shape(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch_q17: decorrelated stats join keeps partial aggregation") {
+    val p = plan(ComposedOps.q17Shape(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // per-part stats are a partial+final HashAggregate, not a re-agg per row
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
   test("sort_limit_topk: TakeOrderedAndProject, no global sort") {
     val p = plan(SortSetOps.sortLimitTopk(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)
