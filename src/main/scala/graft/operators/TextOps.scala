@@ -114,7 +114,10 @@ object TextOps extends OpModule {
     */
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val n = docs.count() // corpus size: one cheap metadata-count job
+    // corpus size as a broadcast one-row aggregate (a scalar subquery,
+    // physically): keeps the whole query ONE job instead of a separate
+    // driver-side count action
+    val nRow = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
@@ -123,8 +126,9 @@ object TextOps extends OpModule {
     val df = terms.select(col("doc_id"), col("token")).distinct()
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nRow))
       .withColumn("tfidf",
-        col("tf") * log(lit(n.toDouble) / col("df")))
+        col("tf") * log(col("n_docs") / col("df")))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         col("tfidf"))
       .orderBy(col("doc_id"), col("token"))
