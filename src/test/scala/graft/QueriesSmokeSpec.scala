@@ -11,11 +11,27 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracle entries without a query: $missing")
   }
 
+  // Queries whose semantics are deliberately non-equi over a BROADCAST
+  // side (tiny build: 20 query vectors, 32 quantizer seeds, a 1-row
+  // scalar aggregate, or an explicit small cross join) — a
+  // BroadcastNestedLoopJoin there is linear in the corpus, by design.
+  // Everything else must plan equi-joins; a CartesianProduct anywhere,
+  // or a BNLJ outside this list, is a scale bug.
+  private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
+    "llm_ann_ivf", "llm_cluster_assign", "llm_tfidf")
+
   SparkEntry.queries.foreach { case (name, fn) =>
-    test(s"$name executes at sf0.001") {
+    test(s"$name executes at sf0.001; plan is cartesian-free") {
       val df = fn(spark, sf0001)
       assert(df.columns.nonEmpty)
       assert(df.count() >= 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — would not survive scale-up")
+      if (!broadcastNonEqui(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin outside the sanctioned " +
+            "broadcast-non-equi set")
     }
   }
 
