@@ -148,7 +148,6 @@ object ScalarFnOps extends OpModule {
     */
   def fnMap(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{MapType, StringType}
-    val sortedKeys = array_sort(map_keys(col("m")))
     Tables.events(s, dir)
       .withColumn("pm",
         from_json(col("props"), MapType(StringType, StringType)))
@@ -157,11 +156,13 @@ object ScalarFnOps extends OpModule {
           col("user_id")),
         lit(","), lit(":")))
       .withColumn("m", map_concat(col("pm"), col("kv")))
+      // sorted key array materialized once, referenced twice below
+      .withColumn("sk", array_sort(map_keys(col("m"))))
       .select(
         col("event_id"),
         size(col("m")).as("n_entries"),
-        array_join(sortedKeys, ",").as("keys_sorted"),
-        array_join(transform(sortedKeys, k => element_at(col("m"), k)), ",")
+        array_join(col("sk"), ",").as("keys_sorted"),
+        array_join(transform(col("sk"), k => element_at(col("m"), k)), ",")
           .as("vals_by_key"),
         element_at(col("kv"), lit("uid")).cast("int").as("uid_val"),
         element_at(col("pm"), lit("k")).cast("int").as("k_val"))

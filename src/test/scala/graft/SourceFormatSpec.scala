@@ -42,6 +42,21 @@ class SourceFormatSpec extends SparkSpec {
     assert(ordersSlice.exceptAll(back).isEmpty)
   }
 
+  test("ORC round trip is lossless and prunes columns at the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    ordersSlice.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() === ordersSlice.count())
+    assert(back.exceptAll(ordersSlice).isEmpty)
+    assert(ordersSlice.exceptAll(back).isEmpty)
+    // projection pruning reaches the ORC reader like parquet
+    val slim = back.select("o_orderkey").filter(col("o_orderkey") < 100)
+    slim.collect()
+    val plan = slim.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint>"), plan)
+    assert(plan.contains("PushedFilters"), plan)
+  }
+
   test("malformed CSV rows surface as nulls (PERMISSIVE), not query death") {
     val dir = Files.createTempDirectory("graft_badcsv").toString
     val f = new java.io.PrintWriter(s"$dir/data.csv")
