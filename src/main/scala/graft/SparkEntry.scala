@@ -9,7 +9,8 @@ object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     IngestOps, RelationalOps, JoinOps, AggOps, WindowOps, SortSetOps,
     ScalarFnOps, StreamTwinOps, UdfOps, TextOps, DedupOps, SimOps,
-    MultimodalOps, ComposedOps, SubqueryOps, ReshapeOps, DataQualityOps)
+    MultimodalOps, ComposedOps, SubqueryOps, ReshapeOps, DataQualityOps,
+    PipelineOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

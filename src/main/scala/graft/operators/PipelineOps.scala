@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The training-corpus cleaning pipeline as ONE composed query — the
+  * end-to-end use case the individual LLM-pipeline operators exist for
+  * (builder prompt): quality gate → exact-dedup canonicalization →
+  * near-dup removal → language filter, producing the surviving corpus.
+  *
+  * Composition is by doc_id joins over the already-verified component
+  * queries (quality/lang are narrow column math; exact-dup keepers a hash
+  * aggregate; near-dup losers the LSH pipeline's pair output). Each stage
+  * is the scale-correct plan on its own, and the joins all run on the
+  * same key. At 100 TB the stages would share one scan via a persisted
+  * staging table; here each is left independent so Catalyst's per-stage
+  * plans stay the asserted ones.
+  */
+object PipelineOps extends OpModule {
+
+  /** Survivors of the full cleaning pipeline, with their quality signals.
+    * Thresholds (quality ≥ 0.3, predicted lang en/mixed) are calibrated
+    * to this corpus: they keep roughly the upper half and drop the
+    * stopword-free noise tail.
+    */
+  def corpusClean(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val lang = TextOps.langId(s, dir)
+      .select(col("doc_id"), col("predicted_lang"))
+    val exactKeepers = DedupOps.dedupExact(s, dir)
+      .select(col("keeper_id").as("doc_id"))
+    val nearDupLosers = DedupOps.dedupNear(s, dir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    quality
+      .join(lang, "doc_id")
+      .join(exactKeepers, "doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .filter(col("quality") >= 0.3 &&
+        col("predicted_lang").isin("en", "mixed"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_corpus_clean" -> corpusClean
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_corpus_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |           AS uniq_ratio,
+        |         CAST(len(list_filter(toks,
+        |              x -> list_contains(['the', 'a', 'of', 'and', 'to',
+        |                                  'in'], x))) AS DOUBLE)
+        |           / len(toks) AS stop_ratio,
+        |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+        |           AS avg_tok_len
+        |  FROM t),
+        |scored AS (
+        |  SELECT doc_id, n_tokens,
+        |         uniq_ratio * 0.5 + stop_ratio * 0.3 +
+        |           least(avg_tok_len / 10.0, 1.0) * 0.2 AS quality,
+        |         CASE WHEN stop_ratio >= 0.15 THEN 'en'
+        |              WHEN stop_ratio >= 0.05 THEN 'mixed'
+        |              ELSE 'other' END AS predicted_lang
+        |  FROM q),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
+        |                toks[i+2] for i in range(1, greatest(len(toks)-1, 1))]))
+        |           AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT doc_b AS doc_id
+        |  FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9)
+        |SELECT s.doc_id, n_tokens, quality, predicted_lang
+        |FROM scored s
+        |JOIN keepers k ON s.doc_id = k.doc_id
+        |WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+        |  AND quality >= 0.3
+        |  AND predicted_lang IN ('en', 'mixed')
+        |ORDER BY s.doc_id""".stripMargin
+  )
+}
