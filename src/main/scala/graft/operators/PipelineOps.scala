@@ -24,16 +24,15 @@ object PipelineOps extends OpModule {
     * stopword-free noise tail.
     */
   def corpusClean(s: SparkSession, dir: String): DataFrame = {
-    val quality = TextOps.qualityScore(s, dir)
-      .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val lang = TextOps.langId(s, dir)
-      .select(col("doc_id"), col("predicted_lang"))
+    // quality + language signals come from ONE narrow documents pass
+    val scored = TextOps.signals(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("predicted_lang"))
     val exactKeepers = DedupOps.dedupExact(s, dir)
       .select(col("keeper_id").as("doc_id"))
     val nearDupLosers = DedupOps.dedupNear(s, dir)
       .select(col("doc_b").as("doc_id")).distinct()
-    quality
-      .join(lang, "doc_id")
+    scored
       .join(exactKeepers, "doc_id")
       .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .filter(col("quality") >= 0.3 &&

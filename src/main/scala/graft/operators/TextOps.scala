@@ -36,10 +36,11 @@ object TextOps extends OpModule {
         col("sum_tokens").cast("double") / col("n_docs"))
       .orderBy(col("lang"))
 
-  /** Per-document quality signals: token count, type/token ratio, stopword
-    * ratio, average token length, and a fixed linear quality score.
+  /** One narrow pass computing every per-document text signal the
+    * quality/language queries (and the corpus-clean pipeline) consume —
+    * a single scan feeds them all.
     */
-  def qualityScore(s: SparkSession, dir: String): DataFrame =
+  def signals(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("toks", toks)
       .withColumn("n_tokens", size(col("toks")))
@@ -54,6 +55,16 @@ object TextOps extends OpModule {
       .withColumn("quality",
         col("uniq_ratio") * 0.5 + col("stop_ratio") * 0.3 +
           least(col("avg_tok_len") / 10.0, lit(1.0)) * 0.2)
+      .withColumn("predicted_lang",
+        when(col("stop_ratio") >= 0.15, "en")
+          .when(col("stop_ratio") >= 0.05, "mixed")
+          .otherwise("other"))
+
+  /** Per-document quality signals: token count, type/token ratio, stopword
+    * ratio, average token length, and a fixed linear quality score.
+    */
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    signals(s, dir)
       .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
         col("stop_ratio"), col("avg_tok_len"), col("quality"))
       .orderBy(col("doc_id"))
@@ -77,15 +88,7 @@ object TextOps extends OpModule {
     * Output includes the labeled lang for downstream precision analysis.
     */
   def langId(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .withColumn("toks", toks)
-      .withColumn("stop_ratio",
-        size(filter(col("toks"), t => array_contains(stopArr, t)))
-          .cast("double") / size(col("toks")))
-      .withColumn("predicted_lang",
-        when(col("stop_ratio") >= 0.15, "en")
-          .when(col("stop_ratio") >= 0.05, "mixed")
-          .otherwise("other"))
+    signals(s, dir)
       .select(col("doc_id"), col("lang"), col("stop_ratio"),
         col("predicted_lang"))
       .orderBy(col("doc_id"))
