@@ -70,6 +70,50 @@ object SimOps extends OpModule {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Driver-built coarse quantizer: the first `n` embeddings,
+    * unit-normalized with the same strict left-to-right double sum
+    * `graft_dot` uses, so scores computed against the literal are
+    * bit-identical to scores against a Spark-computed `seed_unit` column.
+    * It is a tiny model artifact (n×64 doubles), materialized on the driver
+    * in one n-row job and shipped as a `typedlit` — the way IVF coarse
+    * quantizers travel in Faiss/ScaNN — so every assignment pass is a pure
+    * narrow projection: no join, no shuffle, no window.
+    *
+    * Fails loudly on a degenerate fixture (missing seed ids or a zero/NaN
+    * seed norm) instead of silently returning NaN scores or an empty
+    * result.
+    */
+  private def driverSeeds(s: SparkSession, dir: String,
+      n: Int): Seq[(Long, Seq[Double])] = {
+    import s.implicits._
+    val raw = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < n)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+      .map { case (id, v) =>
+        var ss = 0.0
+        v.foreach(x => ss += x.toDouble * x.toDouble)
+        (id, v, math.sqrt(ss))
+      }
+    require(raw.size == n,
+      s"coarse quantizer needs the first $n embeddings, found ${raw.size}")
+    raw.foreach { case (id, _, norm) =>
+      require(norm > 0 && java.lang.Double.isFinite(norm),
+        s"seed vector $id has degenerate norm $norm — cannot quantize")
+    }
+    raw.map { case (id, v, norm) => (id, v.map(_.toDouble / norm)) }
+  }
+
+  /** Rank the broadcast quantizer against the row's `embedding` inside one
+    * array expression: score every seed in place and sort (score desc, seed
+    * id asc — array_sort on (neg_score, sid) structs). Narrow: the argmax /
+    * top-p cells come out of a projection, never a join + window.
+    */
+  private def rankedSeeds(seedsCol: Column): Column =
+    array_sort(transform(seedsCol, sd =>
+      struct((-dot(col("embedding"), sd.getField("_2"))).as("neg"),
+        sd.getField("_1").as("sid"))))
+
   /** Multi-probe quantizer knobs for [[dedupEmbed]]: 32 coarse cells, each
     * vector assigned to its 7 nearest cells; a pair is a candidate iff the
     * two probe lists intersect. Calibrated on the synthetic fixture (iid
@@ -100,35 +144,13 @@ object SimOps extends OpModule {
     */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    import s.implicits._
     val emb = withNorm(Tables.embeddings(s, dir))
-    // Coarse quantizer = first `dedupCells` vectors, unit-normalized with
-    // the same strict left-to-right double sum graft_dot uses. It is a tiny
-    // model artifact (32×64 doubles), materialized on the driver in one
-    // 32-row job and shipped as a literal — the way IVF coarse quantizers
-    // travel in Faiss/ScaNN — so the assignment pass below is a pure narrow
-    // projection: no join, no shuffle, no window.
-    val seeds: Seq[(Int, Seq[Double])] = Tables.embeddings(s, dir)
-      .filter(col("vec_id") < dedupCells)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Seq[Float])].collect().toSeq.sortBy(_._1)
-      .map { case (id, v) =>
-        var ss = 0.0
-        v.foreach(x => ss += x.toDouble * x.toDouble)
-        val n = math.sqrt(ss)
-        (id, v.map(_.toDouble / n))
-      }
-    val seedsCol = typedlit(seeds)
-    // narrow multi-probe assignment: score every seed in-place, keep the
-    // top `dedupProbes` cells (score desc, seed id asc — array_sort on
-    // (neg_score, sid) structs), explode to (cell, vec)
+    val seedsCol = typedlit(driverSeeds(s, dir, dedupCells))
+    // narrow multi-probe assignment: keep the top `dedupProbes` cells of
+    // the ranked quantizer, explode to (cell, vec)
     val assigned = emb
       .withColumn("probes",
-        transform(
-          slice(array_sort(transform(seedsCol, sd =>
-            struct((-dot(col("embedding"), sd.getField("_2")))
-              .as("neg"), sd.getField("_1").as("sid")))),
-            1, dedupProbes),
+        transform(slice(rankedSeeds(seedsCol), 1, dedupProbes),
           p => p.getField("sid")))
       .select(explode(col("probes")).as("cell"), col("vec_id"),
         col("embedding"), col("norm"))
@@ -154,23 +176,26 @@ object SimOps extends OpModule {
     * label with no geometry (intra-label mean cosine ≈ 0), so probing it
     * cannot beat random sampling. No SQL oracle (float centroid sums are
     * shuffle-order-dependent); recall vs brute force is unit-tested.
+    *
+    * Plan shape: the corpus-wide assignment is a narrow argmax over the
+    * broadcast quantizer literal ([[driverSeeds]]) — a map-only stage, no
+    * join/shuffle/window touches the corpus. The only window left ranks
+    * the 10 probe cells per query (a ~200-row broadcast-side frame), and
+    * the final per-query top-5 runs through the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregator so the shuffle carries 5
+    * rows per (query × partition), not the scored candidate set.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScore
     graft.functions.GraftFunctions.register(s)
     val emb = withNorm(Tables.embeddings(s, dir))
-    val seeds = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("seed_id"),
-        transform(col("embedding"), x => x.cast("double") / col("norm"))
-          .as("seed_unit"))
-    // one assignment pass: each vector → nearest seed by cosine
-    val assignW = Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("seed_id"))
-    val assigned = emb.join(broadcast(seeds))
-      .withColumn("score", dot(col("embedding"), col("seed_unit")))
-      .withColumn("a_rnk", row_number().over(assignW))
-      .filter(col("a_rnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("norm"),
-        col("seed_id").as("cell"))
+    // one assignment pass: each vector → nearest seed by cosine, as a
+    // narrow in-expression argmax (score desc, seed id asc tiebreak)
+    val assigned = emb
+      .withColumn("cell",
+        element_at(rankedSeeds(typedlit(driverSeeds(s, dir, 10))), 1)
+          .getField("sid"))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
     val centroids = assigned
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
@@ -187,16 +212,17 @@ object SimOps extends OpModule {
       .withColumn("c_rnk", row_number().over(probeW))
       .filter(col("c_rnk") <= 4)
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("cell"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
+    val topk = udaf(TopKByScore.TopKAgg(5),
+      Encoders.product[TopKByScore.ScoredId])
     probed.join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cosine",
         dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("q_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        col("cosine"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -204,21 +230,21 @@ object SimOps extends OpModule {
     * the 10 unit-normalized seed centroids (the IVF quantizer's assignment
     * step, exposed). `affinity` = dot(v, seed_unit) = cos·‖v‖; argmax ties
     * broken by seed id.
+    *
+    * Narrow end-to-end: the quantizer ships as a [[driverSeeds]] literal
+    * and the argmax happens inside one array expression — the only shuffle
+    * in the plan is the final presentation sort. (The double negation in
+    * `-best.neg` is an exact sign-bit flip, so `affinity` is bit-identical
+    * to the direct dot product the oracle computes.)
     */
   def clusterAssign(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val emb = withNorm(Tables.embeddings(s, dir))
-    val seeds = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("seed_id"),
-        transform(col("embedding"), x => x.cast("double") / col("norm"))
-          .as("seed_unit"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("affinity").desc, col("seed_id"))
-    emb.join(broadcast(seeds))
-      .withColumn("affinity", dot(col("embedding"), col("seed_unit")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("seed_id").as("cell"), col("affinity"))
+    val best =
+      element_at(rankedSeeds(typedlit(driverSeeds(s, dir, 10))), 1)
+    withNorm(Tables.embeddings(s, dir))
+      .withColumn("best", best)
+      .select(col("vec_id"), col("best.sid").as("cell"),
+        (-col("best.neg")).as("affinity"))
       .orderBy(col("vec_id"))
   }
 

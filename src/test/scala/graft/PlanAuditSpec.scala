@@ -11,7 +11,9 @@ class PlanAuditSpec extends SparkSpec {
 
   private def plan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // finalize AQE so the executed plan is the real one
-    df.queryExecution.executedPlan.toString
+    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" section;
+    // audit only the final (executed) operators.
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
   }
 
   test("filter_pushdown: predicates reach the parquet scan; schema pruned") {
@@ -45,6 +47,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the candidate join must be keyed on the quantizer cell
     assert(p.contains("cell"), p)
+  }
+
+  test("llm_cluster_assign: narrow argmax — no join, no window, no hash shuffle") {
+    val p = plan(SimOps.clusterAssign(spark, sf0001))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning — the corpus is never hash-shuffled for the assignment
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("llm_ann_ivf: corpus assignment windowless; top-k via bounded-heap agg") {
+    val p = plan(SimOps.annIvf(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the broadcast-seeds + row_number assignment is gone: the corpus is
+    // never shuffled by vec_id, and the only Window operator left ranks
+    // the 10 probe cells per query over a ~200-row broadcast-side frame
+    // (whose unconditioned 20×10 BNLJ is the sanctioned tiny-side join)
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    // final top-5 is the partial-aggregating TopKByScore, not a sort
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expect partial + final TopKByScore aggregation\n" + p)
   }
 
   test("tpch_q8: dimension arms broadcast, no cartesian in the join tree") {
