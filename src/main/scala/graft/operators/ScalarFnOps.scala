@@ -145,6 +145,12 @@ object ScalarFnOps extends OpModule {
     * key/value extraction. Maps serialize for the comparator as sorted
     * key and value strings (maps themselves are unordered, so a sorted
     * scalar projection is the only stable cross-engine form).
+    *
+    * The minted keys are excluded from `pm` before the concat (kv wins on
+    * collision): under the default `spark.sql.mapKeyDedupPolicy=EXCEPTION`
+    * a props map that ever grew a 'type'/'uid' key would otherwise throw
+    * at runtime — and the oracle applies the same filter, so neither side
+    * leans on the fixture staying collision-free.
     */
   def fnMap(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{MapType, StringType}
@@ -155,7 +161,8 @@ object ScalarFnOps extends OpModule {
         concat(lit("type:"), col("event_type"), lit(",uid:"),
           col("user_id")),
         lit(","), lit(":")))
-      .withColumn("m", map_concat(col("pm"), col("kv")))
+      .withColumn("m", map_concat(
+        map_filter(col("pm"), (k, _) => !k.isin("type", "uid")), col("kv")))
       // sorted key array materialized once, referenced twice below
       .withColumn("sk", array_sort(map_keys(col("m"))))
       .select(
@@ -183,19 +190,23 @@ object ScalarFnOps extends OpModule {
 
   val oracle: Map[String, String] = Map(
     "fn_map" ->
-      """SELECT event_id,
-        |       CAST(len(json_keys(props)) + 2 AS INT) AS n_entries,
-        |       array_to_string(list_sort(json_keys(props) ||
+      """WITH f AS (
+        |  SELECT *, list_filter(json_keys(props),
+        |              k -> k NOT IN ('type', 'uid')) AS pk
+        |  FROM events)
+        |SELECT event_id,
+        |       CAST(len(pk) + 2 AS INT) AS n_entries,
+        |       array_to_string(list_sort(pk ||
         |         ['type', 'uid']), ',') AS keys_sorted,
         |       array_to_string(list_transform(
-        |         list_sort(json_keys(props) || ['type', 'uid']),
+        |         list_sort(pk || ['type', 'uid']),
         |         k -> CASE WHEN k = 'type' THEN event_type
         |                   WHEN k = 'uid' THEN CAST(user_id AS VARCHAR)
         |                   ELSE json_extract_string(props, '$.' || k) END),
         |         ',') AS vals_by_key,
         |       CAST(user_id AS INT) AS uid_val,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
-        |FROM events ORDER BY event_id""".stripMargin,
+        |FROM f ORDER BY event_id""".stripMargin,
     "fn_string" ->
       """WITH t AS (
         |  SELECT event_id,

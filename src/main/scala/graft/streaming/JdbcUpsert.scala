@@ -71,23 +71,53 @@ object JdbcUpsert {
       s"PRIMARY KEY (${keyCols.mkString(", ")}))"
   }
 
+  /** SQLStates that mean "this table does not exist": Derby 42X05, the
+    * ODBC/MySQL/HANA family 42S02, Postgres 42P01, SQL Server S0002 — plus
+    * a message fallback for dialects that bury the state. Everything else
+    * (connection loss, permissions, syntax) is NOT "missing" and must
+    * propagate instead of triggering a doomed CREATE.
+    */
+  private def isMissingTable(e: java.sql.SQLException): Boolean = {
+    val state = Option(e.getSQLState).getOrElse("")
+    Set("42X05", "42S02", "42P01", "S0002").contains(state) || {
+      val msg = Option(e.getMessage).getOrElse("").toLowerCase
+      msg.contains("not exist") || msg.contains("not found")
+    }
+  }
+
   /** Create `table` if it does not exist yet (probed with a zero-row
     * SELECT — dialect-portable, no metadata-catalog case games). Returns
     * true if this call created it.
+    *
+    * Only table-not-found SQLStates count as "missing" ([[isMissingTable]]);
+    * a transient connection/permission error propagates rather than
+    * triggering a CREATE that then fails confusingly. The check-then-create
+    * race (two concurrent writers both probing "missing") resolves by
+    * re-probing after a failed CREATE: the loser proceeds once the table is
+    * visible instead of surfacing the winner's already-exists error.
     */
   def ensureTable(url: String, table: String, schema: StructType,
       keyCols: Seq[String]): Boolean = {
     val conn: Connection = DriverManager.getConnection(url)
     try {
-      val exists =
+      def exists(): Boolean =
         try {
           conn.createStatement().executeQuery(
             s"SELECT 1 FROM $table WHERE 1=0").close()
           true
-        } catch { case _: java.sql.SQLException => false }
-      if (!exists)
-        conn.createStatement().execute(createTableSql(table, schema, keyCols))
-      !exists
+        } catch {
+          case e: java.sql.SQLException if isMissingTable(e) => false
+        }
+      if (exists()) false
+      else
+        try {
+          conn.createStatement().execute(createTableSql(table, schema, keyCols))
+          true
+        } catch {
+          case e: java.sql.SQLException =>
+            if (exists()) false // lost the create race — table is there now
+            else throw e
+        }
     } finally conn.close()
   }
 

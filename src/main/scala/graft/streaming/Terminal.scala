@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -15,8 +15,8 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *  - display side → the `console` sink (per-micro-batch rows printed to
   *    the driver's stdout, the same operational role);
   *  - input side → a line stream over a spool directory: [[inject]] is one
-  *    "keystroke" (a one-line file append — atomic at file granularity, so
-  *    a reader never sees a torn line), [[input]] the stream delivering the
+  *    "keystroke" (a one-line file published via write-then-atomic-rename,
+  *    so a reader never sees a torn line), [[input]] the stream delivering the
   *    typed lines downstream, where a fault injector or control flow can
   *    react to them. A spool directory rather than a socket keeps the
   *    harness hermetic and replayable (the socket source is not
@@ -38,13 +38,22 @@ object Terminal {
     spark.readStream.option("maxFilesPerTrigger", "1").text(spoolDir)
   }
 
-  /** Type one line into the terminal: append a single-line file to the
-    * spool. File creation is atomic, so the stream sees whole lines only.
+  /** Type one line into the terminal: add a single-line file to the spool.
+    *
+    * Written to a dot-prefixed temp file first (Spark's file source ignores
+    * hidden files), then ATOMIC_MOVE-renamed into its final name in the
+    * same directory — a directory-local rename is atomic on every POSIX
+    * filesystem, so the file only becomes visible fully written. A direct
+    * `Files.write(CREATE_NEW)` would expose the path before its bytes
+    * land, and the file source never re-reads a file it already listed —
+    * the injected line (e.g. the kill signal) would be silently lost.
     */
   def inject(spoolDir: String, line: String): Unit = {
     Files.createDirectories(Paths.get(spoolDir))
-    val name = s"line-${java.util.UUID.randomUUID()}.txt"
-    Files.write(Paths.get(spoolDir, name), (line + "\n").getBytes("UTF-8"),
-      StandardOpenOption.CREATE_NEW)
+    val id = java.util.UUID.randomUUID()
+    val tmp = Paths.get(spoolDir, s".line-$id.tmp")
+    Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(spoolDir, s"line-$id.txt"),
+      StandardCopyOption.ATOMIC_MOVE)
   }
 }

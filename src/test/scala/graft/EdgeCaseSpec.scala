@@ -37,6 +37,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("prev")))
   }
 
+  // Regression for fn_map's collision handling: a props map that carries a
+  // minted key ('type'/'uid') must not trip mapKeyDedupPolicy=EXCEPTION —
+  // the pipeline filters pm before the concat, kv wins.
+  test("fn_map merge pattern survives a props/type key collision") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val df = Seq(("""{"type":"json-says","k":"7"}""", "click", 42))
+      .toDF("props", "event_type", "user_id")
+      .withColumn("pm", from_json(col("props"), MapType(StringType, StringType)))
+      .withColumn("kv", str_to_map(
+        concat(lit("type:"), col("event_type"), lit(",uid:"), col("user_id")),
+        lit(","), lit(":")))
+      .withColumn("m", map_concat(
+        map_filter(col("pm"), (k, _) => !k.isin("type", "uid")), col("kv")))
+    val r = df.select(
+      size(col("m")).as("n"),
+      element_at(col("m"), lit("type")).as("t"),
+      element_at(col("m"), lit("k")).as("k")).collect().head
+    assert(r.getAs[Int]("n") === 3) // k, type, uid — no duplicate key throw
+    assert(r.getAs[String]("t") === "click", "kv must win the collision")
+    assert(r.getAs[String]("k") === "7")
+  }
+
   test("dedupNear on a tiny corpus (3 docs) does not explode or NPE") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString

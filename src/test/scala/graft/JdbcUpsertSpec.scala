@@ -107,6 +107,46 @@ class JdbcUpsertSpec extends SparkSpec {
     }
   }
 
+  // Regression for the ensureTable race: two writers both probe "missing";
+  // the loser's CREATE fails already-exists, re-probes, and proceeds —
+  // exactly one caller reports having created the table, nobody throws.
+  test("ensureTable: concurrent callers resolve the create race cleanly") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("v", IntegerType)))
+    (1 to 5).foreach { round =>
+      val tbl = s"racetbl$round"
+      withStmt { st =>
+        try st.execute(s"DROP TABLE $tbl") catch { case _: Throwable => () }
+      }
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val attempts = (1 to 4).map { _ =>
+        Future { gate.await(); JdbcUpsert.ensureTable(url, tbl, schema, Seq("k")) }
+      }
+      gate.countDown()
+      val created = Await.result(Future.sequence(attempts), 30.seconds)
+      assert(created.count(identity) === 1,
+        s"exactly one racer must create, got $created")
+    }
+  }
+
+  // Regression for the probe's SQLState scoping: a probe failure that is
+  // NOT table-not-found (here: a syntax error from an invalid name) must
+  // propagate instead of being read as "missing" and triggering a CREATE.
+  test("ensureTable: non-missing probe errors propagate, no CREATE attempted") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("v", IntegerType)))
+    val e = intercept[java.sql.SQLException] {
+      JdbcUpsert.ensureTable(url, "WHERE", schema, Seq("k"))
+    }
+    assert(e.getSQLState != null && e.getSQLState.startsWith("42"),
+      s"expected the raw syntax error, got ${e.getSQLState}: ${e.getMessage}")
+  }
+
   test("upsert twice == once, and replayed rows update not duplicate") {
     withStmt { st =>
       try st.execute("DROP TABLE sensordata") catch { case _: Throwable => () }

@@ -28,6 +28,24 @@ class TerminalSpec extends SparkSpec {
     assert(q.exception.isEmpty)
   }
 
+  // Regression for the publish protocol: inject must leave exactly the
+  // visible, fully-written line files — no temp residue that a later
+  // directory listing would pick up, and no partially-written visible file
+  // (the write lands in a hidden .tmp the file source ignores, then an
+  // atomic same-directory rename makes it visible).
+  test("inject publishes via atomic rename: whole files, no temp residue") {
+    val spool = Files.createTempDirectory("graft_term_atomic").toString
+    (1 to 20).foreach(i => Terminal.inject(spool, s"line $i"))
+    val all = new java.io.File(spool).listFiles().toSeq
+    val visible = all.filterNot(_.getName.startsWith("."))
+    assert(all.size === visible.size, "no hidden temp files may remain")
+    assert(visible.size === 20)
+    val contents = visible.map(f =>
+      new String(Files.readAllBytes(f.toPath), "UTF-8")).sorted
+    assert(contents === (1 to 20).map(i => s"line $i\n").sorted,
+      "every visible file must carry its complete line")
+  }
+
   test("input port: injected lines arrive downstream as the signal stream") {
     val base = Files.createTempDirectory("graft_term_in").toString
     val spool = s"$base/spool"
