@@ -72,6 +72,14 @@ class PlanAuditSpec extends SparkSpec {
       "expect partial + final TopKByScore aggregation\n" + p)
   }
 
+  test("llm_dedup_near: LSH band self-join reuses the banded-corpus exchange") {
+    // both sides of the candidate self-join hash the same banded subtree on
+    // the same keys — Spark must compute that exchange once and replay it
+    // (ReusedExchange), not re-run the corpus pass per side
+    val p = plan(DedupOps.dedupNear(spark, sf0001))
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("tpch_q8: dimension arms broadcast, no cartesian in the join tree") {
     val p = plan(ComposedOps.q8Shape(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
