@@ -32,11 +32,14 @@ object DedupOps extends OpModule {
       |              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
       |  ELSE array() END)""".stripMargin)
 
-  private def withShingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", shingleCol)
       .select(col("doc_id"), col("shingles"))
+
+  private def withShingles(s: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(s, dir))
 
   /** LSH banding over the 60-permutation minhash sketch (params fixed-seed
     * in graft.functions.GraftFunctions): 10 bands × 6 rows.
@@ -49,8 +52,7 @@ object DedupOps extends OpModule {
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("digest",
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("digest", digestCol)
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_copies"))
@@ -78,9 +80,13 @@ object DedupOps extends OpModule {
   /** LSH candidate pairs with their exact shingle-set statistics:
     * (doc_a, doc_b, inter, uni, size_a, size_b).
     */
-  private def pairStats(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val banded = Tables.documents(s, dir)
+  /** Per-doc LSH banding: one corpus pass computing only the fused
+    * 60-long minhash sketch, exploded to (doc_id, band_idx, band_key).
+    * This is the "sketch store" shape — what an incremental pipeline
+    * persists between runs.
+    */
+  private def banded(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("mh", expr("graft_minhash_tokens(toks)"))
@@ -91,8 +97,16 @@ object DedupOps extends OpModule {
            |                                       x -> cast(x AS string)))
            |                AS band_key))""".stripMargin)))
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
-    val cands = banded.as("x")
-      .join(banded.as("y"),
+
+  /** Normalized-text digest — the exact-dedup identity ([[dedupExact]]). */
+  private def digestCol: Column =
+    md5(regexp_replace(lower(col("text")), "\\s+", " "))
+
+  private def pairStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bandedDocs = banded(Tables.documents(s, dir))
+    val cands = bandedDocs.as("x")
+      .join(bandedDocs.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -133,6 +147,113 @@ object DedupOps extends OpModule {
         col("contain_b"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Incremental dedup: a new batch of documents deduped against the
+    * store of a prior snapshot — the dominant 100 TB workflow ("dedupe the
+    * new crawl against the existing corpus"), and the cross-run form of
+    * the reference's idempotence-by-identifier argument (reference
+    * README.md:133): re-ingesting an already-stored document must be a
+    * no-op, not a duplicate.
+    *
+    * Verdict per batch doc, smallest partner wins:
+    *  - `exact`  — its normalized-text digest matches ANY store doc (incl.
+    *    itself on a re-run) or a smaller-id batch doc; `dup_of` = the
+    *    smallest such partner.
+    *  - `near`   — not exact, but its 3-gram Jaccard vs some store doc or
+    *    smaller-id batch doc is ≥ 0.9; `dup_of` = the smallest such
+    *    partner, `jaccard` = that pair's exact score.
+    *  - `keep`   — novel; this is what gets appended to the corpus.
+    *
+    * Plan shape (why this scales where "union + full re-dedup" doesn't):
+    * the store contributes only its persisted artifacts — digests for a
+    * hash anti/equi-join, minhash band keys for the candidate bucket join
+    * ([[banded]], the persisted-sketch-store shape). The quadratic work is
+    * bounded inside band buckets, exact Jaccard runs only on the
+    * candidate sliver, and nothing ever re-pairs the store against
+    * itself — the old-vs-old pairs were settled in the prior run.
+    */
+  def dedupIncremental(s: SparkSession, store: DataFrame,
+      batch: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val storeDig = store.select(col("doc_id").as("p_id"), digestCol.as("digest"))
+    val batchDig = batch.select(col("doc_id"), digestCol.as("digest"))
+    // exact stage: digest equi-join against the store (any partner — a
+    // re-ingested doc matches its own stored digest) and within the batch
+    // (smaller-id partner); smallest partner id is the canonical copy
+    val exactPairs = batchDig.join(storeDig, "digest")
+      .select(col("doc_id"), col("p_id"))
+      .union(batchDig.as("a")
+        .join(batchDig.select(col("doc_id").as("p_id"),
+          col("digest").as("p_digest")).as("p"),
+          col("a.digest") === col("p_digest") && col("p_id") < col("doc_id"))
+        .select(col("doc_id"), col("p_id")))
+    val exactRej = exactPairs.groupBy(col("doc_id"))
+      .agg(min(col("p_id")).as("dup_of"))
+    // near stage: band-bucket join of the batch sketch against the store
+    // sketch (cross-run candidates) and against itself (within-batch),
+    // restricted to docs the exact stage did not already reject
+    val sb = banded(store)
+      .select(col("doc_id").as("p_id"), col("band_idx"), col("band_key"))
+    val bb = banded(batch)
+    val candPairs = bb.join(sb, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("p_id"))
+      .union(bb.as("x")
+        .join(bb.select(col("doc_id").as("p_id"), col("band_idx").as("bi"),
+          col("band_key").as("bk")).as("y"),
+          col("band_idx") === col("bi") && col("band_key") === col("bk") &&
+            col("p_id") < col("doc_id"))
+        .select(col("doc_id"), col("p_id")))
+      .join(exactRej.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .distinct()
+    // exact Jaccard only on the candidate sliver (pairStats pattern)
+    val partnerDocs = store.select(col("doc_id"), col("text"))
+      .union(batch.select(col("doc_id"), col("text")))
+      .dropDuplicates("doc_id")
+    val setsN = shinglesOf(batch)
+      .join(candPairs.select(col("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id"), col("shingles").as("sh_n"))
+    val setsP = shinglesOf(partnerDocs)
+      .join(candPairs.select(col("p_id").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("p_id"), col("shingles").as("sh_p"))
+    val nearRej = candPairs.join(setsN, "doc_id").join(setsP, "p_id")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_p"))))
+      .withColumn("uni",
+        size(col("sh_n")) + size(col("sh_p")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= 0.9)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("p_id"), col("jaccard"))).as("m"))
+      .select(col("doc_id"), col("m.p_id").as("dup_of"),
+        col("m.jaccard").as("jaccard"))
+    val keep = batch.select(col("doc_id"))
+      .join(exactRej.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(nearRej.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    exactRej
+      .select(col("doc_id"), lit("exact").as("kind"), col("dup_of"),
+        lit(null).cast("double").as("jaccard"))
+      .union(nearRej.select(col("doc_id"), lit("near").as("kind"),
+        col("dup_of"), col("jaccard")))
+      .union(keep.select(col("doc_id"), lit("keep").as("kind"),
+        lit(null).cast("long").as("dup_of"),
+        lit(null).cast("double").as("jaccard")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[dedupIncremental]] over the fixture: the first 80% of the doc-id
+    * space plays the prior snapshot (the store), the rest the incoming
+    * batch. The boundary ships as a broadcast one-row aggregate so the
+    * split is one job with no driver-side action.
+    */
+  def dedupIncrementalQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val boundary =
+      broadcast(docs.agg(expr("max(doc_id) * 4 div 5").as("__k")))
+    val withK = docs.crossJoin(boundary)
+    val cols = docs.columns.map(col).toSeq
+    dedupIncremental(s,
+      withK.filter(col("doc_id") < col("__k")).select(cols: _*),
+      withK.filter(col("doc_id") >= col("__k")).select(cols: _*))
+  }
+
   /** 64-bit SimHash fingerprints (xxhash64 token hashes, per-bit majority
     * vote), via the native one-pass graft_simhash expression
     * (graft.functions.SimHash). Engine-specific hash → no SQL oracle;
@@ -152,7 +273,8 @@ object DedupOps extends OpModule {
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_near" -> dedupNear,
     "llm_dedup_simhash" -> simhash,
-    "llm_containment" -> containment
+    "llm_containment" -> containment,
+    "llm_dedup_incremental" -> dedupIncrementalQuery
   )
 
   val oracle: Map[String, String] = Map(
@@ -182,6 +304,54 @@ object DedupOps extends OpModule {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The batch-side verdicts recomputed the slow way: full pairwise over
+    // the union, minus the old-vs-old pairs the incremental plan never
+    // touches. LSH + the digest join must recover exactly this answer.
+    "llm_dedup_incremental" ->
+      """WITH k AS (SELECT max(doc_id) * 4 // 5 AS kv FROM documents),
+        |d AS (
+        |  SELECT doc_id, text,
+        |         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS dg
+        |  FROM documents),
+        |b AS (SELECT d.* FROM d, k WHERE doc_id >= kv),
+        |ex AS (
+        |  SELECT b.doc_id, min(p.doc_id) AS dup_of
+        |  FROM b JOIN d p ON p.dg = b.dg AND p.doc_id < b.doc_id
+        |  GROUP BY b.doc_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
+        |                toks[i+2] for i in range(1, greatest(len(toks)-1, 1))]))
+        |           AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh bb ON a.s = bb.s AND a.doc_id < bb.doc_id
+        |  GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT doc_b AS doc_id, doc_a AS p_id,
+        |         CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS j
+        |  FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id, k
+        |  WHERE doc_b >= kv
+        |    AND CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
+        |    AND doc_b NOT IN (SELECT doc_id FROM ex)),
+        |nr AS (
+        |  SELECT doc_id, min(p_id) AS dup_of, arg_min(j, p_id) AS jaccard
+        |  FROM pr GROUP BY doc_id)
+        |SELECT doc_id, 'exact' AS kind, dup_of,
+        |       CAST(NULL AS DOUBLE) AS jaccard FROM ex
+        |UNION ALL
+        |SELECT doc_id, 'near' AS kind, dup_of, jaccard FROM nr
+        |UNION ALL
+        |SELECT doc_id, 'keep' AS kind, CAST(NULL AS BIGINT) AS dup_of,
+        |       CAST(NULL AS DOUBLE) AS jaccard
+        |FROM b WHERE doc_id NOT IN (SELECT doc_id FROM ex)
+        |         AND doc_id NOT IN (SELECT doc_id FROM nr)
+        |ORDER BY doc_id""".stripMargin,
     "llm_containment" ->
       """WITH sh AS (
         |  SELECT doc_id,

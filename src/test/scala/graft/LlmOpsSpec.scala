@@ -85,6 +85,42 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  // The reference's idempotence-by-identifier argument, cross-run: feeding
+  // the store's own documents back in as "the new crawl" must reject every
+  // one as an exact duplicate — zero rows get added to the corpus.
+  test("llm_dedup_incremental: re-ingesting the store adds zero rows") {
+    val docs = Tables.documents(spark, sf0001)
+    val verdicts = DedupOps.dedupIncremental(spark, docs, docs).collect()
+    assert(verdicts.length === docs.count())
+    assert(verdicts.forall(_.getAs[String]("kind") === "exact"),
+      "every re-ingested doc must be an exact duplicate of the store")
+    assert(!verdicts.exists(_.getAs[String]("kind") === "keep"))
+    // with no duplicate digests in the store, each doc matches itself
+    verdicts.foreach(r =>
+      assert(r.getAs[Long]("dup_of") <= r.getAs[Long]("doc_id")))
+  }
+
+  // Boundary agreement: every near verdict from the incremental run must
+  // be one of the full batch run's pairs with the identical exact-jaccard
+  // score — the incremental plan changes the work, not the answer.
+  test("llm_dedup_incremental: near verdicts agree with llm_dedup_near") {
+    val nearPairs = DedupOps.dedupNear(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val inc = DedupOps.dedupIncrementalQuery(spark, sf0001).collect()
+    val near = inc.filter(_.getAs[String]("kind") === "near")
+    assert(near.nonEmpty, "the fixture plants near-dups across the boundary")
+    near.foreach { r =>
+      val key = (r.getAs[Long]("dup_of"), r.getAs[Long]("doc_id"))
+      assert(nearPairs.contains(key), s"$key not in the batch near-dup set")
+      assert(nearPairs(key) === r.getAs[Double]("jaccard"))
+    }
+    // and the batch split is real: store verdicts never appear
+    val boundary = inc.map(_.getAs[Long]("doc_id")).min
+    assert(inc.length === Tables.documents(spark, sf0001)
+      .filter(col("doc_id") >= boundary).count())
+  }
+
   test("llm_dedup_exact: keeps every distinct doc exactly once") {
     val rows = DedupOps.dedupExact(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("n_copies")).sum ===
