@@ -47,6 +47,9 @@ object GraftFunctions {
       minhashBuilder _)
     reg.registerFunction(FunctionIdentifier("graft_simhash"), simhashInfo,
       (children: Seq[Expression]) => SimHash(children.head))
+    reg.registerFunction(FunctionIdentifier("graft_simhash_portable"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash_portable"),
+      (children: Seq[Expression]) => SimHash(children.head, portable = true))
     reg.registerFunction(FunctionIdentifier("graft_minhash_tokens"),
       new ExpressionInfo(classOf[MinHashTokens].getName,
         "graft_minhash_tokens"),
@@ -77,6 +80,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash_portable"),
+      new ExpressionInfo(classOf[SimHash].getName, "graft_simhash_portable"),
+      (children: Seq[Expression]) => SimHash(children.head, portable = true)))
     ext.injectFunction((FunctionIdentifier("graft_minhash_tokens"),
       new ExpressionInfo(classOf[MinHashTokens].getName,
         "graft_minhash_tokens"),

@@ -269,12 +269,28 @@ object DedupOps extends OpModule {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash in portable-hash mode: the same fused one-pass majority vote,
+    * but with md5-derived token hashes any engine can recompute — the mode
+    * for fingerprints that must be verifiable outside Spark, and the one
+    * that gives the simhash vote logic a value-for-value SQL oracle
+    * (xxhash64's Spark-specific seed keeps [[simhash]] oracle-free).
+    */
+  def simhashPortable(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("simhash", expr("graft_simhash_portable(toks)"))
+      .select(col("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_near" -> dedupNear,
     "llm_dedup_simhash" -> simhash,
     "llm_containment" -> containment,
-    "llm_dedup_incremental" -> dedupIncrementalQuery
+    "llm_dedup_incremental" -> dedupIncrementalQuery,
+    "llm_simhash_portable" -> simhashPortable
   )
 
   val oracle: Map[String, String] = Map(
@@ -304,6 +320,29 @@ object DedupOps extends OpModule {
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // The fused majority-vote loop recomputed hash-for-hash in SQL: DuckDB
+    // parses the same md5-derived big-endian 64-bit token hash the portable
+    // mode computes, votes per bit, and converts the unsigned result to
+    // signed two's-complement. Verifies the SimHash vote logic value-for-
+    // value (the xxhash64 default stays engine-specific by design).
+    "llm_simhash_portable" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |           s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) AS hs
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id,
+        |         list_sum(list_transform(range(0, 64),
+        |           i -> CASE WHEN 2 * len(list_filter(hs,
+        |                         h -> (h >> i) & 1 = 1)) > len(hs)
+        |                     THEN (1::HUGEINT << i)
+        |                     ELSE 0::HUGEINT END)) AS u
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+        |                 THEN u - 18446744073709551616::HUGEINT
+        |                 ELSE u END AS BIGINT) AS simhash
+        |FROM v ORDER BY doc_id""".stripMargin,
     // The batch-side verdicts recomputed the slow way: full pairwise over
     // the union, minus the old-vs-old pairs the incremental plan never
     // touches. LSH + the digest join must recover exactly this answer.

@@ -35,7 +35,7 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("extensions-only session resolves all 5 native functions in SQL") {
+  test("extensions-only session resolves all 6 native functions in SQL") {
     withExtensionOnlySession { s =>
       val row = s.sql(
         """SELECT
@@ -44,7 +44,9 @@ class GraftExtensionsSpec extends SparkSpec {
           |  graft_simhash(split('hello world graft engine', ' ')) AS sh,
           |  graft_minhash_tokens(split('a b c d e f g h', ' ')) AS mht,
           |  graft_fingerprint(split('rolling fingerprint input text', ' '))
-          |    AS fp
+          |    AS fp,
+          |  graft_simhash_portable(split('hello world graft engine', ' '))
+          |    AS shp
           |""".stripMargin).collect().head
       assert(row.getDouble(0) === 11.0)
       assert(row.getAs[Seq[Long]](1).length === 60)
@@ -53,11 +55,15 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.functions.GraftFunctions.register(spark)
       val viaRegister = spark.sql(
         "SELECT graft_simhash(split('hello world graft engine', ' ')), " +
-          "graft_fingerprint(split('rolling fingerprint input text', ' '))")
+          "graft_fingerprint(split('rolling fingerprint input text', ' ')), " +
+          "graft_simhash_portable(split('hello world graft engine', ' '))")
         .collect().head
       assert(row.getLong(2) === viaRegister.getLong(0))
       assert(row.getAs[scala.collection.Seq[Long]](4).toSeq ===
         viaRegister.getAs[scala.collection.Seq[Long]](1).toSeq)
+      assert(row.getLong(5) === viaRegister.getLong(2))
+      // the two hash modes are genuinely different functions
+      assert(row.getLong(2) !== row.getLong(5))
     }
   }
 

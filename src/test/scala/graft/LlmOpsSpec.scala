@@ -39,6 +39,24 @@ class LlmOpsSpec extends SparkSpec {
       s"simhash should separate dups (avg $avgDup) from background (avg $avgBg)")
   }
 
+  // The portable (md5-hash) mode must preserve the sketch's whole point —
+  // near-dups land close in Hamming space — since the property is
+  // hash-agnostic; the hash choice only buys cross-engine verifiability.
+  test("portable simhash separates near-dups from background too") {
+    val fp = DedupOps.simhashPortable(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dupPairs = DedupOps.dedupNear(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val avgDup = dupPairs.map { case (a, b) => ham(fp(a), fp(b)) }
+      .sum.toDouble / dupPairs.length
+    val bg = (0L until 100L).map(a => ham(fp(a), fp(a + 101)))
+    val avgBg = bg.sum.toDouble / bg.length
+    assert(dupPairs.nonEmpty)
+    assert(avgDup < avgBg / 2,
+      s"portable simhash: dups avg $avgDup vs background avg $avgBg")
+  }
+
   // Recall bound calibrated to this corpus: the vectors are near-uniform
   // on the sphere (ANN's worst case); probing 4/10 cells measures ≈0.8.
   test("llm_ann_ivf: recall@5 >= 0.75 vs brute force") {
