@@ -28,13 +28,16 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try runOnce(fn, warmDir) catch { case _: Throwable => () }
     }
-    // best-of-2 per query: damps GC/JIT noise so round-over-round
-    // comparisons track the plan, not the weather. A failed run records
-    // null — never its (near-zero) elapsed time, which would masquerade
-    // as a speedup in round-over-round comparisons.
-    val results: Map[String, Option[Double]] =
+    // best-of-N per query (N=2 default) damps GC/JIT noise so
+    // round-over-round comparisons track the plan, not the weather — and
+    // EVERY individual run lands in the JSON (`runs`) so a "X got faster"
+    // claim is auditable against the run-to-run variance instead of
+    // resting on an unrecorded best-of. A failed run records null — never
+    // its (near-zero) elapsed time, which would masquerade as a speedup.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val allRuns: Map[String, Seq[Double]] =
       SparkEntry.queries.map { case (name, fn) =>
-        val times = (1 to 2).flatMap { _ =>
+        name -> (1 to nRuns).flatMap { _ =>
           val t0 = System.nanoTime()
           try {
             runOnce(fn, sfDir)
@@ -44,15 +47,19 @@ object Bench {
             None
           }
         }
-        name -> (if (times.nonEmpty) Some(times.min) else None)
       }
+    val results: Map[String, Option[Double]] =
+      allRuns.map { case (k, ts) => k -> ts.minOption }
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+      .mkString("{", ",", "}")
+    val runsJson = allRuns.toSeq.sortBy(_._1)
+      .map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = results.values.flatten.sum
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val failedJson = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
