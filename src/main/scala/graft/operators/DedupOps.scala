@@ -85,7 +85,7 @@ object DedupOps extends OpModule {
     * This is the "sketch store" shape — what an incremental pipeline
     * persists between runs.
     */
-  private def banded(docs: DataFrame): DataFrame =
+  private def banded(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
@@ -96,7 +96,8 @@ object DedupOps extends OpModule {
            |              concat_ws(',', transform(slice(mh, b * $Rows + 1, $Rows),
            |                                       x -> cast(x AS string)))
            |                AS band_key))""".stripMargin)))
-      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
+      .select(col("doc_id") +: col("band.band_idx") +: col("band.band_key") +:
+        carry.map(col): _*)
 
   /** Normalized-text digest — the exact-dedup identity ([[dedupExact]]). */
   private def digestCol: Column =
@@ -174,44 +175,44 @@ object DedupOps extends OpModule {
   def dedupIncremental(s: SparkSession, store: DataFrame,
       batch: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val storeDig = store.select(col("doc_id").as("p_id"), digestCol.as("digest"))
-    val batchDig = batch.select(col("doc_id"), digestCol.as("digest"))
-    // exact stage: digest equi-join against the store (any partner — a
-    // re-ingested doc matches its own stored digest) and within the batch
-    // (smaller-id partner); smallest partner id is the canonical copy
-    val exactPairs = batchDig.join(storeDig, "digest")
-      .select(col("doc_id"), col("p_id"))
-      .union(batchDig.as("a")
-        .join(batchDig.select(col("doc_id").as("p_id"),
-          col("digest").as("p_digest")).as("p"),
-          col("a.digest") === col("p_digest") && col("p_id") < col("doc_id"))
-        .select(col("doc_id"), col("p_id")))
-    val exactRej = exactPairs.groupBy(col("doc_id"))
-      .agg(min(col("p_id")).as("dup_of"))
-    // near stage: band-bucket join of the batch sketch against the store
-    // sketch (cross-run candidates) and against itself (within-batch),
-    // restricted to docs the exact stage did not already reject
-    val sb = banded(store)
-      .select(col("doc_id").as("p_id"), col("band_idx"), col("band_key"))
-    val bb = banded(batch)
-    val candPairs = bb.join(sb, Seq("band_idx", "band_key"))
-      .select(col("doc_id"), col("p_id"))
-      .union(bb.as("x")
-        .join(bb.select(col("doc_id").as("p_id"), col("band_idx").as("bi"),
-          col("band_key").as("bk")).as("y"),
-          col("band_idx") === col("bi") && col("band_key") === col("bk") &&
-            col("p_id") < col("doc_id"))
-        .select(col("doc_id"), col("p_id")))
+    // One flagged corpus frame: every artifact pass below (digest, band
+    // sketch, shingles) runs over the union ONCE and self-joins, with the
+    // store-vs-store quadrant excluded inside the join condition — so the
+    // old-vs-old pairs are never materialized and each self-join's two
+    // identical legs collapse into one exchange (ReusedExchange), instead
+    // of separate store/batch legs needing two joins per stage.
+    val flagged = store
+      .select(col("doc_id"), col("text"), lit(false).as("is_new"))
+      .union(batch.select(col("doc_id"), col("text"), lit(true).as("is_new")))
+    // partner eligibility for a batch doc: any store doc (a re-ingested
+    // doc matches its own stored copy) or a smaller-id batch doc
+    def partnerOk(n: String, p: String): Column =
+      col(s"$n.is_new") && (!col(s"$p.is_new") ||
+        col(s"$p.doc_id") < col(s"$n.doc_id"))
+    // exact stage: digest self-join; smallest partner is the canonical copy
+    val dig = flagged.withColumn("digest", digestCol)
+    val exactRej = dig.as("n").join(dig.as("p"),
+        col("n.digest") === col("p.digest") && partnerOk("n", "p"))
+      .select(col("n.doc_id").as("doc_id"), col("p.doc_id").as("p_id"))
+      .groupBy(col("doc_id")).agg(min(col("p_id")).as("dup_of"))
+    // near stage: band-bucket self-join of the minhash sketch, restricted
+    // to docs the exact stage did not already reject
+    val bd = banded(flagged, carry = Seq("is_new"))
+    val candPairs = bd.as("n").join(bd.as("p"),
+        col("n.band_idx") === col("p.band_idx") &&
+          col("n.band_key") === col("p.band_key") && partnerOk("n", "p"))
+      .select(col("n.doc_id").as("doc_id"), col("p.doc_id").as("p_id"))
       .join(exactRej.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .distinct()
-    // exact Jaccard only on the candidate sliver (pairStats pattern)
-    val partnerDocs = store.select(col("doc_id"), col("text"))
-      .union(batch.select(col("doc_id"), col("text")))
-      .dropDuplicates("doc_id")
-    val setsN = shinglesOf(batch)
+    // exact Jaccard only on the candidate sliver (pairStats pattern).
+    // flagged may carry an id twice (re-run: a doc in store AND batch) —
+    // no dedup shuffle needed, since every downstream consumer is a
+    // min-aggregation that absorbs the duplicated (identical) pair rows.
+    val sets = shinglesOf(flagged)
+    val setsN = sets
       .join(candPairs.select(col("doc_id")).distinct(), "doc_id")
       .select(col("doc_id"), col("shingles").as("sh_n"))
-    val setsP = shinglesOf(partnerDocs)
+    val setsP = sets
       .join(candPairs.select(col("p_id").as("doc_id")).distinct(), "doc_id")
       .select(col("doc_id").as("p_id"), col("shingles").as("sh_p"))
     val nearRej = candPairs.join(setsN, "doc_id").join(setsP, "p_id")
@@ -240,18 +241,20 @@ object DedupOps extends OpModule {
 
   /** [[dedupIncremental]] over the fixture: the first 80% of the doc-id
     * space plays the prior snapshot (the store), the rest the incoming
-    * batch. The boundary ships as a broadcast one-row aggregate so the
-    * split is one job with no driver-side action.
+    * batch. The boundary is collected on the driver in one tiny max()
+    * job and applied as a literal — in production a snapshot boundary IS
+    * config, and a literal filter reaches the parquet scan as a pushed
+    * predicate (row-group pruning on doc_id) in every one of the store/
+    * batch subtree references, where an embedded one-row-aggregate join
+    * would re-plan a broadcast join per reference and prune nothing.
     */
   def dedupIncrementalQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val boundary =
-      broadcast(docs.agg(expr("max(doc_id) * 4 div 5").as("__k")))
-    val withK = docs.crossJoin(boundary)
-    val cols = docs.columns.map(col).toSeq
+    val k = docs.agg(expr("max(doc_id) * 4 div 5").as("__k"))
+      .head().getLong(0)
     dedupIncremental(s,
-      withK.filter(col("doc_id") < col("__k")).select(cols: _*),
-      withK.filter(col("doc_id") >= col("__k")).select(cols: _*))
+      docs.filter(col("doc_id") < k),
+      docs.filter(col("doc_id") >= k))
   }
 
   /** 64-bit SimHash fingerprints (xxhash64 token hashes, per-bit majority
