@@ -99,8 +99,10 @@ object DedupOps extends OpModule {
       .select(col("doc_id") +: col("band.band_idx") +: col("band.band_key") +:
         carry.map(col): _*)
 
-  /** Normalized-text digest — the exact-dedup identity ([[dedupExact]]). */
-  private def digestCol: Column =
+  /** Normalized-text digest — the exact-dedup identity ([[dedupExact]]),
+    * shared with the streaming form (graft.streaming.StreamingDedup).
+    */
+  private[graft] def digestCol: Column =
     md5(regexp_replace(lower(col("text")), "\\s+", " "))
 
   private def pairStats(s: SparkSession, dir: String): DataFrame = {
