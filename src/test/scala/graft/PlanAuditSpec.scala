@@ -80,6 +80,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("llm_dedup_incremental: artifact self-joins reuse exchanges, no BNLJ") {
+    // the flagged-corpus design gives every artifact pass (digest, band
+    // sketch) two identical self-join legs — Spark must collapse them into
+    // reused exchanges, and the literal snapshot boundary means no
+    // one-row-aggregate BNLJ survives anywhere in the plan
+    val p = plan(DedupOps.dedupIncrementalQuery(spark, sf0001))
+    assert(p.contains("ReusedExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("tpch_q8: dimension arms broadcast, no cartesian in the join tree") {
     val p = plan(ComposedOps.q8Shape(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -17,11 +17,11 @@ class QueriesSmokeSpec extends SparkSpec {
   // BroadcastNestedLoopJoin there is linear in the corpus, by design.
   // Everything else must plan equi-joins; a CartesianProduct anywhere,
   // or a BNLJ outside this list, is a scale bug.
-  // (llm_cluster_assign left this set in round 4 — its assignment is now a
-  // narrow argmax with no join at all; llm_dedup_incremental's BNLJ is the
-  // broadcast 1-row snapshot-boundary aggregate, the llm_tfidf pattern.)
+  // (llm_cluster_assign and llm_dedup_incremental left this set in round
+  // 4 — the former's assignment is a narrow argmax with no join at all,
+  // the latter's snapshot boundary became a driver-collected literal.)
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
-    "llm_ann_ivf", "llm_tfidf", "llm_dedup_incremental")
+    "llm_ann_ivf", "llm_tfidf")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {
