@@ -60,6 +60,21 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getAs[String]("k") === "7")
   }
 
+  test("dedupIncremental cold start (empty store) and empty batch behave") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "ALPHA beta  gamma delta"), // exact dup of 1 (normalized)
+      (3L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    val none = docs.filter(lit(false))
+    // cold start: no store — within-batch dedup only, smallest id wins
+    val cold = DedupOps.dedupIncremental(spark, none, docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cold === Map(1L -> "keep", 2L -> "exact", 3L -> "keep"))
+    // empty batch: nothing to judge, and no old-vs-old work is triggered
+    assert(DedupOps.dedupIncremental(spark, docs, none).count() === 0)
+  }
+
   test("dedupNear on a tiny corpus (3 docs) does not explode or NPE") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString
