@@ -85,19 +85,31 @@ object DedupOps extends OpModule {
     * This is the "sketch store" shape — what an incremental pipeline
     * persists between runs.
     */
-  private def banded(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
-    docs
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("mh", expr("graft_minhash_tokens(toks)"))
-      .withColumn("band", explode(expr(
-        s"""transform(sequence(0, ${Bands - 1}),
-           |  b -> struct(b AS band_idx,
-           |              concat_ws(',', transform(slice(mh, b * $Rows + 1, $Rows),
-           |                                       x -> cast(x AS string)))
-           |                AS band_key))""".stripMargin)))
+  /** Explode a 60-long minhash sketch column `mh` into its 10 band rows. */
+  private def bandRows: Column = explode(expr(
+    s"""transform(sequence(0, ${Bands - 1}),
+       |  b -> struct(b AS band_idx,
+       |              concat_ws(',', transform(slice(mh, b * $Rows + 1, $Rows),
+       |                                       x -> cast(x AS string)))
+       |                AS band_key))""".stripMargin))
+
+  /** Band rows from a persisted-sketch frame (`doc_id`, `mh` nullable —
+    * null marks docs too short to sketch).
+    */
+  private def bandedFromSketch(art: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
+    art.filter(col("mh").isNotNull)
+      .withColumn("band", bandRows)
       .select(col("doc_id") +: col("band.band_idx") +: col("band.band_key") +:
         carry.map(col): _*)
+
+  private def banded(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    bandedFromSketch(
+      docs
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("mh", expr("graft_minhash_tokens(toks)")),
+      carry)
 
   /** Normalized-text digest — the exact-dedup identity ([[dedupExact]]),
     * shared with the streaming form (graft.streaming.StreamingDedup).
@@ -175,31 +187,64 @@ object DedupOps extends OpModule {
     * itself — the old-vs-old pairs were settled in the prior run.
     */
   def dedupIncremental(s: SparkSession, store: DataFrame,
-      batch: DataFrame): DataFrame = {
+      batch: DataFrame): DataFrame =
+    incrementalCore(s, snapshotArtifacts(s, store),
+      snapshotArtifacts(s, batch))
+
+  /** The per-doc artifacts a snapshot run persists so later incremental
+    * runs never rescan the corpus text: normalized-text digest (exact
+    * identity), 60-long minhash sketch (null when the doc is too short to
+    * sketch — band keys derive from it), and the 3-gram shingle set (for
+    * exact Jaccard on candidates). At 100 TB this frame IS the dedup
+    * store: ~digest + 480 B sketch + shingles per doc, written once per
+    * snapshot, read by every subsequent crawl.
+    */
+  def snapshotArtifacts(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    // One flagged corpus frame: every artifact pass below (digest, band
-    // sketch, shingles) runs over the union ONCE and self-joins, with the
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("digest", digestCol)
+      .withColumn("mh",
+        when(size(col("toks")) >= 3, expr("graft_minhash_tokens(toks)")))
+      .withColumn("shingles", shingleCol)
+      .select(col("doc_id"), col("digest"), col("mh"), col("shingles"))
+  }
+
+  /** [[dedupIncremental]] fed from a PERSISTED artifact store
+    * ([[snapshotArtifacts]] written by the prior snapshot run): the store
+    * side contributes only `doc_id, digest, mh, shingles` — its raw text
+    * is never read again.
+    */
+  def dedupIncrementalFromStore(s: SparkSession, storeArtifacts: DataFrame,
+      batch: DataFrame): DataFrame =
+    incrementalCore(s, storeArtifacts, snapshotArtifacts(s, batch))
+
+  private def incrementalCore(s: SparkSession, artStore: DataFrame,
+      artBatch: DataFrame): DataFrame = {
+    // One flagged artifact frame: every pass below (digest, band sketch,
+    // shingles) runs over the union ONCE and self-joins, with the
     // store-vs-store quadrant excluded inside the join condition — so the
     // old-vs-old pairs are never materialized and each self-join's two
     // identical legs collapse into one exchange (ReusedExchange), instead
-    // of separate store/batch legs needing two joins per stage.
-    val flagged = store
-      .select(col("doc_id"), col("text"), lit(false).as("is_new"))
-      .union(batch.select(col("doc_id"), col("text"), lit(true).as("is_new")))
+    // of separate store/batch legs needing two joins per stage. (Catalyst
+    // column-prunes the artifact projection per consumer, so e.g. the
+    // digest subtree never computes sketches or shingles.)
+    val flagged = artStore.withColumn("is_new", lit(false))
+      .unionByName(artBatch.withColumn("is_new", lit(true)))
     // partner eligibility for a batch doc: any store doc (a re-ingested
     // doc matches its own stored copy) or a smaller-id batch doc
     def partnerOk(n: String, p: String): Column =
       col(s"$n.is_new") && (!col(s"$p.is_new") ||
         col(s"$p.doc_id") < col(s"$n.doc_id"))
     // exact stage: digest self-join; smallest partner is the canonical copy
-    val dig = flagged.withColumn("digest", digestCol)
+    val dig = flagged.select(col("doc_id"), col("digest"), col("is_new"))
     val exactRej = dig.as("n").join(dig.as("p"),
         col("n.digest") === col("p.digest") && partnerOk("n", "p"))
       .select(col("n.doc_id").as("doc_id"), col("p.doc_id").as("p_id"))
       .groupBy(col("doc_id")).agg(min(col("p_id")).as("dup_of"))
     // near stage: band-bucket self-join of the minhash sketch, restricted
     // to docs the exact stage did not already reject
-    val bd = banded(flagged, carry = Seq("is_new"))
+    val bd = bandedFromSketch(flagged, carry = Seq("is_new"))
     val candPairs = bd.as("n").join(bd.as("p"),
         col("n.band_idx") === col("p.band_idx") &&
           col("n.band_key") === col("p.band_key") && partnerOk("n", "p"))
@@ -210,7 +255,7 @@ object DedupOps extends OpModule {
     // flagged may carry an id twice (re-run: a doc in store AND batch) —
     // no dedup shuffle needed, since every downstream consumer is a
     // min-aggregation that absorbs the duplicated (identical) pair rows.
-    val sets = shinglesOf(flagged)
+    val sets = flagged.select(col("doc_id"), col("shingles"))
     val setsN = sets
       .join(candPairs.select(col("doc_id")).distinct(), "doc_id")
       .select(col("doc_id"), col("shingles").as("sh_n"))
@@ -227,7 +272,7 @@ object DedupOps extends OpModule {
       .agg(min(struct(col("p_id"), col("jaccard"))).as("m"))
       .select(col("doc_id"), col("m.p_id").as("dup_of"),
         col("m.jaccard").as("jaccard"))
-    val keep = batch.select(col("doc_id"))
+    val keep = artBatch.select(col("doc_id"))
       .join(exactRej.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .join(nearRej.select(col("doc_id")), Seq("doc_id"), "left_anti")
     exactRej

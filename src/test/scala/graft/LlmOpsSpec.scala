@@ -139,6 +139,26 @@ class LlmOpsSpec extends SparkSpec {
       .filter(col("doc_id") >= boundary).count())
   }
 
+  // The production shape: the store side is a PERSISTED artifact table
+  // (digest + sketch + shingles, written by the prior snapshot run) — the
+  // old corpus text is never rescanned, and the verdicts are identical to
+  // the from-text run.
+  test("llm_dedup_incremental from a persisted artifact store == from text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val docs = Tables.documents(spark, sf0001)
+    val k = 400L
+    val store = docs.filter(col("doc_id") < k)
+    val batch = docs.filter(col("doc_id") >= k)
+    DedupOps.snapshotArtifacts(spark, store)
+      .write.mode("overwrite").parquet(s"$dir/artifacts")
+    val persisted = spark.read.parquet(s"$dir/artifacts")
+    val fromStore =
+      DedupOps.dedupIncrementalFromStore(spark, persisted, batch).collect()
+    val fromText = DedupOps.dedupIncremental(spark, store, batch).collect()
+    assert(fromStore.nonEmpty)
+    assert(fromStore.toSeq === fromText.toSeq)
+  }
+
   test("llm_dedup_exact: keeps every distinct doc exactly once") {
     val rows = DedupOps.dedupExact(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("n_copies")).sum ===
