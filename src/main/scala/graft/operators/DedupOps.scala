@@ -221,45 +221,52 @@ object DedupOps extends OpModule {
 
   private def incrementalCore(s: SparkSession, artStore: DataFrame,
       artBatch: DataFrame): DataFrame = {
-    // One flagged artifact frame: every pass below (digest, band sketch,
-    // shingles) runs over the union ONCE and self-joins, with the
-    // store-vs-store quadrant excluded inside the join condition — so the
-    // old-vs-old pairs are never materialized and each self-join's two
-    // identical legs collapse into one exchange (ReusedExchange), instead
-    // of separate store/batch legs needing two joins per stage. (Catalyst
-    // column-prunes the artifact projection per consumer, so e.g. the
-    // digest subtree never computes sketches or shingles.)
-    val flagged = artStore.withColumn("is_new", lit(false))
-      .unionByName(artBatch.withColumn("is_new", lit(true)))
-    // partner eligibility for a batch doc: any store doc (a re-ingested
-    // doc matches its own stored copy) or a smaller-id batch doc
-    def partnerOk(n: String, p: String): Column =
-      col(s"$n.is_new") && (!col(s"$p.is_new") ||
-        col(s"$p.doc_id") < col(s"$n.doc_id"))
-    // exact stage: digest self-join; smallest partner is the canonical copy
-    val dig = flagged.select(col("doc_id"), col("digest"), col("is_new"))
-    val exactRej = dig.as("n").join(dig.as("p"),
-        col("n.digest") === col("p.digest") && partnerOk("n", "p"))
-      .select(col("n.doc_id").as("doc_id"), col("p.doc_id").as("p_id"))
+    // Join shape is store-vs-batch (plus a batch self-join for
+    // within-batch pairs), NOT a union self-join: in production the store
+    // dwarfs the batch, so keeping the batch on its own join side lets
+    // Catalyst/AQE broadcast it — the store's digests and band keys are
+    // then scanned, never shuffled — and a store table bucketed on
+    // digest/band_key avoids the store-side exchange even for huge
+    // batches. A union self-join would force the store-wide shuffle
+    // unconditionally. Old-vs-old pairs are excluded by construction:
+    // the store side never joins itself.
+    val sDig = artStore.select(col("doc_id").as("p_id"), col("digest"))
+    val bDig = artBatch.select(col("doc_id"), col("digest"))
+    // exact stage: smallest partner is the canonical copy; a store
+    // partner may share the batch doc's id (re-ingest matches its own
+    // stored copy), a batch partner must precede it
+    val exactRej = bDig.join(sDig, "digest").select(col("doc_id"), col("p_id"))
+      .unionByName(bDig.as("n")
+        .join(bDig.select(col("doc_id").as("p_id"),
+          col("digest").as("p_digest")).as("p"),
+          col("digest") === col("p_digest") && col("p_id") < col("doc_id"))
+        .select(col("doc_id"), col("p_id")))
       .groupBy(col("doc_id")).agg(min(col("p_id")).as("dup_of"))
-    // near stage: band-bucket self-join of the minhash sketch, restricted
-    // to docs the exact stage did not already reject
-    val bd = bandedFromSketch(flagged, carry = Seq("is_new"))
-    val candPairs = bd.as("n").join(bd.as("p"),
-        col("n.band_idx") === col("p.band_idx") &&
-          col("n.band_key") === col("p.band_key") && partnerOk("n", "p"))
-      .select(col("n.doc_id").as("doc_id"), col("p.doc_id").as("p_id"))
+    // near stage: band-bucket joins of the batch sketch against the store
+    // sketch and against itself, restricted to docs the exact stage did
+    // not already reject
+    val sBands = bandedFromSketch(artStore)
+      .select(col("doc_id").as("p_id"), col("band_idx"), col("band_key"))
+    val bBands = bandedFromSketch(artBatch)
+    val candPairs = bBands.join(sBands, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("p_id"))
+      .unionByName(bBands.as("n")
+        .join(bBands.select(col("doc_id").as("p_id"),
+          col("band_idx").as("bi"), col("band_key").as("bk")).as("p"),
+          col("band_idx") === col("bi") && col("band_key") === col("bk") &&
+            col("p_id") < col("doc_id"))
+        .select(col("doc_id"), col("p_id")))
       .join(exactRej.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .distinct()
-    // exact Jaccard only on the candidate sliver (pairStats pattern).
-    // flagged may carry an id twice (re-run: a doc in store AND batch) —
-    // no dedup shuffle needed, since every downstream consumer is a
-    // min-aggregation that absorbs the duplicated (identical) pair rows.
-    val sets = flagged.select(col("doc_id"), col("shingles"))
-    val setsN = sets
+    // exact Jaccard only on the candidate sliver (pairStats pattern):
+    // batch-doc shingles from the batch artifacts, partner shingles from
+    // either side (duplicated partner rows — a re-run doc present in both
+    // — are absorbed by the min-aggregations downstream)
+    val setsN = artBatch.select(col("doc_id"), col("shingles"))
       .join(candPairs.select(col("doc_id")).distinct(), "doc_id")
       .select(col("doc_id"), col("shingles").as("sh_n"))
-    val setsP = sets
+    val setsP = artStore.select(col("doc_id"), col("shingles"))
+      .unionByName(artBatch.select(col("doc_id"), col("shingles")))
       .join(candPairs.select(col("p_id").as("doc_id")).distinct(), "doc_id")
       .select(col("doc_id").as("p_id"), col("shingles").as("sh_p"))
     val nearRej = candPairs.join(setsN, "doc_id").join(setsP, "p_id")

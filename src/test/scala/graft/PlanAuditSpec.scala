@@ -80,12 +80,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
-  test("llm_dedup_incremental: artifact self-joins reuse exchanges, no BNLJ") {
-    // the flagged-corpus design gives every artifact pass (digest, band
-    // sketch) two identical self-join legs — Spark must collapse them into
-    // reused exchanges, and the literal snapshot boundary means no
-    // one-row-aggregate BNLJ survives anywhere in the plan
+  test("llm_dedup_incremental: batch side broadcasts, store is never shuffled for the joins") {
+    // store-vs-batch join shape: with a batch far smaller than the store
+    // (the production ratio), Catalyst broadcasts the batch artifacts and
+    // the store's digests/band keys are scanned, not shuffled; repeated
+    // batch subtrees collapse into reused exchanges; and the literal
+    // snapshot boundary means no one-row-aggregate BNLJ survives
     val p = plan(DedupOps.dedupIncrementalQuery(spark, sf0001))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "digest and band joins must broadcast the small batch side\n" + p)
     assert(p.contains("ReusedExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
