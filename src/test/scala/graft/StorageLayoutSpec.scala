@@ -59,6 +59,41 @@ class StorageLayoutSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  // The dedup store's scale lever: snapshotArtifacts persisted bucketed on
+  // digest lets the incremental exact-join run with NO store-side shuffle
+  // even when the batch is too big to broadcast — only the batch
+  // repartitions to match the store's layout.
+  test("digest-bucketed dedup store joins shuffle the batch only") {
+    import graft.operators.DedupOps
+    spark.sql("DROP TABLE IF EXISTS dedup_store_b")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(wh, "dedup_store_b"))
+    val docs = Tables.documents(spark, sf0001)
+    DedupOps.snapshotArtifacts(spark, docs.filter(col("doc_id") < 400))
+      .write.bucketBy(4, "digest").sortBy("digest")
+      .saveAsTable("dedup_store_b")
+    val batchDig = DedupOps
+      .snapshotArtifacts(spark, docs.filter(col("doc_id") >= 400))
+      .select(col("doc_id"), col("digest"))
+    val joined = batchDig.join(
+      spark.table("dedup_store_b").select(col("doc_id").as("p_id"),
+        col("digest")), "digest")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // exactly one exchange: the batch repartitioning to the store's
+      // bucket layout — the store side reads in place
+      assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+        s"only the batch side may shuffle:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("date-partitioned writes enable partition pruning at the scan") {
     val dir = Files.createTempDirectory("graft_part").toString + "/events"
     Tables.events(spark, sf0001)
