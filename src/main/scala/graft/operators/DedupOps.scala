@@ -258,17 +258,18 @@ object DedupOps extends OpModule {
         .select(col("doc_id"), col("p_id")))
       .join(exactRej.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .distinct()
-    // exact Jaccard only on the candidate sliver (pairStats pattern):
-    // batch-doc shingles from the batch artifacts, partner shingles from
-    // either side (duplicated partner rows — a re-run doc present in both
-    // — are absorbed by the min-aggregations downstream)
-    val setsN = artBatch.select(col("doc_id"), col("shingles"))
-      .join(candPairs.select(col("doc_id")).distinct(), "doc_id")
+    // exact Jaccard only on the candidate sliver: the joins below bring in
+    // shingles for candidate rows only (candPairs is the small broadcast
+    // side), and unlike pairStats there is nothing to pre-prune — the
+    // shingle sets come free from the artifacts, not a corpus recompute.
+    // Duplicated partner rows (a re-run doc present in both sides) are
+    // absorbed by the min-aggregations downstream.
+    val setsN = artBatch
       .select(col("doc_id"), col("shingles").as("sh_n"))
-    val setsP = artStore.select(col("doc_id"), col("shingles"))
-      .unionByName(artBatch.select(col("doc_id"), col("shingles")))
-      .join(candPairs.select(col("p_id").as("doc_id")).distinct(), "doc_id")
+    val setsP = artStore
       .select(col("doc_id").as("p_id"), col("shingles").as("sh_p"))
+      .unionByName(artBatch
+        .select(col("doc_id").as("p_id"), col("shingles").as("sh_p")))
     val nearRej = candPairs.join(setsN, "doc_id").join(setsP, "p_id")
       .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_p"))))
       .withColumn("uni",
