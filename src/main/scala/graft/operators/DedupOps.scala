@@ -96,20 +96,17 @@ object DedupOps extends OpModule {
   /** Band rows from a persisted-sketch frame (`doc_id`, `mh` nullable —
     * null marks docs too short to sketch).
     */
-  private def bandedFromSketch(art: DataFrame,
-      carry: Seq[String] = Nil): DataFrame =
+  private def bandedFromSketch(art: DataFrame): DataFrame =
     art.filter(col("mh").isNotNull)
       .withColumn("band", bandRows)
-      .select(col("doc_id") +: col("band.band_idx") +: col("band.band_key") +:
-        carry.map(col): _*)
+      .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
 
-  private def banded(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+  private def banded(docs: DataFrame): DataFrame =
     bandedFromSketch(
       docs
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
-        .withColumn("mh", expr("graft_minhash_tokens(toks)")),
-      carry)
+        .withColumn("mh", expr("graft_minhash_tokens(toks)")))
 
   /** Normalized-text digest — the exact-dedup identity ([[dedupExact]]),
     * shared with the streaming form (graft.streaming.StreamingDedup).
