@@ -21,6 +21,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // validated before the warm-up spends minutes: a malformed or
+    // non-positive run count would otherwise crash late or emit a
+    // zero-run JSON that masquerades as an instant full run
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS") match {
+      case None => 2
+      case Some(v) =>
+        val n = v.toIntOption.getOrElse(
+          sys.error(s"SPARK_GRAFT_BENCH_RUNS must be an int, got '$v'"))
+        require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+        n
+    }
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -34,7 +45,6 @@ object Bench {
     // claim is auditable against the run-to-run variance instead of
     // resting on an unrecorded best-of. A failed run records null — never
     // its (near-zero) elapsed time, which would masquerade as a speedup.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val allRuns: Map[String, Seq[Double]] =
       SparkEntry.queries.map { case (name, fn) =>
         name -> (1 to nRuns).flatMap { _ =>

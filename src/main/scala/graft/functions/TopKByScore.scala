@@ -17,9 +17,20 @@ object TopKByScore {
   case class ScoredId(id: Long, score: Double)
   case class Buf(items: Seq[ScoredId])
 
-  /** Total order: higher score first; ties broken by smaller id. */
-  private def lt(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  /** Total order: higher score first; ties broken by smaller id. NaN is
+    * greatest and equal to itself (matching `ORDER BY score DESC` in both
+    * Spark and DuckDB) — the naive `>`/`==` pair is not a strict weak
+    * ordering under NaN, which would make the kept set depend on
+    * partition merge order. `-0.0 == 0.0` stays a tie (unlike
+    * `Double.compare`), preserving the window form's ranking exactly.
+    */
+  private def lt(a: ScoredId, b: ScoredId): Boolean = {
+    val aNaN = a.score.isNaN
+    val bNaN = b.score.isNaN
+    if (aNaN || bNaN)
+      (aNaN && !bNaN) || (aNaN && bNaN && a.id < b.id)
+    else a.score > b.score || (a.score == b.score && a.id < b.id)
+  }
 
   case class TopKAgg(k: Int) extends Aggregator[ScoredId, Buf, Seq[ScoredId]] {
     def zero: Buf = Buf(Nil)

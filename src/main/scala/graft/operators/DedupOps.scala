@@ -77,14 +77,6 @@ object DedupOps extends OpModule {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** LSH candidate pairs with their exact shingle-set statistics:
-    * (doc_a, doc_b, inter, uni, size_a, size_b).
-    */
-  /** Per-doc LSH banding: one corpus pass computing only the fused
-    * 60-long minhash sketch, exploded to (doc_id, band_idx, band_key).
-    * This is the "sketch store" shape — what an incremental pipeline
-    * persists between runs.
-    */
   /** Explode a 60-long minhash sketch column `mh` into its 10 band rows. */
   private def bandRows: Column = explode(expr(
     s"""transform(sequence(0, ${Bands - 1}),
@@ -101,6 +93,10 @@ object DedupOps extends OpModule {
       .withColumn("band", bandRows)
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
 
+  /** Per-doc LSH banding from raw text: one corpus pass computing only
+    * the fused 60-long minhash sketch, exploded to
+    * (doc_id, band_idx, band_key).
+    */
   private def banded(docs: DataFrame): DataFrame =
     bandedFromSketch(
       docs
@@ -114,6 +110,9 @@ object DedupOps extends OpModule {
   private[graft] def digestCol: Column =
     md5(regexp_replace(lower(col("text")), "\\s+", " "))
 
+  /** LSH candidate pairs with their exact shingle-set statistics:
+    * (doc_a, doc_b, inter, uni, size_a, size_b).
+    */
   private def pairStats(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val bandedDocs = banded(Tables.documents(s, dir))
@@ -302,8 +301,10 @@ object DedupOps extends OpModule {
     */
   def dedupIncrementalQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val k = docs.agg(expr("max(doc_id) * 4 div 5").as("__k"))
-      .head().getLong(0)
+    val boundary = docs.agg(expr("max(doc_id) * 4 div 5").as("__k")).head()
+    // empty corpus → max is NULL; both sides empty, verdicts empty (the
+    // oracle's NULL boundary admits no rows either)
+    val k = if (boundary.isNullAt(0)) 0L else boundary.getLong(0)
     dedupIncremental(s,
       docs.filter(col("doc_id") < k),
       docs.filter(col("doc_id") >= k))

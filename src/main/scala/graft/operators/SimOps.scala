@@ -106,13 +106,20 @@ object SimOps extends OpModule {
 
   /** Rank the broadcast quantizer against the row's `embedding` inside one
     * array expression: score every seed in place and sort (score desc, seed
-    * id asc — array_sort on (neg_score, sid) structs). Narrow: the argmax /
-    * top-p cells come out of a projection, never a join + window.
+    * id asc — array_sort on (nn, neg_score, sid) structs). Narrow: the
+    * argmax / top-p cells come out of a projection, never a join + window.
+    *
+    * The leading `nn` key keeps NaN semantics identical to the window form
+    * this replaced (`ORDER BY score DESC` ranks NaN greatest in Spark AND
+    * in the DuckDB oracle): plain negation would flip NaN to the bottom,
+    * silently diverging on degenerate vectors.
     */
   private def rankedSeeds(seedsCol: Column): Column =
-    array_sort(transform(seedsCol, sd =>
-      struct((-dot(col("embedding"), sd.getField("_2"))).as("neg"),
-        sd.getField("_1").as("sid"))))
+    array_sort(transform(seedsCol, sd => {
+      val score = dot(col("embedding"), sd.getField("_2"))
+      struct(when(isnan(score), 0).otherwise(1).as("nn"),
+        (-score).as("neg"), sd.getField("_1").as("sid"))
+    }))
 
   /** Multi-probe quantizer knobs for [[dedupEmbed]]: 32 coarse cells, each
     * vector assigned to its 7 nearest cells; a pair is a candidate iff the

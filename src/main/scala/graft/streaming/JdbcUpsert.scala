@@ -51,6 +51,10 @@ object JdbcUpsert {
     case TimestampType => "TIMESTAMP"
     case DateType => "DATE"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    // Derby's binary syntax (bindOne already writes BinaryType via
+    // setBytes); HANA would say VARBINARY(4000) — a native dialect should
+    // override the renderer the way mergeSql documents
+    case BinaryType => "VARCHAR (4000) FOR BIT DATA"
     case other =>
       throw new IllegalArgumentException(s"no DDL mapping for $other")
   }

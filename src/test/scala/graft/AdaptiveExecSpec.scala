@@ -20,11 +20,6 @@ class AdaptiveExecSpec extends SparkSpec {
     }
   }
 
-  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
-    df.collect()
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-  }
-
   test("AQE splits the skewed side of a 90%-one-key sort-merge join") {
     withConf(
       "spark.sql.adaptive.enabled" -> "true",

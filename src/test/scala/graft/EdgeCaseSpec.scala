@@ -75,6 +75,56 @@ class EdgeCaseSpec extends SparkSpec {
     assert(DedupOps.dedupIncremental(spark, docs, none).count() === 0)
   }
 
+  // Regression: an empty documents table used to NPE on the null max()
+  // boundary during query construction; the oracle returns empty rows.
+  test("dedupIncrementalQuery on an empty corpus returns empty, not NPE") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty").toString
+    Tables.documents(spark, sf0001).filter(lit(false))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(DedupOps.dedupIncrementalQuery(spark, dir).count() === 0)
+  }
+
+  // Regression: the narrow argmax must rank a NaN score GREATEST (the
+  // semantics of the window ORDER BY score DESC it replaced, in Spark and
+  // DuckDB alike), not flip it to the bottom through negation.
+  test("clusterAssign ranks NaN affinities first, like the window form") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_nan").toString
+    val dim = 4
+    val rows = (0L until 10L).map { i =>
+      (i, Array.tabulate(dim)(d => (i + d + 1).toFloat), 0)
+    } :+ ((10L, Array(Float.NaN, 1f, 1f, 1f), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = graft.operators.SimOps.clusterAssign(spark, dir)
+      .filter(col("vec_id") === 10L).collect().head
+    // every seed scores NaN against the NaN vector → all tie greatest →
+    // smallest seed id wins, affinity is NaN (what the window form did)
+    assert(r.getAs[Long]("cell") === 0L)
+    assert(r.getAs[Double]("affinity").isNaN)
+  }
+
+  // Regression: the bounded-heap comparator must stay a strict weak
+  // ordering under NaN (NaN greatest, NaN == NaN) — the naive >/== pair
+  // made the kept set depend on partition merge order.
+  test("TopKByScore orders NaN deterministically regardless of arrival order") {
+    import graft.functions.TopKByScore._
+    val agg = TopKAgg(3)
+    val items = Seq(ScoredId(5, 0.9), ScoredId(2, Double.NaN),
+      ScoredId(7, 0.9), ScoredId(1, 0.1), ScoredId(9, Double.NaN))
+    def run(order: Seq[ScoredId]): Seq[ScoredId] = {
+      val (l, r) = order.splitAt(2)
+      agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)))
+    }
+    val a = run(items)
+    val b = run(items.reverse)
+    assert(a === b, s"merge-order sensitivity: $a vs $b")
+    // NaN ranks greatest (window ORDER BY score DESC semantics), id ties
+    assert(a.map(_.id) === Seq(2L, 9L, 5L))
+  }
+
   test("dedupNear on a tiny corpus (3 docs) does not explode or NPE") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_tiny").toString

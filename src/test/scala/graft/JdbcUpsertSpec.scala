@@ -107,6 +107,24 @@ class JdbcUpsertSpec extends SparkSpec {
     }
   }
 
+  // Regression: write() supports binary keys, so createIfAbsent must be
+  // able to mint the table for them too (Derby bit-data syntax).
+  test("createIfAbsent handles a binary key column") {
+    withStmt { st =>
+      try st.execute("DROP TABLE binauto") catch { case _: Throwable => () }
+    }
+    import spark.implicits._
+    val df = Seq((Array[Byte](1, 2), 1), (Array[Byte](3, 4), 2))
+      .toDF("k", "v")
+    JdbcUpsert.write(df, url, "binauto", Seq("k"), createIfAbsent = true)
+    JdbcUpsert.write(df, url, "binauto", Seq("k"), createIfAbsent = true)
+    withStmt { st =>
+      val rs = st.executeQuery("SELECT count(*) FROM binauto")
+      rs.next()
+      assert(rs.getLong(1) === 2L, "binary-keyed upserts must round-trip")
+    }
+  }
+
   // Regression for the ensureTable race: two writers both probe "missing";
   // the loser's CREATE fails already-exists, re-probes, and proceeds —
   // exactly one caller reports having created the table, nobody throws.

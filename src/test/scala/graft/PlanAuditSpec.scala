@@ -9,12 +9,7 @@ import graft.operators._
   */
 class PlanAuditSpec extends SparkSpec {
 
-  private def plan(df: org.apache.spark.sql.DataFrame): String = {
-    df.collect() // finalize AQE so the executed plan is the real one
-    // AdaptiveSparkPlan.toString appends the pre-AQE "Initial Plan" section;
-    // audit only the final (executed) operators.
-    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-  }
+  private def plan(df: org.apache.spark.sql.DataFrame): String = finalPlan(df)
 
   test("filter_pushdown: predicates reach the parquet scan; schema pruned") {
     val p = plan(RelationalOps.filterPushdown(spark, sf0001))

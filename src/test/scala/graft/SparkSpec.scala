@@ -7,6 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf0001 = "/root/testdata/sf0.001"
+
+  /** Execute and return the AQE FINAL plan string — collect() finalizes
+    * adaptive re-planning, and `toString` appends the pre-AQE "Initial
+    * Plan" section, which plan audits must not match against.
+    */
+  def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
 }
 
 object SparkSpec {
