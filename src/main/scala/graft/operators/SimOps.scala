@@ -106,20 +106,24 @@ object SimOps extends OpModule {
 
   /** Rank the broadcast quantizer against the row's `embedding` inside one
     * array expression: score every seed in place and sort (score desc, seed
-    * id asc — array_sort on (nn, neg_score, sid) structs). Narrow: the
-    * argmax / top-p cells come out of a projection, never a join + window.
+    * id asc — array_sort on (neg_score, sid) structs). Narrow: the argmax /
+    * top-p cells come out of a projection, never a join + window.
     *
-    * The leading `nn` key keeps NaN semantics identical to the window form
+    * `nanvl(-score, -∞)` keeps NaN semantics identical to the window form
     * this replaced (`ORDER BY score DESC` ranks NaN greatest in Spark AND
-    * in the DuckDB oracle): plain negation would flip NaN to the bottom,
-    * silently diverging on degenerate vectors.
+    * in the DuckDB oracle — plain negation would flip NaN to the bottom)
+    * while evaluating the dot product ONCE per seed: higher-order lambdas
+    * run interpreted with no common-subexpression elimination, so a
+    * two-reference formulation (isnan(score), -score) would double the
+    * whole assignment pass. Caveat: a literal +∞ score would tie the
+    * mapped NaN instead of losing to it — unreachable for finite-norm
+    * vectors.
     */
   private def rankedSeeds(seedsCol: Column): Column =
-    array_sort(transform(seedsCol, sd => {
-      val score = dot(col("embedding"), sd.getField("_2"))
-      struct(when(isnan(score), 0).otherwise(1).as("nn"),
-        (-score).as("neg"), sd.getField("_1").as("sid"))
-    }))
+    array_sort(transform(seedsCol, sd =>
+      struct(nanvl(-dot(col("embedding"), sd.getField("_2")),
+          lit(Double.NegativeInfinity)).as("neg"),
+        sd.getField("_1").as("sid"))))
 
   /** Multi-probe quantizer knobs for [[dedupEmbed]]: 32 coarse cells, each
     * vector assigned to its 7 nearest cells; a pair is a candidate iff the
@@ -240,18 +244,23 @@ object SimOps extends OpModule {
     *
     * Narrow end-to-end: the quantizer ships as a [[driverSeeds]] literal
     * and the argmax happens inside one array expression — the only shuffle
-    * in the plan is the final presentation sort. (The double negation in
-    * `-best.neg` is an exact sign-bit flip, so `affinity` is bit-identical
-    * to the direct dot product the oracle computes.)
+    * in the plan is the final presentation sort. `affinity` is recomputed
+    * as one dot against the CHOSEN seed (seed ids are positional by
+    * [[driverSeeds]] construction), bit-identical to the oracle's value —
+    * un-negating the NaN-mapped sort key would surface rankedSeeds' -∞
+    * sentinel instead of the true NaN score.
     */
   def clusterAssign(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val best =
-      element_at(rankedSeeds(typedlit(driverSeeds(s, dir, 10))), 1)
+    val seedsLit = typedlit(driverSeeds(s, dir, 10))
     withNorm(Tables.embeddings(s, dir))
-      .withColumn("best", best)
-      .select(col("vec_id"), col("best.sid").as("cell"),
-        (-col("best.neg")).as("affinity"))
+      .withColumn("cell",
+        element_at(rankedSeeds(seedsLit), 1).getField("sid"))
+      .withColumn("affinity",
+        dot(col("embedding"),
+          element_at(seedsLit, (col("cell") + 1).cast("int"))
+            .getField("_2")))
+      .select(col("vec_id"), col("cell"), col("affinity"))
       .orderBy(col("vec_id"))
   }
 
