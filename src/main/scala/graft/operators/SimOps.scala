@@ -178,6 +178,51 @@ object SimOps extends OpModule {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** Incremental embedding near-dup: only pairs involving a NEW vector
+    * (vec_id past the snapshot boundary — first 80% of the id space is
+    * the stored corpus). The cross-modality twin of
+    * [[graft.operators.DedupOps.dedupIncremental]]: the store
+    * contributes persisted artifacts (its probe-cell assignments under
+    * the SAME frozen quantizer the snapshot run built), the batch side
+    * stays on its own join side so it broadcasts at the production
+    * store/batch ratio, and store-vs-store pairs are never formed — they
+    * were settled in the prior run.
+    *
+    * Candidate completeness is inherited from [[dedupEmbed]]'s multi-probe
+    * guarantee (its candidate set is a superset of these pairs);
+    * losslessness vs the brute-force answer is unit-asserted at three SFs.
+    */
+  def dedupEmbedIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val boundary = Tables.embeddings(s, dir)
+      .agg(expr("max(vec_id) * 4 div 5").as("__k")).head()
+    val k = if (boundary.isNullAt(0)) 0L else boundary.getLong(0)
+    val seedsCol = typedlit(driverSeeds(s, dir, dedupCells))
+    val assigned = withNorm(Tables.embeddings(s, dir))
+      .withColumn("probes",
+        transform(slice(rankedSeeds(seedsCol), 1, dedupProbes),
+          p => p.getField("sid")))
+      .select(explode(col("probes")).as("cell"), col("vec_id"),
+        col("embedding"), col("norm"))
+    def side(df: DataFrame, a: String, b: String, n: String): DataFrame =
+      df.select(col("cell"), col("vec_id").as(a), col("embedding").as(b),
+        col("norm").as(n))
+    val store = side(assigned.filter(col("vec_id") < k),
+      "va", "emb_a", "norm_a")
+    val batch = assigned.filter(col("vec_id") >= k)
+    val bNew = side(batch, "vb", "emb_b", "norm_b")
+    val bOld = side(batch, "va", "emb_a", "norm_a")
+    store.join(bNew, Seq("cell")) // store ids < k <= batch ids: va < vb holds
+      .unionByName(bOld.join(bNew, Seq("cell"))
+        .filter(col("va") < col("vb")))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("va"), col("vb"), col("cosine"))
+      .distinct()
+      .orderBy(col("va"), col("vb"))
+  }
+
   /** IVF-style ANN with a built coarse quantizer: seed centroids = the
     * first 10 vectors (unit-normalized), one k-means assignment pass
     * (argmax cosine), cell centroid = mean of assigned vectors, probe the
@@ -267,6 +312,7 @@ object SimOps extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_topk" -> simTopk,
     "llm_dedup_embed" -> dedupEmbed,
+    "llm_dedup_embed_incremental" -> dedupEmbedIncremental,
     "llm_ann_ivf" -> annIvf,
     "llm_cluster_assign" -> clusterAssign
   )
@@ -316,6 +362,23 @@ object SimOps extends OpModule {
         |  FROM e CROSS JOIN seeds s)
         |SELECT vec_id, seed_id AS cell, affinity FROM scored
         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // Pairwise over the union minus the store-vs-store pairs: exactly the
+    // pairs a new crawl introduces.
+    "llm_dedup_embed_incremental" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |k AS (SELECT max(vec_id) * 4 // 5 AS kv FROM embeddings)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |       list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                 for i in range(1, 65)]) / (a.norm * b.norm) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id, k
+        |WHERE b.vec_id >= kv
+        |  AND list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                for i in range(1, 65)]) / (a.norm * b.norm) >= 0.45
+        |ORDER BY va, vb""".stripMargin,
     "llm_dedup_embed" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

@@ -159,6 +159,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(fromStore.toSeq === fromText.toSeq)
   }
 
+  // The embedding twin of the incremental-dedup agreement test: the
+  // store-vs-batch bucketed plan must recover exactly the brute-force
+  // pairs that involve a new vector, at all reachable SFs.
+  test("llm_dedup_embed_incremental == brute force minus old-vs-old pairs") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+      val k = Tables.embeddings(spark, dir)
+        .agg(expr("max(vec_id) * 4 div 5")).head().getLong(0)
+      val e = Tables.embeddings(spark, dir)
+        .withColumn("norm", sqrt(call_function("graft_dot",
+          col("embedding"), col("embedding"))))
+      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+        col("norm").as("na"))
+      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+        col("norm").as("nb"))
+      val want = a.join(b, col("va") < col("vb"))
+        .filter(col("vb") >= k)
+        .withColumn("cosine", call_function("graft_dot", col("ea"),
+          col("eb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= 0.45)
+        .select(col("va"), col("vb"), col("cosine"))
+        .orderBy(col("va"), col("vb")).collect()
+      val got = SimOps.dedupEmbedIncremental(spark, dir).collect()
+      assert(want.nonEmpty, s"$dir: no crossing/new pairs in fixture")
+      assert(got.toSeq === want.toSeq, s"$dir: bucketed != brute force")
+    }
+  }
+
   test("llm_dedup_exact: keeps every distinct doc exactly once") {
     val rows = DedupOps.dedupExact(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("n_copies")).sum ===
