@@ -223,6 +223,39 @@ object SimOps extends OpModule {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** Streaming near-dup detector: vectors arrive as a stream and every
+    * (new, stored) pair with cosine ≥ `threshold` is emitted as a hit —
+    * the embedding counterpart of
+    * [[graft.streaming.StreamingDedup.novelDocs]]'s anti-join, shaped for
+    * unbounded input: the multi-probe assignment is a PURE PROJECTION
+    * (narrow, stateless — [[rankedSeeds]] runs unchanged on a stream),
+    * candidates come from a stream-static equi-join on the probe cell,
+    * and the exact cosine runs only on candidates. The only state is the
+    * dedup of multi-cell collisions per (vec, store) pair; bound it with
+    * a watermark upstream for truly unbounded streams.
+    */
+  def streamEmbedDupHits(s: SparkSession, stream: DataFrame, dir: String,
+      threshold: Double = 0.45): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val seedsCol = typedlit(driverSeeds(s, dir, dedupCells))
+    def probed(df: DataFrame): DataFrame = withNorm(df)
+      .withColumn("probes",
+        transform(slice(rankedSeeds(seedsCol), 1, dedupProbes),
+          p => p.getField("sid")))
+      .select(explode(col("probes")).as("cell"), col("vec_id"),
+        col("embedding"), col("norm"))
+    val store = probed(Tables.embeddings(s, dir))
+      .select(col("cell"), col("vec_id").as("store_id"),
+        col("embedding").as("store_emb"), col("norm").as("store_norm"))
+    probed(stream).join(store, Seq("cell"))
+      .withColumn("cosine",
+        dot(col("embedding"), col("store_emb")) /
+          (col("norm") * col("store_norm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_id"), col("store_id"), col("cosine"))
+      .dropDuplicates("vec_id", "store_id")
+  }
+
   /** IVF-style ANN with a built coarse quantizer: seed centroids = the
     * first 10 vectors (unit-normalized), one k-means assignment pass
     * (argmax cosine), cell centroid = mean of assigned vectors, probe the

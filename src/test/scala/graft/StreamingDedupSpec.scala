@@ -20,6 +20,40 @@ class StreamingDedupSpec extends SparkSpec {
       .write.mode("append").parquet(path)
   }
 
+  // The embedding counterpart: the narrow quantizer assignment runs
+  // unchanged on an unbounded stream (pure projection), the stream-static
+  // cell join surfaces near-dup hits against the stored corpus, and a
+  // novel vector passes silently.
+  test("streaming embed dup detector flags a copied vector, not a novel one") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sembed").toString
+    val stored = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") === 5L).select("embedding")
+      .collect().head.getAs[scala.collection.Seq[Float]](0).toArray
+    val src = s"$base/src"
+    Seq(
+      (9001L, stored, 0), // exact copy of stored vector 5
+      (9002L, stored.map(x => -x), 0)) // anti-parallel: cosine -1 vs 5
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val q = graft.operators.SimOps
+      .streamEmbedDupHits(spark, stream, sf0001)
+      .writeStream.format("memory").queryName("embed_hits")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hits = spark.table("embed_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(hits.exists { case (v, s2, c) => v == 9001L && s2 == 5L && c > 0.999 },
+      s"the copied vector must hit its stored original, got ${hits.toSeq}")
+    assert(!hits.exists(_._1 == 9002L),
+      s"the anti-parallel vector must pass silently, got ${hits.toSeq}")
+  }
+
   test("stream-static anti join + in-stream state pass only novel docs") {
     val base = Files.createTempDirectory("graft_sdedup").toString
     // persisted store: two docs; its digest column is the store artifact
