@@ -138,6 +138,19 @@ object SimOps extends OpModule {
   val dedupCells = 32
   val dedupProbes = 7
 
+  /** Multi-probe quantizer assignment, shared by every bucketed embedding
+    * op (and stateless, so it runs unchanged on a stream): each vector
+    * explodes into its [[dedupProbes]] nearest cells of the broadcast
+    * quantizer, as (cell, vec_id, embedding, norm).
+    */
+  private def probeAssigned(df: DataFrame, seedsCol: Column): DataFrame =
+    withNorm(df)
+      .withColumn("probes",
+        transform(slice(rankedSeeds(seedsCol), 1, dedupProbes),
+          p => p.getField("sid")))
+      .select(explode(col("probes")).as("cell"), col("vec_id"),
+        col("embedding"), col("norm"))
+
   /** Threshold near-dup: all pairs with cosine ≥ 0.45 (calibrated to this
     * corpus — its max pair cosine is ≈0.51, so the result is small but
     * non-empty).
@@ -155,16 +168,8 @@ object SimOps extends OpModule {
     */
   def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val emb = withNorm(Tables.embeddings(s, dir))
-    val seedsCol = typedlit(driverSeeds(s, dir, dedupCells))
-    // narrow multi-probe assignment: keep the top `dedupProbes` cells of
-    // the ranked quantizer, explode to (cell, vec)
-    val assigned = emb
-      .withColumn("probes",
-        transform(slice(rankedSeeds(seedsCol), 1, dedupProbes),
-          p => p.getField("sid")))
-      .select(explode(col("probes")).as("cell"), col("vec_id"),
-        col("embedding"), col("norm"))
+    val assigned = probeAssigned(Tables.embeddings(s, dir),
+      typedlit(driverSeeds(s, dir, dedupCells)))
     val a = assigned.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("vb"),
@@ -183,10 +188,13 @@ object SimOps extends OpModule {
     * the stored corpus). The cross-modality twin of
     * [[graft.operators.DedupOps.dedupIncremental]]: the store
     * contributes persisted artifacts (its probe-cell assignments under
-    * the SAME frozen quantizer the snapshot run built), the batch side
-    * stays on its own join side so it broadcasts at the production
-    * store/batch ratio, and store-vs-store pairs are never formed — they
-    * were settled in the prior run.
+    * the SAME frozen quantizer the snapshot run built — recomputed here
+    * since the fixture persists no assignment table; a production run
+    * would read them the way `dedupIncrementalFromStore` reads the
+    * document artifacts), the batch side stays on its own join side so
+    * it broadcasts at the production store/batch ratio, and
+    * store-vs-store pairs are never formed — they were settled in the
+    * prior run.
     *
     * Candidate completeness is inherited from [[dedupEmbed]]'s multi-probe
     * guarantee (its candidate set is a superset of these pairs);
@@ -197,13 +205,8 @@ object SimOps extends OpModule {
     val boundary = Tables.embeddings(s, dir)
       .agg(expr("max(vec_id) * 4 div 5").as("__k")).head()
     val k = if (boundary.isNullAt(0)) 0L else boundary.getLong(0)
-    val seedsCol = typedlit(driverSeeds(s, dir, dedupCells))
-    val assigned = withNorm(Tables.embeddings(s, dir))
-      .withColumn("probes",
-        transform(slice(rankedSeeds(seedsCol), 1, dedupProbes),
-          p => p.getField("sid")))
-      .select(explode(col("probes")).as("cell"), col("vec_id"),
-        col("embedding"), col("norm"))
+    val assigned = probeAssigned(Tables.embeddings(s, dir),
+      typedlit(driverSeeds(s, dir, dedupCells)))
     def side(df: DataFrame, a: String, b: String, n: String): DataFrame =
       df.select(col("cell"), col("vec_id").as(a), col("embedding").as(b),
         col("norm").as(n))
@@ -230,30 +233,37 @@ object SimOps extends OpModule {
     * unbounded input: the multi-probe assignment is a PURE PROJECTION
     * (narrow, stateless — [[rankedSeeds]] runs unchanged on a stream),
     * candidates come from a stream-static equi-join on the probe cell,
-    * and the exact cosine runs only on candidates. The only state is the
-    * dedup of multi-cell collisions per (vec, store) pair; bound it with
-    * a watermark upstream for truly unbounded streams.
+    * and the exact cosine runs only on candidates.
+    *
+    * State honesty: the default all-time dedup of multi-cell collisions
+    * keeps ONE state entry per emitted (vec, store) pair FOREVER — a
+    * plain watermark does NOT evict `dropDuplicates` state whose keys
+    * carry no event-time column. Fine for bounded replays; for an
+    * unbounded stream, set a watermark upstream and pass
+    * `dedupWithinWatermark = true` so the engine uses
+    * `dropDuplicatesWithinWatermark` and state actually expires.
     */
   def streamEmbedDupHits(s: SparkSession, stream: DataFrame, dir: String,
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = 0.45,
+      dedupWithinWatermark: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val seedsCol = typedlit(driverSeeds(s, dir, dedupCells))
-    def probed(df: DataFrame): DataFrame = withNorm(df)
-      .withColumn("probes",
-        transform(slice(rankedSeeds(seedsCol), 1, dedupProbes),
-          p => p.getField("sid")))
-      .select(explode(col("probes")).as("cell"), col("vec_id"),
-        col("embedding"), col("norm"))
-    val store = probed(Tables.embeddings(s, dir))
+    // the static join side never changes across micro-batches — persist
+    // it so each batch reuses the quantized store instead of re-scanning
+    // and re-ranking the whole embeddings table
+    val store = probeAssigned(Tables.embeddings(s, dir), seedsCol)
       .select(col("cell"), col("vec_id").as("store_id"),
         col("embedding").as("store_emb"), col("norm").as("store_norm"))
-    probed(stream).join(store, Seq("cell"))
+      .persist()
+    val hits = probeAssigned(stream, seedsCol).join(store, Seq("cell"))
       .withColumn("cosine",
         dot(col("embedding"), col("store_emb")) /
           (col("norm") * col("store_norm")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_id"), col("store_id"), col("cosine"))
-      .dropDuplicates("vec_id", "store_id")
+    if (dedupWithinWatermark)
+      hits.dropDuplicatesWithinWatermark("vec_id", "store_id")
+    else hits.dropDuplicates("vec_id", "store_id")
   }
 
   /** IVF-style ANN with a built coarse quantizer: seed centroids = the

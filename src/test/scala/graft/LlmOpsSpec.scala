@@ -69,37 +69,46 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.75, s"IVF recall@5 = $recall")
   }
 
+  /** The reference computation both lossless tests compare against:
+    * brute-force all-pairs cosine ≥ 0.45, optionally restricted to pairs
+    * whose right side crosses `minVb` (the incremental boundary).
+    */
+  private def bruteForcePairs(dir: String,
+      minVb: Long = Long.MinValue): Seq[(Long, Long, Double)] = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("norm", sqrt(call_function("graft_dot",
+        col("embedding"), col("embedding"))))
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      col("norm").as("nb"))
+    a.join(b, col("va") < col("vb"))
+      .filter(col("vb") >= minVb)
+      .withColumn("cosine", call_function("graft_dot", col("ea"),
+        col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("va"), col("vb"), col("cosine"))
+      .orderBy(col("va"), col("vb")).collect()
+      .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"),
+        r.getAs[Double]("cosine"))).toSeq
+  }
+
+  private val allSfs =
+    Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
   // The bucketed plan must be LOSSLESS vs the all-pairs definition on the
   // fixture (the oracle is the full pairwise join) — at sf0.001 AND sf0.01,
   // the two SFs the tests can reach. Recall margin was measured offline:
   // every qualifying pair shares ≥1 probed cell with ≥1e-6 rank-gap slack.
   test("llm_dedup_embed: bucketed result == brute-force all-pairs") {
-    def bruteForce(dir: String) = {
-      import graft.Tables
-      val e = Tables.embeddings(spark, dir)
-        .withColumn("norm", sqrt(call_function("graft_dot",
-          col("embedding"), col("embedding"))))
-      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("norm").as("na"))
-      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("norm").as("nb"))
-      a.join(b, col("va") < col("vb"))
-        .withColumn("cosine", call_function("graft_dot", col("ea"),
-          col("eb")) / (col("na") * col("nb")))
-        .filter(col("cosine") >= 0.45)
-        .select(col("va"), col("vb"), col("cosine"))
-        .orderBy(col("va"), col("vb"))
-    }
     graft.functions.GraftFunctions.register(spark)
-    Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+    allSfs.foreach { dir =>
       val got = SimOps.dedupEmbed(spark, dir).collect()
         .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"),
           r.getAs[Double]("cosine")))
-      val want = bruteForce(dir).collect()
-        .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"),
-          r.getAs[Double]("cosine")))
+      val want = bruteForcePairs(dir)
       assert(want.nonEmpty, s"$dir: brute force found no pairs")
-      assert(got.toSeq === want.toSeq, s"$dir: bucketed != brute force")
+      assert(got.toSeq === want, s"$dir: bucketed != brute force")
     }
   }
 
@@ -164,26 +173,15 @@ class LlmOpsSpec extends SparkSpec {
   // pairs that involve a new vector, at all reachable SFs.
   test("llm_dedup_embed_incremental == brute force minus old-vs-old pairs") {
     graft.functions.GraftFunctions.register(spark)
-    Seq(sf0001, "/root/testdata/sf0.01", "/root/testdata/sf0.1").foreach { dir =>
+    allSfs.foreach { dir =>
       val k = Tables.embeddings(spark, dir)
         .agg(expr("max(vec_id) * 4 div 5")).head().getLong(0)
-      val e = Tables.embeddings(spark, dir)
-        .withColumn("norm", sqrt(call_function("graft_dot",
-          col("embedding"), col("embedding"))))
-      val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"),
-        col("norm").as("na"))
-      val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"),
-        col("norm").as("nb"))
-      val want = a.join(b, col("va") < col("vb"))
-        .filter(col("vb") >= k)
-        .withColumn("cosine", call_function("graft_dot", col("ea"),
-          col("eb")) / (col("na") * col("nb")))
-        .filter(col("cosine") >= 0.45)
-        .select(col("va"), col("vb"), col("cosine"))
-        .orderBy(col("va"), col("vb")).collect()
+      val want = bruteForcePairs(dir, minVb = k)
       val got = SimOps.dedupEmbedIncremental(spark, dir).collect()
+        .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"),
+          r.getAs[Double]("cosine")))
       assert(want.nonEmpty, s"$dir: no crossing/new pairs in fixture")
-      assert(got.toSeq === want.toSeq, s"$dir: bucketed != brute force")
+      assert(got.toSeq === want, s"$dir: bucketed != brute force")
     }
   }
 

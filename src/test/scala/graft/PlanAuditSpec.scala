@@ -44,6 +44,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cell"), p)
   }
 
+  test("llm_dedup_embed_incremental: cell equi-joins only, store never self-paired") {
+    val p = plan(SimOps.dedupEmbedIncremental(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("cell"), p)
+  }
+
   test("llm_cluster_assign: narrow argmax — no join, no window, no hash shuffle") {
     val p = plan(SimOps.clusterAssign(spark, sf0001))
     assert(!p.contains("Window"), p)
