@@ -61,6 +61,36 @@ object ComposedOps extends OpModule {
       .agg(expr(revenue).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** Q18 shape (large-volume customers): orders whose total line quantity
+    * exceeds a threshold, with their customer. The heavy lineitem
+    * aggregation runs FIRST and its HAVING filter shrinks it to a sliver,
+    * so the orders and customer joins build against the filtered
+    * aggregate instead of re-joining the fact table — the fact table is
+    * scanned once and never re-shuffled for the join. Join strategies are
+    * deliberately left to size estimation/AQE: the qualifying-order set
+    * and the customer dimension both grow with SF, so a forced broadcast
+    * would be a 100 TB footgun. Top-100 by total price lands as
+    * TakeOrderedAndProject. Quantity sums in exact DECIMAL, DOUBLE only
+    * at the edge (the HAVING compares the same cast value in both
+    * engines).
+    */
+  def q18Shape(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+        .as("sum_qty"))
+      .filter(col("sum_qty") > 250)
+    Tables.orders(s, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+        col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Q8 shape: a nation's market share per order-year — a TWO-LEVEL join
     * tree (fact spine lineitem→orders→customer plus two dimension arms:
     * part filter, supplier→nation) with a conditional-share aggregate.
@@ -135,7 +165,8 @@ object ComposedOps extends OpModule {
     "tpch_q3_shape" -> q3Shape,
     "tpch_q5_shape" -> q5Shape,
     "tpch_q8_shape" -> q8Shape,
-    "tpch_q17_shape" -> q17Shape
+    "tpch_q17_shape" -> q17Shape,
+    "tpch_q18_shape" -> q18Shape
   )
 
   val oracle: Map[String, String] = Map(
@@ -163,6 +194,20 @@ object ComposedOps extends OpModule {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "tpch_q18_shape" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE sum_qty > 250
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
     "tpch_q8_shape" ->
       """SELECT CAST(o_year AS INT) AS o_year,
         |       CAST(SUM(CASE WHEN supp_nation = 'NATION_3'

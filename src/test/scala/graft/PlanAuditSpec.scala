@@ -110,6 +110,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
 
+  test("tpch_q18: fact pre-aggregates before the join; top-100 without global sort") {
+    val p = plan(ComposedOps.q18Shape(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // lineitem aggregates (partial+final) BEFORE any join touches it —
+    // the join builds against the filtered sliver, never the fact table
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("sort_limit_topk: TakeOrderedAndProject, no global sort") {
     val p = plan(SortSetOps.sortLimitTopk(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)
