@@ -114,6 +114,46 @@ object AggOps extends OpModule {
         expr("percentile(l_extendedprice, 0.25)").as("price_p25"))
       .orderBy(col("l_returnflag"))
 
+  /** Statistical aggregates (mean/variance/stddev/correlation) computed
+    * from EXACT decimal moments: the raw sums Σx, Σx², Σy, Σy², Σxy run in
+    * DECIMAL (order-independent, so shuffle layout cannot flip a bit),
+    * and the statistics derive from them in identical double arithmetic
+    * on both engines — bit-for-bit oracle parity where the built-in
+    * streaming `var_samp`/`corr` implementations (Welford vs textbook)
+    * would diverge in low-order bits between engines. Still one partial-
+    * aggregating hash aggregate: moments are plain sums.
+    */
+  def statsMoments(s: SparkSession, dir: String): DataFrame = {
+    val sx2 =
+      """CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        | CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)"""
+        .stripMargin.replaceAll("\n", "")
+    val sy2 =
+      """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        | CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"""
+        .stripMargin.replaceAll("\n", "")
+    val sxy =
+      """CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        | CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"""
+        .stripMargin.replaceAll("\n", "")
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), expr(sumQty).as("sx"),
+        expr(sx2).as("sx2"), expr(sumPrice).as("sy"),
+        expr(sy2).as("sy2"), expr(sxy).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx") / col("n")).as("mean_qty"),
+        ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("var_qty"),
+        sqrt((col("sx2") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1)).as("std_qty"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sx2") - col("sx") * col("sx") / col("n")) *
+            sqrt(col("sy2") - col("sy") * col("sy") / col("n"))))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Sketch aggregates — the 100 TB form of count-distinct/quantiles:
     * HyperLogLog++ (`approx_count_distinct`) and GK quantile sketches
     * (`approx_percentile`) are mergeable fixed-size state, so the shuffle
@@ -139,6 +179,7 @@ object AggOps extends OpModule {
     "agg_grouping_sets" -> groupingSetsAgg,
     "offset_watermark_agg" -> offsetWatermark,
     "agg_percentile" -> percentileAgg,
+    "agg_stats_moments" -> statsMoments,
     "agg_approx_sketch" -> approxSketch
   )
 
@@ -180,6 +221,32 @@ object AggOps extends OpModule {
         |       quantile_cont(l_quantity, 0.5) AS qty_p50,
         |       quantile_cont(l_quantity, 0.9) AS qty_p90,
         |       quantile_cont(l_extendedprice, 0.25) AS price_p25
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // Statistics from exact decimal moments, derived in the SAME double
+    // expressions as the Spark side — bit-identical, unlike the engines'
+    // built-in streaming var/corr implementations.
+    "agg_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                  CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS sy,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS sy2,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
+        |                  CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |       sx / n AS mean_qty,
+        |       (sx2 - sx * sx / n) / (n - 1) AS var_qty,
+        |       sqrt((sx2 - sx * sx / n) / (n - 1)) AS std_qty,
+        |       (sxy - sx * sy / n) /
+        |         (sqrt(sx2 - sx * sx / n) * sqrt(sy2 - sy * sy / n))
+        |         AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -58,6 +58,28 @@ class JoinAggSpec extends SparkSpec {
     assert(exactP50.nonEmpty)
   }
 
+  // The moment-derived statistics must BE variance/correlation: compare
+  // against Spark's built-in streaming implementations within float noise.
+  test("agg_stats_moments matches built-in var_samp/corr within 1e-9 rel") {
+    import org.apache.spark.sql.functions._
+    val got = AggOps.statsMoments(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val want = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(var_samp(col("l_quantity")).as("v"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === want.keySet && got.nonEmpty)
+    def close(a: Double, b: Double) = math.abs(a - b) <=
+      1e-9 * math.max(math.abs(a), math.abs(b))
+    got.foreach { case (k, r) =>
+      assert(close(r.getAs[Double]("var_qty"), want(k).getAs[Double]("v")),
+        s"$k variance")
+      assert(close(r.getAs[Double]("corr_qty_price"),
+        want(k).getAs[Double]("c")), s"$k correlation")
+    }
+  }
+
   test("join_asof: prev_signup_ts is strictly before ts when present") {
     val bad = JoinOps.asOf(spark, sf0001)
       .filter("prev_signup_ts IS NOT NULL AND prev_signup_ts > ts")
