@@ -93,6 +93,26 @@ object TextOps extends OpModule {
         col("predicted_lang"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic stratified sampling — the training-corpus mixing
+    * primitive: per-language sampling rates applied via a CONTENT-KEYED
+    * hash threshold (md5 of doc_id, portable across engines), never
+    * `rand()`. Fully narrow: the bucket is a projection over the shared
+    * [[signals]] pass and the filter composes into the scan — no shuffle
+    * beyond the presentation sort, and the same doc set falls out of
+    * every run, engine, and partition layout (what makes a corpus recipe
+    * reproducible). Rank-exact quotas would need a per-stratum sort; the
+    * threshold form is the one that scales.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    signals(s, dir)
+      .withColumn("bucket", expr(
+        """CAST(conv(substring(md5(CAST(doc_id AS string)), 1, 8), 16, 10)
+          | AS bigint) % 100""".stripMargin.replaceAll("\n", "")))
+      .filter(col("bucket") < expr(
+        "CASE predicted_lang WHEN 'en' THEN 30 WHEN 'mixed' THEN 50 ELSE 10 END"))
+      .select(col("doc_id"), col("predicted_lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
   /** Order-sensitive document fingerprint: Rabin-Karp-style rolling hash
     * over the token stream (acc·31 + xxhash64(token) mod 2^31-1 — modular
     * so ANSI mode can't overflow) plus a winnowing-lite minimum over
@@ -142,6 +162,7 @@ object TextOps extends OpModule {
     "llm_quality_score" -> qualityScore,
     "llm_token_count" -> tokenCount,
     "llm_lang_id" -> langId,
+    "llm_sample_stratified" -> sampleStratified,
     "llm_fingerprint" -> fingerprint,
     "llm_tfidf" -> tfidf
   )
@@ -198,6 +219,27 @@ object TextOps extends OpModule {
         |       tf.tf * ln(n.n / df.df) AS tfidf
         |FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
         |ORDER BY tf.doc_id, tf.token""".stripMargin,
+    // Same md5-derived bucket on both sides: reproducible sampling is a
+    // portability contract, not a convenience.
+    "llm_sample_stratified" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_filter(string_split(text, ' '),
+        |              x -> list_contains($stopList, x))) AS DOUBLE)
+        |           / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |         CASE WHEN stop_ratio >= 0.15 THEN 'en'
+        |              WHEN stop_ratio >= 0.05 THEN 'mixed'
+        |              ELSE 'other' END AS predicted_lang,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |              ::UBIGINT % 100 AS BIGINT) AS bucket
+        |  FROM t)
+        |SELECT doc_id, predicted_lang, bucket FROM l
+        |WHERE bucket < CASE predicted_lang WHEN 'en' THEN 30
+        |                    WHEN 'mixed' THEN 50 ELSE 10 END
+        |ORDER BY doc_id""".stripMargin,
     "llm_lang_id" ->
       s"""WITH t AS (
         |  SELECT doc_id, lang,
