@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -13,13 +13,87 @@ import graft.Tables
   * a lag/lead gap check — `win_lag_lead` turns that manual audit into a
   * query.
   *
-  * Scale notes: every window here partitions by a high-cardinality key
-  * (customer, user, brand) — one hash shuffle on the partition key, then a
+  * Scale notes: the per-customer/per-user windows partition by a
+  * high-cardinality key — one hash shuffle on the partition key, then a
   * per-partition sort; no global single-partition window anywhere (that
-  * would serialize 100 TB through one task). Running/sliding sums run in
-  * DECIMAL (exact) and cast to DOUBLE at the edge for oracle parity.
+  * would serialize 100 TB through one task). The two queries whose
+  * SEMANTIC partition key is low-cardinality (`win_distribution`: 5 market
+  * segments; `win_rank_dense`: 25 brands) do NOT use a key-partitioned
+  * window at all — a 5-way window is a parallelism ceiling of 5 tasks at
+  * any scale. They run through [[spreadRank]], a two-pass formulation
+  * whose parallelism is the partition count, independent of key
+  * cardinality. Running/sliding sums run in DECIMAL (exact) and cast to
+  * DOUBLE at the edge for oracle parity.
   */
 object WindowOps extends OpModule {
+
+  /** Parallelism for [[spreadRank]]'s range pass: the session's shuffle
+    * width (the knob a cluster operator already sizes to the data).
+    */
+  private def spreadParts(s: SparkSession): Int =
+    s.sessionState.conf.numShufflePartitions
+
+  /** Two-pass scalable rank: global 1-based row number (`__rn`) and group
+    * total (`__n`) within `partKey` in `orderCols` order — with the heavy
+    * per-row work spread across `parts` tasks regardless of how few
+    * distinct `partKey` values exist (a key-partitioned window serializes
+    * each key through ONE task — a straggler by construction when the key
+    * has 5 values and the table has 10^10 rows).
+    *
+    * Pass 1: `repartitionByRange(parts, partKey +: orderCols)` makes the
+    * physical partition id monotone in the total sort order, so a row's
+    * global rank = (rows of its key in earlier partitions) + (its local
+    * rank). The local rank is a window over (`__pid`, partKey) —
+    * cardinality parts × keys, never a straggler. `orderCols` must be a
+    * total order within the key (callers append a unique tiebreaker) so
+    * the output is deterministic under any partition boundaries.
+    *
+    * Pass 2: per-(pid, key) counts collapse to a parts × keys metadata
+    * frame; cumulative offsets over it (a window over metadata, not data)
+    * broadcast-join back. Both passes hang off the same range exchange —
+    * Spark materializes it once and replays it (ReusedExchange, asserted
+    * in PlanAuditSpec), which also guarantees both passes see identical
+    * sampled range boundaries. AQE never coalesces an explicit
+    * `repartitionByRange(n, ...)`, so the pid column stays consistent
+    * across the two reads.
+    *
+    * With `weight` set, also emits `__pre`: the inclusive running sum of
+    * the weight column in the same order (same offsets machinery) — the
+    * prefix counts a tie-aware rank needs.
+    */
+  private[graft] def spreadRank(df: DataFrame, partKey: String,
+      orderCols: Seq[Column], parts: Int,
+      weight: Option[String] = None): DataFrame = {
+    val sortExprs = col(partKey) +: orderCols
+    val ranged = df.repartitionByRange(parts, sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLoc = Window.partitionBy(col("__pid"), col(partKey))
+      .orderBy(orderCols: _*)
+    val wRun = wLoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local0 = ranged.withColumn("__lrn", row_number().over(wLoc).cast("long"))
+    val local = weight.fold(local0)(w =>
+      local0.withColumn("__lpre", sum(col(w)).over(wRun)))
+    val aggs = count(lit(1)).as("__c") +:
+      weight.toSeq.map(w => sum(col(w)).as("__w"))
+    val counts = local.groupBy(col("__pid"), col(partKey))
+      .agg(aggs.head, aggs.tail: _*)
+    val before = Window.partitionBy(col(partKey)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy(col(partKey))
+    val off0 = counts
+      .withColumn("__rn_off", coalesce(sum(col("__c")).over(before), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(whole))
+    val off = weight.fold(off0)(_ =>
+      off0.withColumn("__w_off", coalesce(sum(col("__w")).over(before), lit(0L))))
+    val offCols = Seq("__pid", partKey, "__rn_off", "__n") ++
+      weight.map(_ => "__w_off")
+    val joined = local
+      .join(broadcast(off.select(offCols.map(col): _*)), Seq("__pid", partKey))
+      .withColumn("__rn", col("__rn_off") + col("__lrn"))
+    weight.fold(joined)(_ =>
+      joined.withColumn("__pre", col("__w_off") + col("__lpre")))
+      .drop("__pid", "__lrn", "__lpre", "__rn_off", "__w_off")
+  }
 
   /** Latest 3 orders per customer — the dedup-rank pattern. */
   def rowNumber(s: SparkSession, dir: String): DataFrame = {
@@ -33,13 +107,30 @@ object WindowOps extends OpModule {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
-  /** rank vs dense_rank with real ties (price-only ordering within brand). */
+  /** rank vs dense_rank with real ties (price-only ordering within brand).
+    *
+    * p_brand has 25 values, so `Window.partitionBy(p_brand)` would cap
+    * parallelism at 25 tasks forever. Instead: aggregate to the distinct
+    * (brand, price) keys with multiplicities (a scalable hash agg — ranks
+    * are per-KEY facts, every tied row shares them), [[spreadRank]] the
+    * key frame weighted by multiplicity (rank of a key = rows strictly
+    * above it + 1 = inclusive prefix − own count + 1; dense_rank = the
+    * key's global index), and hash-join the two ranks back on the
+    * high-cardinality (brand, price) key. Output is value-identical to
+    * the window form (the unit spec asserts it, ties included).
+    */
   def rankDense(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("p_brand"))
-      .orderBy(col("p_retailprice").desc)
-    Tables.part(s, dir)
-      .withColumn("price_rank", rank().over(w))
-      .withColumn("price_dense", dense_rank().over(w))
+    val base = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+    val grouped = base.groupBy(col("p_brand"), col("p_retailprice"))
+      .agg(count(lit(1)).as("__c"))
+    val ranked = spreadRank(grouped, "p_brand",
+      Seq(col("p_retailprice").desc), spreadParts(s), weight = Some("__c"))
+      .withColumn("price_rank", (col("__pre") - col("__c") + 1).cast("int"))
+      .withColumn("price_dense", col("__rn").cast("int"))
+      .select(col("p_brand"), col("p_retailprice"),
+        col("price_rank"), col("price_dense"))
+    base.join(ranked, Seq("p_brand", "p_retailprice"))
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
         col("price_rank"), col("price_dense"))
       .orderBy(col("p_partkey"))
@@ -113,16 +204,46 @@ object WindowOps extends OpModule {
 
   /** Distribution functions: quartile bucket, percent_rank, cume_dist of
     * customers by balance within market segment.
+    *
+    * c_mktsegment has 5 values — a `Window.partitionBy(c_mktsegment)`
+    * serializes each segment through one task (a hard parallelism ceiling
+    * of 5 at any scale). All three functions are pure arithmetic over
+    * (row number, segment total), so they derive from [[spreadRank]]:
+    *   percent_rank = (rank−1)/(n−1)   (0 when n = 1, per SQL spec)
+    *   cume_dist    = rows_le / n
+    *   ntile(4)     = the first n%4 buckets take ⌈n/4⌉ rows, the rest ⌊n/4⌋
+    * The ordering key (c_acctbal, c_custkey) is a total order (custkey is
+    * unique), so rank = row number and rows_le = row number — the tie-aware
+    * general case is the [[rankDense]] machinery. Integer formulas
+    * reproduce Spark's and DuckDB's ntile bit-for-bit; the two double
+    * divisions see the same integer operands as the built-ins, so the
+    * doubles are bit-identical too (the driver hash-compares them).
     */
   def distribution(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-      .orderBy(col("c_acctbal"), col("c_custkey"))
-    Tables.customer(s, dir)
-      .select(
-        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
-        ntile(4).over(w).as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+    val ranked = spreadRank(
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+      "c_mktsegment", Seq(col("c_acctbal"), col("c_custkey")),
+      spreadParts(s))
+    val rn = col("__rn")
+    val n = col("__n")
+    // integer `div`, not `/`: double division can round across a bucket
+    // boundary at large n. The ELSE branch is unreachable when n < 4
+    // (⌊n/4⌋ = 0), so its div-by-zero never evaluates.
+    val quartile = expr(
+      """CASE WHEN __rn <= ((__n div 4) + 1) * (__n % 4)
+        |     THEN (__rn - 1) div ((__n div 4) + 1) + 1
+        |     ELSE (__n % 4)
+        |          + ((__rn - 1) - ((__n div 4) + 1) * (__n % 4))
+        |            div (__n div 4) + 1
+        |END""".stripMargin)
+    ranked.select(
+      col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+      quartile.cast("int").as("quartile"),
+      when(n === 1, lit(0.0))
+        .otherwise((rn - 1).cast("double") / (n - 1).cast("double"))
+        .as("pct_rank"),
+      rn.cast("double").divide(n.cast("double")).as("cume"))
       .orderBy(col("c_custkey"))
   }
 

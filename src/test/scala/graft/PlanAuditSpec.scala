@@ -96,6 +96,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("win_distribution: spread rank — no 5-way window, one reused range exchange") {
+    val p = plan(WindowOps.distribution(spark, sf0001))
+    // the only per-ROW window is row_number over (__pid, c_mktsegment) —
+    // parts × 5 keys, never the bare 5-value segment (a 5-task straggler
+    // at 100×); ntile/percent_rank/cume_dist are computed arithmetically
+    // (the remaining bare-key windows run over the parts × 5 counts frame,
+    // metadata not data)
+    assert(p.contains("row_number() windowspecdefinition(__pid"), p)
+    assert(!p.contains("ntile("), p)
+    assert(!p.contains("percent_rank("), p)
+    assert(!p.contains("cume_dist("), p)
+    // the counts pass replays the range shuffle instead of re-running it —
+    // this also pins both passes to identical sampled range boundaries
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("win_rank_dense: spread rank over distinct keys — no 25-way window") {
+    val p = plan(WindowOps.rankDense(spark, sf0001))
+    // rank/dense_rank window built-ins are gone (this also proves no
+    // per-row window partitions by the bare 25-value brand key); the one
+    // row_number left is the spread local rank over (__pid, p_brand)
+    assert(!p.contains("rank() windowspecdefinition"), p)
+    assert(p.contains("row_number() windowspecdefinition(__pid"), p)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
   test("tpch_q8: dimension arms broadcast, no cartesian in the join tree") {
     val p = plan(ComposedOps.q8Shape(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
