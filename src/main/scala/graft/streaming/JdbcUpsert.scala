@@ -77,15 +77,23 @@ object JdbcUpsert {
 
   /** SQLStates that mean "this table does not exist": Derby 42X05, the
     * ODBC/MySQL/HANA family 42S02, Postgres 42P01, SQL Server S0002 — plus
-    * a message fallback for dialects that bury the state. Everything else
-    * (connection loss, permissions, syntax) is NOT "missing" and must
-    * propagate instead of triggering a doomed CREATE.
+    * a message fallback for dialects that bury the state, tightened to
+    * require the PROBED TABLE'S NAME next to the not-exist phrasing (a
+    * missing schema, missing column, or permission message would otherwise
+    * misclassify as table-missing and trigger a doomed CREATE whose
+    * failure masks the original error). Everything else (connection loss,
+    * permissions, syntax) is NOT "missing" and must propagate.
     */
-  private def isMissingTable(e: java.sql.SQLException): Boolean = {
+  private def isMissingTable(e: java.sql.SQLException,
+      table: String): Boolean = {
     val state = Option(e.getSQLState).getOrElse("")
     Set("42X05", "42S02", "42P01", "S0002").contains(state) || {
       val msg = Option(e.getMessage).getOrElse("").toLowerCase
-      msg.contains("not exist") || msg.contains("not found")
+      // unqualified name too: dialects report "TABLE" for "schema.TABLE"
+      val names = (table +: table.split('.').toSeq).map(_.toLowerCase)
+        .filter(_.nonEmpty)
+      (msg.contains("not exist") || msg.contains("not found")) &&
+        names.exists(msg.contains)
     }
   }
 
@@ -110,7 +118,7 @@ object JdbcUpsert {
             s"SELECT 1 FROM $table WHERE 1=0").close()
           true
         } catch {
-          case e: java.sql.SQLException if isMissingTable(e) => false
+          case e: java.sql.SQLException if isMissingTable(e, table) => false
         }
       if (exists()) false
       else

@@ -84,6 +84,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(DedupOps.dedupIncrementalQuery(spark, dir).count() === 0)
   }
 
+  // Degenerate statsMoments groups: a single-row group has no sample
+  // variance and a constant-valued column has no correlation — both must
+  // come back NULL (the guard both engines share), never NaN/inf/NULL
+  // disagreeing across engines.
+  test("statsMoments yields NULL variance/corr on degenerate groups") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_moments").toString
+    Seq(
+      ("S", 5.0, 100.0),          // single-row group
+      ("C", 7.0, 100.0), ("C", 7.0, 200.0)) // constant qty → zero variance
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = AggOps.statsMoments(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("S").isNullAt(3) && rows("S").isNullAt(4) &&
+      rows("S").isNullAt(5), "n=1 group must be NULL var/std/corr")
+    assert(rows("C").getDouble(3) === 0.0)
+    assert(rows("C").isNullAt(5), "zero-variance corr must be NULL")
+  }
+
   // Regression: the narrow argmax must rank a NaN score GREATEST (the
   // semantics of the window ORDER BY score DESC it replaced, in Spark and
   // DuckDB alike), not flip it to the bottom through negation.

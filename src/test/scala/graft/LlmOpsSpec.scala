@@ -185,6 +185,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  // The embedding production shape: persisted artifact store + persisted
+  // frozen quantizer — stored vectors are never re-ranked against the
+  // quantizer, and the pairs are identical to the from-raw run.
+  test("llm_dedup_embed_incremental from persisted artifacts + quantizer == from raw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embstore").toString
+    val k = Tables.snapshotBoundary(spark, sf0001, "embeddings")
+    val emb = Tables.embeddings(spark, sf0001)
+    SimOps.quantizerArtifact(spark, sf0001, SimOps.dedupCells)
+      .write.mode("overwrite").parquet(s"$dir/quantizer")
+    val seeds = SimOps.seedsFromArtifact(spark.read.parquet(s"$dir/quantizer"))
+    SimOps.embedSnapshotArtifacts(spark, emb.filter(col("vec_id") < k), seeds)
+      .write.mode("overwrite").parquet(s"$dir/artifacts")
+    val fromStore = SimOps.dedupEmbedIncrementalFromStore(spark,
+      spark.read.parquet(s"$dir/artifacts"),
+      emb.filter(col("vec_id") >= k), seeds).collect()
+    val fromRaw = SimOps.dedupEmbedIncremental(spark, sf0001).collect()
+    assert(fromStore.nonEmpty)
+    assert(fromStore.toSeq === fromRaw.toSeq)
+  }
+
+  // Guard the boundary constants against a regenerated fixture: the
+  // config-style snapshot boundary must equal what the data derives.
+  test("Tables.snapshotBoundary fixture constants match the data") {
+    allSfs.foreach { dir =>
+      Seq("documents" -> "doc_id", "embeddings" -> "vec_id").foreach {
+        case (tbl, id) =>
+          val m = Tables.t(spark, dir, tbl).agg(max(col(id))).head().getLong(0)
+          assert(Tables.snapshotBoundary(spark, dir, tbl) === m * 4 / 5,
+            s"$dir/$tbl boundary constant is stale")
+      }
+    }
+  }
+
   test("llm_dedup_exact: keeps every distinct doc exactly once") {
     val rows = DedupOps.dedupExact(spark, sf0001).collect()
     assert(rows.map(_.getAs[Long]("n_copies")).sum ===

@@ -74,6 +74,31 @@ class PlanAuditSpec extends SparkSpec {
       "expect partial + final TopKByScore aggregation\n" + p)
   }
 
+  test("embed FromStore: artifacts only — no store re-rank, raw scan is batch-filtered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_embplan").toString
+    val k = Tables.snapshotBoundary(spark, sf0001, "embeddings")
+    val emb = Tables.embeddings(spark, sf0001)
+    import org.apache.spark.sql.functions.col
+    SimOps.quantizerArtifact(spark, sf0001, SimOps.dedupCells)
+      .write.mode("overwrite").parquet(s"$dir/quantizer")
+    val seeds = SimOps.seedsFromArtifact(spark.read.parquet(s"$dir/quantizer"))
+    SimOps.embedSnapshotArtifacts(spark, emb.filter(col("vec_id") < k), seeds)
+      .write.mode("overwrite").parquet(s"$dir/artifacts")
+    val p = plan(SimOps.dedupEmbedIncrementalFromStore(spark,
+      spark.read.parquet(s"$dir/artifacts"),
+      emb.filter(col("vec_id") >= k), seeds))
+    // store probe cells come from the persisted artifact column — a narrow
+    // generate, not a quantizer re-rank of stored vectors
+    assert(p.contains("explode(cells"), p)
+    // every scan of the raw embeddings table carries the batch boundary as
+    // a pushed predicate: the stored corpus's raw vectors are NEVER rescanned
+    val rawScans = p.linesIterator.filter(_.contains("embeddings.parquet")).toSeq
+    assert(rawScans.nonEmpty, p)
+    rawScans.foreach(l =>
+      assert(l.contains("GreaterThanOrEqual(vec_id"),
+        "raw embeddings scan without the batch filter:\n" + l))
+  }
+
   test("llm_dedup_near: LSH band self-join reuses the banded-corpus exchange") {
     // both sides of the candidate self-join hash the same banded subtree on
     // the same keys — Spark must compute that exchange once and replay it

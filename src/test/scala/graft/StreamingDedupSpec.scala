@@ -38,14 +38,16 @@ class StreamingDedupSpec extends SparkSpec {
       .coalesce(1).write.mode("overwrite").parquet(src)
     val schema = spark.read.parquet(src).schema
     val stream = spark.readStream.schema(schema).parquet(src)
-    val q = graft.operators.SimOps
+    val (dupHits, cachedStore) = graft.operators.SimOps
       .streamEmbedDupHits(spark, stream, sf0001)
+    val q = dupHits
       .writeStream.format("memory").queryName("embed_hits")
       .outputMode("append")
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    cachedStore.unpersist()
     val hits = spark.table("embed_hits").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(hits.exists { case (v, s2, c) => v == 9001L && s2 == 5L && c > 0.999 },
