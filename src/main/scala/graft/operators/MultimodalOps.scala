@@ -9,14 +9,17 @@ import graft.Tables
   * `binary` columns with typed metadata, decode/feature-extract as
   * batch-shaped partition-local transforms.
   *
-  * The container has no media codecs and the harness no media files, so the
-  * payload is synthesized (UTF-8 bytes of `documents.text` standing in for
-  * an encoded image) and the DECODE STEP IS A STUB — [[MultimodalOps.decodeStub]]
-  * is a deterministic fake that consumes bytes and emits a fixed-dim
-  * feature vector where a real codec (JPEG decode → resize → embed) would
-  * run. Everything around it — binary schema, metadata struct, typed
-  * Dataset + mapPartitions batch shape, partition sizing — is the real
-  * production plumbing and is what the tests exercise.
+  * The harness ships no media files, so the fixture payload is synthesized
+  * (UTF-8 bytes of `documents.text` standing in for an encoded image) and
+  * the fixture-facing decode is a STUB — [[MultimodalOps.decodeStub]] is a
+  * deterministic fake that consumes bytes and emits a fixed-dim feature
+  * vector. The REAL decode path exists too: [[MultimodalOps.decodePng]]
+  * decodes actual PNG bytes through `javax.imageio` (JDK built-in — no
+  * external codec), and [[MultimodalOps.mediaFeatures]] dispatches per
+  * `media_type` inside the same mapPartitions shape; unit tests feed it
+  * genuine generated PNGs. Everything around the decoders — binary schema,
+  * metadata struct, typed Dataset + mapPartitions batch shape, partition
+  * sizing — is the production plumbing and is what the tests exercise.
   *
   * Scale notes: media rows are wide (payload) and narrow in count, so the
   * feature pass uses mapPartitions (one decoder init per partition, not per
@@ -62,6 +65,54 @@ object MultimodalOps extends OpModule {
     }
     val n = math.max(bytes.length, 1).toFloat
     hist.map(_ / n)
+  }
+
+  /** REAL image decoder for `image/png` payloads — `javax.imageio` ships
+    * in the JDK, so no external codec is needed. Decode to pixels, emit a
+    * 16-bin LUMINANCE histogram, L1-normalized: the same contract as
+    * [[decodeStub]] (bytes in, fixed-dim floats out), but over actual
+    * pixel data. [[decodeStub]] remains the oracle path for the
+    * synthesized fixture, whose payloads are text bytes, not PNGs.
+    */
+  def decodePng(bytes: Array[Byte]): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "payload is not a decodable image")
+    val hist = new Array[Float](16)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        hist(lum >> 4) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(img.getWidth * img.getHeight, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** [[mmFeatures]]'s plumbing with the REAL codec in the loop: the same
+    * typed Dataset + mapPartitions batch shape over any media frame,
+    * decoder dispatched on `media_type` — `image/png` rows go through
+    * [[decodePng]] (actual pixels), everything else through the
+    * deterministic stub. The partition-local structure is where a real
+    * pipeline opens its codec/model session once per partition.
+    */
+  def mediaFeatures(s: SparkSession, media: DataFrame): DataFrame = {
+    import s.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // real pipeline: val codec = Codec.open(); val model = Session.load()
+      it.map { r =>
+        val feats =
+          if (r.media_type == "image/png") decodePng(r.media)
+          else decodeStub(r.media)
+        MediaFeatures(r.doc_id, r.media.length, feats)
+      }
+    }.toDF()
   }
 
   /** Metadata/bookkeeping pass over the media table — pure column ops,

@@ -25,6 +25,65 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // Deterministic REAL PNG bytes: a grey gradient whose luminance equals
+  // the pixel value, so the expected histogram is computable by hand.
+  private def pngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 31 + y * 17 + seed) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodePng decodes real PNG bytes to the exact pixel histogram") {
+    // a solid 16x16 grey-128 image: every pixel lands in luminance bin 8
+    val solid = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      solid.setRGB(x, y, (128 << 16) | (128 << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(solid, "png", bos)
+    val f = MultimodalOps.decodePng(bos.toByteArray)
+    assert(f.length === 16)
+    assert(f(8) === 1.0f)
+    assert(f.sum === 1.0f)
+    // gradient image: histogram matches a direct per-pixel count
+    val g = pngBytes(20, 10, 7)
+    val got = MultimodalOps.decodePng(g)
+    val want = new Array[Float](16)
+    for (y <- 0 until 10; x <- 0 until 20)
+      want(((x * 31 + y * 17 + 7) % 256) >> 4) += 1f / 200f
+    assert(got.length === 16)
+    got.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+    // and it rejects non-image bytes loudly instead of emitting garbage
+    intercept[IllegalArgumentException] {
+      MultimodalOps.decodePng("not a png".getBytes("UTF-8"))
+    }
+  }
+
+  test("mediaFeatures runs the REAL codec through the mapPartitions shape") {
+    import spark.implicits._
+    val media = Seq(
+      MultimodalOps.MediaRecord(1L, pngBytes(8, 8, 1), "image/png", 8, 8, 3),
+      MultimodalOps.MediaRecord(2L, pngBytes(12, 6, 2), "image/png", 12, 6, 3),
+      MultimodalOps.MediaRecord(3L, "plain bytes".getBytes("UTF-8"),
+        "video/mp4", 0, 0, 3)
+    ).toDF()
+    val got = MultimodalOps.mediaFeatures(spark, media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[Float]]("features").toArray).toMap
+    // distributed result == driver-side decode of the same bytes
+    assert(got(1L).sameElements(MultimodalOps.decodePng(pngBytes(8, 8, 1))))
+    assert(got(2L).sameElements(MultimodalOps.decodePng(pngBytes(12, 6, 2))))
+    // non-image rows fall back to the deterministic stub
+    assert(got(3L).sameElements(
+      MultimodalOps.decodeStub("plain bytes".getBytes("UTF-8"))))
+  }
+
   test("mm_frame_sample yields only video rows with frames <= 256 bytes") {
     val rows = MultimodalOps.mmFrameSample(spark, sf0001).collect()
     assert(rows.nonEmpty)
