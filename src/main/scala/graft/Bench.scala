@@ -32,11 +32,22 @@ object Bench {
         require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
         n
     }
+    // optional name-prefix filter (comma-separated), e.g.
+    // SPARK_GRAFT_ONLY_PREFIX=llm_,mm_ for the stress tier whose fixture
+    // carries only the documents/embeddings tables
+    val benched: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_ONLY_PREFIX") match {
+        case None => SparkEntry.queries
+        case Some(ps) =>
+          val prefixes = ps.split(',').map(_.trim).filter(_.nonEmpty)
+          SparkEntry.queries.filter { case (n, _) =>
+            prefixes.exists(n.startsWith) }
+      }
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
     // warm-up (not measured)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benched.foreach { case (_, fn) =>
       try runOnce(fn, warmDir) catch { case _: Throwable => () }
     }
     // best-of-N per query (N=2 default) damps GC/JIT noise so
@@ -46,7 +57,7 @@ object Bench {
     // resting on an unrecorded best-of. A failed run records null — never
     // its (near-zero) elapsed time, which would masquerade as a speedup.
     val allRuns: Map[String, Seq[Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
+      benched.map { case (name, fn) =>
         name -> (1 to nRuns).flatMap { _ =>
           val t0 = System.nanoTime()
           try {

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic ~10× stress fixture generator (documents + embeddings
+  * only — the LLM-pipeline tables). The sf0.1 fixture caps at 5,000 docs /
+  * 2,000 vectors, where several headline ops finish in ~0.3 s and the
+  * bench is noise-dominated; this writes 50,000 docs / 20,000 vectors in
+  * the same shape (same schemas, same ~50-token vocab text, same iid
+  * float32 embeddings) so the √n-cell and bounded-band-bucket scale claims
+  * get an empirical datapoint (BENCH_stress10x, cited in PERF.md).
+  *
+  * Planted structure, all deterministic (seed 42):
+  *  - every 500th doc is an EXACT duplicate of its predecessor;
+  *  - every 250th (collision-free with the above) is a NEAR duplicate —
+  *    one token replaced in a ≥80-token doc, so 3-gram-shingle Jaccard
+  *    ≈ (S−3)/(S+3) ≥ 0.92, above the 0.9 pipeline threshold;
+  *  - every 400th embedding is its predecessor plus tiny noise
+  *    (cosine ≈ 0.999, far above the 0.45 threshold);
+  * so dedup/near-dup/incremental results are non-trivial at this scale
+  * the way they are on the shipped fixtures.
+  *
+  * NOT an oracle fixture: correctness stays gated on /root/testdata (the
+  * driver's DuckDB compare). This data exists to measure throughput.
+  */
+object StressGen {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/root/repo/stressdata")
+    val docCount = args.lift(1).map(_.toInt).getOrElse(50000)
+    val vecCount = args.lift(2).map(_.toInt).getOrElse(20000)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vocab = Array("spark", "batch", "line", "column", "order", "small",
+      "sort", "fast", "value", "scan", "hash", "slow", "group", "query",
+      "table", "vector", "part", "agg", "stream", "filter", "customer",
+      "key", "window", "join", "the", "a", "g", "shuffle", "broadcast",
+      "codegen", "parquet", "schema", "plan", "stage", "task", "executor",
+      "driver", "merge", "bucket", "skew")
+    val langs = Array("en", "en", "en", "en", "zh", "es", "fr", "de")
+    val rnd = new scala.util.Random(42)
+
+    def baseText(minLen: Int): String = {
+      val len = minLen + rnd.nextInt(60)
+      Array.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    // generation is driver-side (≈30 MB of text — a one-time tooling run,
+    // not a query path) and parallelized for the write
+    val docs = new Array[(Long, String, String, String, Long)](docCount)
+    var i = 0
+    while (i < docCount) {
+      val exactDup = i % 500 == 1 && i > 0
+      val nearDup = !exactDup && i % 250 == 1 && i > 0
+      val text =
+        if (exactDup) docs(i - 1)._2
+        else if (nearDup) {
+          val toks = docs(i - 1)._2.split(" ")
+          toks(toks.length / 2) = "mutated"
+          toks.mkString(" ")
+        } else baseText(if ((i + 1) % 250 == 1) 80 else 20)
+      docs(i) = (i.toLong, text, langs(rnd.nextInt(langs.length)),
+        s"src${rnd.nextInt(20)}", text.length.toLong)
+      i += 1
+    }
+    spark.createDataset(docs.toIndexedSeq)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val vecs = new Array[(Long, Array[Float], Int)](vecCount)
+    i = 0
+    while (i < vecCount) {
+      val emb =
+        if (i % 400 == 1 && i > 0)
+          vecs(i - 1)._2.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
+        else Array.fill(64)(rnd.nextGaussian().toFloat)
+      vecs(i) = (i.toLong, emb, rnd.nextInt(10))
+      i += 1
+    }
+    spark.createDataset(vecs.toIndexedSeq)
+      .toDF("vec_id", "embedding", "label")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"[stressgen] wrote $docCount docs + $vecCount vectors to $out")
+    spark.stop()
+  }
+}

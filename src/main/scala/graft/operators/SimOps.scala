@@ -133,27 +133,33 @@ object SimOps extends OpModule {
     * pair at sf0.001/0.01/0.1 shares ≥1 probed cell, most share ≥2). On a
     * real near-dup corpus (threshold ≥0.85) the same plan prunes orders of
     * magnitude harder; at 100 TB, `dedupCells` grows ~√n so the per-cell
-    * pair work stays bounded and cells map to parquet partitions.
+    * pair work stays bounded and cells map to parquet partitions. These
+    * defaults are the fixture-calibrated ORACLE configuration;
+    * [[dedupEmbed]] takes (cells, probes) as parameters for bigger corpora
+    * — the 10× stress tier runs √n ≈ 128 cells (graft.StressProbe measures
+    * the quadratic-vs-√n difference empirically; PERF.md records it).
     */
   val dedupCells = 32
   val dedupProbes = 7
 
-  /** The row's [[dedupProbes]] nearest cells of the broadcast quantizer,
-    * as one array expression — the per-vector assignment both the live
-    * pass and the persisted artifact share.
+  /** The row's `probes` nearest cells of the broadcast quantizer, as one
+    * array expression — the per-vector assignment both the live pass and
+    * the persisted artifact share.
     */
-  private def probeCells(seedsCol: Column): Column =
-    transform(slice(rankedSeeds(seedsCol), 1, dedupProbes),
+  private def probeCells(seedsCol: Column,
+      probes: Int = dedupProbes): Column =
+    transform(slice(rankedSeeds(seedsCol), 1, probes),
       p => p.getField("sid"))
 
   /** Multi-probe quantizer assignment, shared by every bucketed embedding
     * op (and stateless, so it runs unchanged on a stream): each vector
-    * explodes into its [[dedupProbes]] nearest cells of the broadcast
-    * quantizer, as (cell, vec_id, embedding, norm).
+    * explodes into its `probes` nearest cells of the broadcast quantizer,
+    * as (cell, vec_id, embedding, norm).
     */
-  private def probeAssigned(df: DataFrame, seedsCol: Column): DataFrame =
+  private def probeAssigned(df: DataFrame, seedsCol: Column,
+      probes: Int = dedupProbes): DataFrame =
     withNorm(df)
-      .withColumn("probes", probeCells(seedsCol))
+      .withColumn("probes", probeCells(seedsCol, probes))
       .select(explode(col("probes")).as("cell"), col("vec_id"),
         col("embedding"), col("norm"))
 
@@ -222,10 +228,11 @@ object SimOps extends OpModule {
     * collapse with one distinct over the (tiny) post-threshold result.
     * Asserted cartesian/BNLJ-free in PlanAuditSpec.
     */
-  def dedupEmbed(s: SparkSession, dir: String): DataFrame = {
+  def dedupEmbed(s: SparkSession, dir: String,
+      cells: Int = dedupCells, probes: Int = dedupProbes): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val assigned = probeAssigned(Tables.embeddings(s, dir),
-      typedlit(driverSeeds(s, dir, dedupCells)))
+      typedlit(driverSeeds(s, dir, cells)), probes)
     val a = assigned.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("vb"),
@@ -443,7 +450,7 @@ object SimOps extends OpModule {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_topk" -> simTopk,
-    "llm_dedup_embed" -> dedupEmbed,
+    "llm_dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
     "llm_dedup_embed_incremental" -> dedupEmbedIncremental,
     "llm_ann_ivf" -> annIvf,
     "llm_cluster_assign" -> clusterAssign

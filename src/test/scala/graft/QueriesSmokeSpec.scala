@@ -20,6 +20,14 @@ class QueriesSmokeSpec extends SparkSpec {
   // (llm_cluster_assign and llm_dedup_incremental left this set in round
   // 4 — the former's assignment is a narrow argmax with no join at all,
   // the latter's snapshot boundary became a driver-collected literal.)
+  //
+  // RULE — this allowlist is the ONLY thing stopping a brute-force scan
+  // from shipping silently (round 1's biggest lesson). Adding a name here
+  // requires (a) a doc comment in the operator itself justifying why the
+  // non-equi broadcast is bounded at 100 TB (tiny build side that does
+  // NOT grow with the corpus), and (b) a note in this comment block, like
+  // the round-4 removals above. Never add a name just to make this spec
+  // pass.
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf")
 
