@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between crawling and training (builder prompt: "the operations a
+  * large-scale training-data pipeline would need"): benchmark
+  * decontamination, PII scrubbing, and intra-document repetition scoring
+  * — the three standard hygiene passes alongside dedup
+  * ([[DedupOps]]/[[SimOps]]) and quality filtering ([[TextOps]]).
+  *
+  * Scale notes: the eval/benchmark set in decontamination is thousands of
+  * documents against a corpus of billions, so its n-gram set broadcasts
+  * and the corpus side is one explode + broadcast semi-ish join + per-doc
+  * count — linear, no corpus shuffle beyond the doc_id aggregation. PII
+  * scrub and repetition scoring are pure narrow column expressions
+  * (regexp / array ops) that stream through the scan.
+  */
+object CurationOps extends OpModule {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct n-gram set over whitespace tokens (the [[DedupOps]] shingle
+    * shape, n parameterized).
+    */
+  private def ngrams(n: Int): Column = {
+    val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
+    expr(
+      s"""array_distinct(
+         |  CASE WHEN size(toks) >= $n THEN
+         |    transform(sequence(0, size(toks) - $n),
+         |              i -> concat_ws(' ', $parts))
+         |  ELSE array() END)""".stripMargin)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any n-gram
+    * with the held-out evaluation set — the pass that keeps test answers
+    * out of training data. The fixture's "benchmark" is the deterministic
+    * doc_id % 97 slice; n = 3 so the 40-word-vocab fixture produces
+    * non-trivial overlap (production uses 8–13-grams; the plan is
+    * n-independent). Output: every contaminated doc with its distinct
+    * shared-n-gram count and the smallest benchmark doc it collides with.
+    *
+    * Plan: benchmark n-grams are exploded and broadcast (eval suites are
+    * tiny next to the corpus); the corpus side explodes once, equi-joins
+    * on the n-gram string, and aggregates per doc — no corpus self-join,
+    * no shuffle except the per-doc count.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .select(col("doc_id"), explode(ngrams(3)).as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shared"),
+        min(col("bench_id")).as("first_bench"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII scrubbing: redact emails and phone-shaped strings, counting what
+    * was removed. The fixture text is clean by construction, so the dirty
+    * input is modeled by deterministically injecting a contact line into
+    * every 5th document (doc_id-derived, reproduced identically by the
+    * oracle) — the transform itself is exactly the production pass:
+    * `regexp_extract_all` to count, `regexp_replace` to redact, patterns
+    * kept in the regex subset Java and RE2 agree on. Narrow end-to-end.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("dirty",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      .withColumn("n_emails",
+        size(expr("regexp_extract_all(dirty, '[a-z0-9.]+@[a-z0-9.]+[a-z]', 0)")))
+      .withColumn("n_phones",
+        size(expr("regexp_extract_all(dirty, '555-[0-9]{4}', 0)")))
+      .withColumn("clean_text",
+        regexp_replace(
+          regexp_replace(col("dirty"), "[a-z0-9.]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
+          "555-[0-9]{4}", "<PHONE>"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style repetition scoring: the fraction of duplicated tokens
+    * and duplicated 3-grams inside each document (1 − distinct/total),
+    * plus the filter verdict at the 5% duplicate-3-gram threshold. Pure
+    * narrow array arithmetic — the doc never leaves its partition.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("dup_token_frac",
+        lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          col("n_tokens"))
+      .withColumn("n_grams", greatest(col("n_tokens") - 2, lit(1)))
+      .withColumn("dup_3gram_frac",
+        lit(1.0) - size(ngrams(3)).cast("double") / col("n_grams"))
+      .withColumn("flagged", col("dup_3gram_frac") > 0.05)
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        col("dup_3gram_frac"), col("flagged"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_decontaminate" -> decontaminate,
+    "llm_pii_scrub" -> piiScrub,
+    "llm_repetition" -> repetition
+  )
+
+  val oracle: Map[String, String] = Map(
+    "llm_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
+        |                toks[i+2] for i in range(1, greatest(len(toks)-1, 1))]))
+        |           AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE doc_id % 97 = 0)
+        |SELECT sh.doc_id, count(DISTINCT sh.g) AS n_shared,
+        |       min(bench_id) AS first_bench
+        |FROM sh JOIN bench ON sh.g = bench.g
+        |WHERE sh.doc_id % 97 != 0
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    "llm_pii_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN text || ' contact user' || doc_id ||
+        |                   '@example.com or call 555-' ||
+        |                   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |              ELSE text END AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(dirty,
+        |            '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(dirty, '555-[0-9]{4}')) AS INT)
+        |         AS n_phones,
+        |       regexp_replace(regexp_replace(dirty,
+        |           '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+        |           '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "llm_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(toks) AS INT) AS n_tokens,
+        |       1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |         AS dup_token_frac,
+        |       1.0 - CAST(len(list_distinct([toks[i] || ' ' || toks[i+1] ||
+        |                ' ' || toks[i+2]
+        |                for i in range(1, greatest(len(toks)-1, 1))]))
+        |              AS DOUBLE) / greatest(len(toks) - 2, 1)
+        |         AS dup_3gram_frac,
+        |       (1.0 - CAST(len(list_distinct([toks[i] || ' ' || toks[i+1] ||
+        |                ' ' || toks[i+2]
+        |                for i in range(1, greatest(len(toks)-1, 1))]))
+        |              AS DOUBLE) / greatest(len(toks) - 2, 1)) > 0.05
+        |         AS flagged
+        |FROM t ORDER BY doc_id""".stripMargin
+  )
+}

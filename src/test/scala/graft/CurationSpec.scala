@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CurationOps
+
+/** Value-level checks for the curation passes (the DuckDB oracle gates
+  * full parity; these pin the semantics that matter).
+  */
+class CurationSpec extends SparkSpec {
+
+  test("llm_decontaminate: benchmark docs never flag themselves; hits share a real n-gram") {
+    val rows = CurationOps.decontaminate(spark, sf0001).collect()
+    assert(rows.nonEmpty, "fixture must produce contamination overlap")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 97 !== 0L,
+        "a benchmark doc leaked into the contaminated set")
+      assert(r.getAs[Long]("first_bench") % 97 === 0L)
+      assert(r.getAs[Long]("n_shared") >= 1L)
+    }
+    // spot-check one hit end-to-end: the doc and its first_bench really
+    // share a 3-gram
+    val hit = rows.head
+    val texts = Tables.documents(spark, sf0001)
+      .filter(col("doc_id").isin(hit.getAs[Long]("doc_id"),
+        hit.getAs[Long]("first_bench")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    def grams3(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    assert((grams3(texts(hit.getAs[Long]("doc_id"))) &
+      grams3(texts(hit.getAs[Long]("first_bench")))).nonEmpty)
+  }
+
+  test("llm_pii_scrub: injected PII is counted and fully redacted") {
+    val rows = CurationOps.piiScrub(spark, sf0001).collect()
+    rows.foreach { r =>
+      val injected = r.getAs[Long]("doc_id") % 5 == 0
+      val clean = r.getAs[String]("clean_text")
+      if (injected) {
+        assert(r.getAs[Int]("n_emails") >= 1)
+        assert(r.getAs[Int]("n_phones") >= 1)
+        assert(clean.contains("<EMAIL>") && clean.contains("<PHONE>"))
+      } else {
+        assert(r.getAs[Int]("n_emails") === 0)
+        assert(r.getAs[Int]("n_phones") === 0)
+      }
+      assert(!clean.contains("@example.com"),
+        s"unredacted email survives in doc ${r.getAs[Long]("doc_id")}")
+      assert(!clean.matches(".*555-[0-9]{4}.*"),
+        s"unredacted phone survives in doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("llm_repetition: fractions bounded, verdict consistent, hand-check") {
+    import spark.implicits._
+    val rows = CurationOps.repetition(spark, sf0001).collect()
+    assert(rows.length === Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      val dt = r.getAs[Double]("dup_token_frac")
+      val dg = r.getAs[Double]("dup_3gram_frac")
+      assert(dt >= 0.0 && dt < 1.0)
+      assert(dg >= 0.0 && dg < 1.0)
+      assert(r.getAs[Boolean]("flagged") === (dg > 0.05))
+    }
+    // a maximally repetitive doc must be flagged with the exact fractions
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    Seq((0L, "spam spam spam spam spam spam", "en", "src0", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rep = CurationOps.repetition(spark, dir).collect().head
+    assert(rep.getAs[Double]("dup_token_frac") === 1.0 - 1.0 / 6)
+    assert(rep.getAs[Double]("dup_3gram_frac") === 1.0 - 1.0 / 4)
+    assert(rep.getAs[Boolean]("flagged"))
+  }
+}

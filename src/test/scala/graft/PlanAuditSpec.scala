@@ -99,6 +99,15 @@ class PlanAuditSpec extends SparkSpec {
         "raw embeddings scan without the batch filter:\n" + l))
   }
 
+  test("llm_decontaminate: benchmark n-grams broadcast — corpus never shuffled for the join") {
+    val p = plan(CurationOps.decontaminate(spark, sf0001))
+    // the eval set is tiny next to the corpus: its exploded n-grams must
+    // build a broadcast hash join, never a corpus-wide sort-merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("llm_dedup_near: LSH band self-join reuses the banded-corpus exchange") {
     // both sides of the candidate self-join hash the same banded subtree on
     // the same keys — Spark must compute that exchange once and replay it
