@@ -111,10 +111,44 @@ object CurationOps extends OpModule {
         col("dup_3gram_frac"), col("flagged"))
       .orderBy(col("doc_id"))
 
+  /** Sequence packing — the step that turns a cleaned corpus into fixed
+    * token-budget training sequences: documents are concatenated in a
+    * deterministic order within a shard and split at every `budget`-token
+    * boundary, so each doc's placement is pure arithmetic over the
+    * EXCLUSIVE running token count: seq_id = cum_before div budget,
+    * offset = cum_before mod budget, crosses = does it straddle a
+    * boundary.
+    *
+    * The running sum is [[graft.operators.WindowOps.spreadRank]]'s prefix
+    * machinery (weight = n_tokens), NOT a shard-partitioned window — so
+    * parallelism is the shuffle width, not the 32-shard count, the same
+    * fix the round-5 window rewrite made. Shard count is a config that
+    * scales with the writer fleet; packing stays deterministic (shard =
+    * doc_id mod 32, order = doc_id) so the same corpus packs identically
+    * on any cluster layout.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 512
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(32L)).as("shard"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    WindowOps.spreadRank(base, "shard", Seq(col("doc_id")),
+        s.sessionState.conf.numShufflePartitions, weight = Some("n_tokens"))
+      .withColumn("cum_before", col("__pre") - col("n_tokens"))
+      .select(col("doc_id"), col("shard"),
+        expr(s"cum_before div $budget").as("seq_id"),
+        (col("cum_before") % budget).as("offset"),
+        col("n_tokens"),
+        (col("cum_before") % budget + col("n_tokens") > budget).as("crosses"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_decontaminate" -> decontaminate,
     "llm_pii_scrub" -> piiScrub,
-    "llm_repetition" -> repetition
+    "llm_repetition" -> repetition,
+    "llm_pack_sequences" -> packSequences
   )
 
   val oracle: Map[String, String] = Map(
@@ -150,6 +184,24 @@ object CurationOps extends OpModule {
         |           '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
         |           '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text
         |FROM d ORDER BY doc_id""".stripMargin,
+    "llm_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |         len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (
+        |              PARTITION BY shard ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, shard,
+        |       CAST(cum_before // 512 AS BIGINT) AS seq_id,
+        |       CAST(cum_before % 512 AS BIGINT) AS offset,
+        |       CAST(n_tokens AS INT) AS n_tokens,
+        |       (cum_before % 512) + n_tokens > 512 AS crosses
+        |FROM c ORDER BY doc_id""".stripMargin,
     "llm_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

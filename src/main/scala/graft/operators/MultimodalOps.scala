@@ -95,21 +95,54 @@ object MultimodalOps extends OpModule {
     hist.map(_ / n)
   }
 
-  /** [[mmFeatures]]'s plumbing with the REAL codec in the loop: the same
+  /** REAL audio decoder for `audio/wav` payloads — `javax.sound.sampled`
+    * ships in the JDK. Decode PCM frames, emit a 16-dim feature = RMS
+    * energy of 16 equal time segments, L1-normalized: the same fixed-dim
+    * contract as [[decodePng]]/[[decodeStub]], over actual samples.
+    * Handles 16-bit signed little-endian mono (the canonical WAV PCM).
+    */
+  def decodeWav(bytes: Array[Byte]): Array[Float] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"expected 16-bit little-endian PCM, got $fmt")
+      val raw = in.readAllBytes()
+      val n = raw.length / 2
+      val energy = new Array[Double](16)
+      var i = 0
+      while (i < n) {
+        val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort
+        val x = s.toDouble / 32768.0
+        energy(math.min(i * 16 / math.max(n, 1), 15)) += x * x
+        i += 1
+      }
+      val rms = energy.map(math.sqrt)
+      val total = rms.sum
+      if (total == 0.0) new Array[Float](16)
+      else rms.map(e => (e / total).toFloat)
+    } finally in.close()
+  }
+
+  /** [[mmFeatures]]'s plumbing with the REAL codecs in the loop: the same
     * typed Dataset + mapPartitions batch shape over any media frame,
     * decoder dispatched on `media_type` — `image/png` rows go through
-    * [[decodePng]] (actual pixels), everything else through the
-    * deterministic stub. The partition-local structure is where a real
-    * pipeline opens its codec/model session once per partition.
+    * [[decodePng]] (actual pixels), `audio/wav` through [[decodeWav]]
+    * (actual PCM samples), everything else through the deterministic
+    * stub. The partition-local structure is where a real pipeline opens
+    * its codec/model session once per partition.
     */
   def mediaFeatures(s: SparkSession, media: DataFrame): DataFrame = {
     import s.implicits._
     media.as[MediaRecord].mapPartitions { it =>
       // real pipeline: val codec = Codec.open(); val model = Session.load()
       it.map { r =>
-        val feats =
-          if (r.media_type == "image/png") decodePng(r.media)
-          else decodeStub(r.media)
+        val feats = r.media_type match {
+          case "image/png" => decodePng(r.media)
+          case "audio/wav" => decodeWav(r.media)
+          case _ => decodeStub(r.media)
+        }
         MediaFeatures(r.doc_id, r.media.length, feats)
       }
     }.toDF()

@@ -52,6 +52,29 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("llm_pack_sequences: contiguous token stream per shard, exact placement") {
+    val rows = CurationOps.packSequences(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("offset"),
+        r.getAs[Int]("n_tokens"), r.getAs[Boolean]("crosses")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_._2).foreach { case (_, id, seq, off, n, crosses) =>
+        assert(seq === cum / 512, s"doc $id seq_id")
+        assert(off === cum % 512, s"doc $id offset")
+        assert(crosses === (cum % 512 + n > 512), s"doc $id crosses")
+        cum += n
+      }
+    }
+    // conservation: every token is placed exactly once
+    val placed = rows.map(_._5.toLong).sum
+    val total = Tables.documents(spark, sf0001)
+      .selectExpr("CAST(sum(size(split(text, ' '))) AS BIGINT)")
+      .head().getLong(0)
+    assert(placed === total)
+  }
+
   test("llm_repetition: fractions bounded, verdict consistent, hand-check") {
     import spark.implicits._
     val rows = CurationOps.repetition(spark, sf0001).collect()

@@ -65,13 +65,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // Real 16-bit mono PCM WAV bytes via the JDK's own writer.
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s2, i) =>
+      raw(2 * i) = (s2 & 0xff).toByte
+      raw(2 * i + 1) = ((s2 >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeWav decodes real PCM: energy lands in the loud half only") {
+    // first half silence, second half full-scale square wave: all the RMS
+    // mass must sit in segments 8..15, equally split
+    val samples = new Array[Short](1600)
+    (800 until 1600).foreach(i =>
+      samples(i) = if (i % 2 == 0) 16384 else -16384)
+    val f = MultimodalOps.decodeWav(wavBytes(samples))
+    assert(f.length === 16)
+    assert(math.abs(f.sum - 1.0f) < 1e-5)
+    (0 until 8).foreach(i => assert(f(i) === 0.0f, s"segment $i not silent"))
+    (8 until 16).foreach(i => assert(math.abs(f(i) - 0.125f) < 1e-5))
+    // all-silence clip → zero vector, not NaN
+    assert(MultimodalOps.decodeWav(wavBytes(new Array[Short](320)))
+      .forall(_ === 0.0f))
+  }
+
   test("mediaFeatures runs the REAL codec through the mapPartitions shape") {
     import spark.implicits._
+    val tone = Array.tabulate[Short](800)(i =>
+      (math.sin(i * 0.2) * 20000).toShort)
     val media = Seq(
       MultimodalOps.MediaRecord(1L, pngBytes(8, 8, 1), "image/png", 8, 8, 3),
       MultimodalOps.MediaRecord(2L, pngBytes(12, 6, 2), "image/png", 12, 6, 3),
       MultimodalOps.MediaRecord(3L, "plain bytes".getBytes("UTF-8"),
-        "video/mp4", 0, 0, 3)
+        "video/mp4", 0, 0, 3),
+      MultimodalOps.MediaRecord(4L, wavBytes(tone), "audio/wav", 0, 0, 1)
     ).toDF()
     val got = MultimodalOps.mediaFeatures(spark, media).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -79,7 +114,8 @@ class MultimodalSpec extends SparkSpec {
     // distributed result == driver-side decode of the same bytes
     assert(got(1L).sameElements(MultimodalOps.decodePng(pngBytes(8, 8, 1))))
     assert(got(2L).sameElements(MultimodalOps.decodePng(pngBytes(12, 6, 2))))
-    // non-image rows fall back to the deterministic stub
+    assert(got(4L).sameElements(MultimodalOps.decodeWav(wavBytes(tone))))
+    // rows with no real codec fall back to the deterministic stub
     assert(got(3L).sameElements(
       MultimodalOps.decodeStub("plain bytes".getBytes("UTF-8"))))
   }
