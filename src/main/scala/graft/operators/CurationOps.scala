@@ -127,12 +127,19 @@ object CurationOps extends OpModule {
     * doc_id mod 32, order = doc_id) so the same corpus packs identically
     * on any cluster layout.
     */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
-    val budget = 512
-    val base = Tables.documents(s, dir)
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packed(s, Tables.documents(s, dir)
       .select(col("doc_id"),
         pmod(col("doc_id"), lit(32L)).as("shard"),
-        size(split(col("text"), " ")).as("n_tokens"))
+        size(split(col("text"), " ")).as("n_tokens")))
+      .orderBy(col("doc_id"))
+
+  /** The packing arithmetic over any (doc_id, shard, n_tokens) frame —
+    * shared by the raw-table query and the corpus-prepare capstone.
+    * Emits doc_id, shard, seq_id, offset, n_tokens, crosses.
+    */
+  private[operators] def packed(s: SparkSession, base: DataFrame): DataFrame = {
+    val budget = 512
     WindowOps.spreadRank(base, "shard", Seq(col("doc_id")),
         s.sessionState.conf.numShufflePartitions, weight = Some("n_tokens"))
       .withColumn("cum_before", col("__pre") - col("n_tokens"))
@@ -141,7 +148,6 @@ object CurationOps extends OpModule {
         (col("cum_before") % budget).as("offset"),
         col("n_tokens"),
         (col("cum_before") % budget + col("n_tokens") > budget).as("crosses"))
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

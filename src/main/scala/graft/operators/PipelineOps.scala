@@ -42,8 +42,37 @@ object PipelineOps extends OpModule {
       .orderBy(col("doc_id"))
   }
 
+  /** The COMPLETE corpus-preparation flow, crawl to training sequences:
+    * [[corpusClean]]'s survivors (quality gate → exact dedup → near-dup
+    * removal → language filter) minus the benchmark slice and every doc
+    * sharing an n-gram with it ([[CurationOps.decontaminate]] — eval data
+    * neither trains nor leaks), minus repetitive docs
+    * ([[CurationOps.repetition]]), packed into fixed 512-token training
+    * sequences ([[CurationOps.packed]] — spreadRank prefix sums, so the
+    * packing runs at shuffle-width parallelism). Every stage is the
+    * individually-verified operator; composition is doc_id joins.
+    */
+  def corpusPrepare(s: SparkSession, dir: String): DataFrame = {
+    val survivors = corpusClean(s, dir)
+      .select(col("doc_id"), col("n_tokens"))
+      .filter(col("doc_id") % 97 =!= 0)
+    val contaminated = CurationOps.decontaminate(s, dir).select(col("doc_id"))
+    val repetitive = CurationOps.repetition(s, dir)
+      .filter(col("flagged")).select(col("doc_id"))
+    val base = survivors
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(repetitive, Seq("doc_id"), "left_anti")
+      .withColumn("shard", pmod(col("doc_id"), lit(32L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"))
+    CurationOps.packed(s, base)
+      .select(col("doc_id"), col("shard"), col("seq_id"), col("offset"),
+        col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "llm_corpus_clean" -> corpusClean
+    "llm_corpus_clean" -> corpusClean,
+    "llm_corpus_prepare" -> corpusPrepare
   )
 
   val oracle: Map[String, String] = Map(
@@ -96,6 +125,90 @@ object PipelineOps extends OpModule {
         |WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
         |  AND quality >= 0.3
         |  AND predicted_lang IN ('en', 'mixed')
-        |ORDER BY s.doc_id""".stripMargin
+        |ORDER BY s.doc_id""".stripMargin,
+    // corpus_clean's CTEs (verbatim) + decontamination/repetition stages +
+    // the running-sum packing — the same composition the Spark side makes
+    // from its individually-verified operators. `sh` (the 3-gram explode)
+    // is shared by the near-dup and decontamination stages.
+    "llm_corpus_prepare" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |           AS uniq_ratio,
+        |         CAST(len(list_filter(toks,
+        |              x -> list_contains(['the', 'a', 'of', 'and', 'to',
+        |                                  'in'], x))) AS DOUBLE)
+        |           / len(toks) AS stop_ratio,
+        |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+        |           AS avg_tok_len
+        |  FROM t),
+        |scored AS (
+        |  SELECT doc_id, n_tokens,
+        |         uniq_ratio * 0.5 + stop_ratio * 0.3 +
+        |           least(avg_tok_len / 10.0, 1.0) * 0.2 AS quality,
+        |         CASE WHEN stop_ratio >= 0.15 THEN 'en'
+        |              WHEN stop_ratio >= 0.05 THEN 'mixed'
+        |              ELSE 'other' END AS predicted_lang
+        |  FROM q),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents
+        |  GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
+        |                toks[i+2] for i in range(1, greatest(len(toks)-1, 1))]))
+        |           AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |losers AS (
+        |  SELECT DISTINCT doc_b AS doc_id
+        |  FROM inter
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9),
+        |clean AS (
+        |  SELECT s.doc_id, n_tokens
+        |  FROM scored s
+        |  JOIN keepers k ON s.doc_id = k.doc_id
+        |  WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)
+        |    AND quality >= 0.3
+        |    AND predicted_lang IN ('en', 'mixed')
+        |    AND s.doc_id % 97 != 0),
+        |bench AS (SELECT s AS g FROM sh WHERE doc_id % 97 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT sh.doc_id FROM sh
+        |  WHERE sh.doc_id % 97 != 0 AND sh.s IN (SELECT g FROM bench)),
+        |repetitive AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           1.0 - CAST(len(list_distinct([toks[i] || ' ' ||
+        |                  toks[i+1] || ' ' || toks[i+2]
+        |                  for i in range(1, greatest(len(toks)-1, 1))]))
+        |                 AS DOUBLE) / greatest(len(toks) - 2, 1) AS frac
+        |    FROM t)
+        |  WHERE frac > 0.05),
+        |base AS (
+        |  SELECT doc_id, doc_id % 32 AS shard, n_tokens FROM clean
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |    AND doc_id NOT IN (SELECT doc_id FROM repetitive)),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (
+        |              PARTITION BY shard ORDER BY doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before
+        |  FROM base)
+        |SELECT doc_id, shard,
+        |       CAST(cum_before // 512 AS BIGINT) AS seq_id,
+        |       CAST(cum_before % 512 AS BIGINT) AS offset,
+        |       CAST(n_tokens AS INT) AS n_tokens
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

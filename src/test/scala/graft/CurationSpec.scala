@@ -75,6 +75,28 @@ class CurationSpec extends SparkSpec {
     assert(placed === total)
   }
 
+  test("llm_corpus_prepare: survivors exclude benchmark/contaminated/repetitive; packing contiguous") {
+    import graft.operators.PipelineOps
+    val prep = PipelineOps.corpusPrepare(spark, sf0001).collect()
+    assert(prep.nonEmpty)
+    val ids = prep.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.forall(_ % 97 != 0), "a benchmark doc reached training data")
+    val contaminated = CurationOps.decontaminate(spark, sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert((ids & contaminated).isEmpty, "a contaminated doc survived")
+    val cleanIds = PipelineOps.corpusClean(spark, sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.subsetOf(cleanIds), "prepare emitted a doc clean rejected")
+    prep.groupBy(_.getAs[Long]("shard")).foreach { case (_, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("seq_id") === cum / 512)
+        assert(r.getAs[Long]("offset") === cum % 512)
+        cum += r.getAs[Int]("n_tokens")
+      }
+    }
+  }
+
   test("llm_repetition: fractions bounded, verdict consistent, hand-check") {
     import spark.implicits._
     val rows = CurationOps.repetition(spark, sf0001).collect()
