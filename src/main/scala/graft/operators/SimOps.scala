@@ -207,9 +207,13 @@ object SimOps extends OpModule {
 
   /** A persisted artifact frame re-exploded to the (cell, vec_id,
     * embedding, norm) shape the candidate joins consume — a narrow
-    * generate over stored columns, no quantizer math.
+    * generate over stored columns, no quantizer math. Persisting THIS
+    * form bucketed on `cell` removes the store-side exchange from the
+    * incremental cell joins entirely (only the batch repartitions to the
+    * store's layout — asserted in StorageLayoutSpec), the same lever the
+    * digest-bucketed document store uses.
     */
-  private def artifactAssigned(art: DataFrame): DataFrame =
+  private[graft] def artifactAssigned(art: DataFrame): DataFrame =
     art.select(explode(col("cells")).as("cell"), col("vec_id"),
       col("embedding"), col("norm"))
 

@@ -94,6 +94,47 @@ class StorageLayoutSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  // The embedding store's version of the same lever: the exploded probe
+  // assignments persisted bucketed on cell let the incremental candidate
+  // join read the store in place — only the batch side shuffles.
+  test("cell-bucketed embed store joins shuffle the batch only") {
+    import graft.operators.SimOps
+    spark.sql("DROP TABLE IF EXISTS embed_store_b")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(wh, "embed_store_b"))
+    val k = Tables.snapshotBoundary(spark, sf0001, "embeddings")
+    val emb = Tables.embeddings(spark, sf0001)
+    val seeds = SimOps.seedsFromArtifact(
+      SimOps.quantizerArtifact(spark, sf0001, SimOps.dedupCells))
+    SimOps.artifactAssigned(
+        SimOps.embedSnapshotArtifacts(spark, emb.filter(col("vec_id") < k),
+          seeds))
+      .write.bucketBy(4, "cell").sortBy("cell")
+      .saveAsTable("embed_store_b")
+    val batch = SimOps.artifactAssigned(
+      SimOps.embedSnapshotArtifacts(spark, emb.filter(col("vec_id") >= k),
+        seeds))
+      .select(col("cell"), col("vec_id").as("vb"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val joined = batch.join(
+      spark.table("embed_store_b").select(col("cell"),
+        col("vec_id").as("va")), "cell")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // exactly one exchange: the batch repartitioning to the store's
+      // bucket layout — the store side reads in place
+      assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+        s"only the batch side may shuffle:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("date-partitioned writes enable partition pruning at the scan") {
     val dir = Files.createTempDirectory("graft_part").toString + "/events"
     Tables.events(spark, sf0001)
