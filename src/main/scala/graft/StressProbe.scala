@@ -71,9 +71,25 @@ object StressProbe {
     }
     val defScore = score("default", graft.operators.SimOps.dedupCells)
     val sqrtScore = score("sqrtn", sqrtCells)
+    // ANN at 10×: recall@5 of the IVF probe path vs the brute-force scan
+    // (llm_sim_topk — the sanctioned exact baseline), plus both timings.
+    def topSets(df: org.apache.spark.sql.DataFrame): (Double, Map[Long, Set[Long]]) = {
+      df.write.format("noop").mode("overwrite").save() // warm-up
+      val t0 = System.nanoTime()
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+      ((System.nanoTime() - t0) / 1e9,
+        rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+    }
+    val (tBrute, brute) = topSets(graft.operators.SimOps.simTopk(spark, dir))
+    val (tAnn, ann) = topSets(graft.operators.SimOps.annIvf(spark, dir))
+    val recall = brute.keys.toSeq.map { q =>
+      (brute(q) & ann.getOrElse(q, Set.empty)).size.toDouble / brute(q).size
+    }.sum / brute.size
     println(s"""{"metric":"stress_probe","n_vectors":$n,""" +
       s""""pairs_exact":${ref.size},"true_dups":${trueDups.size},""" +
-      s"""$defScore,$sqrtScore}""")
+      s"""$defScore,$sqrtScore,""" +
+      s""""ann":{"sec_brute":$tBrute,"sec_ivf":$tAnn,""" +
+      s""""recall_at_5":$recall}}""")
     spark.stop()
   }
 }

@@ -97,6 +97,16 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation ops on an empty corpus return empty, not errors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cur0").toString
+    Tables.documents(spark, sf0001).filter(lit(false))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(CurationOps.decontaminate(spark, dir).count() === 0)
+    assert(CurationOps.piiScrub(spark, dir).count() === 0)
+    assert(CurationOps.repetition(spark, dir).count() === 0)
+    assert(CurationOps.packSequences(spark, dir).count() === 0)
+  }
+
   test("llm_repetition: fractions bounded, verdict consistent, hand-check") {
     import spark.implicits._
     val rows = CurationOps.repetition(spark, sf0001).collect()
