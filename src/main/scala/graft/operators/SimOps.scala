@@ -385,11 +385,23 @@ object SimOps extends OpModule {
     * rows per (query × partition), not the scored candidate set.
     */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TopKByScore
+    val (centroids, assigned) = annIndex(s, dir)
+    annSearch(s, queriesSide(s, dir), centroids, assigned)
+  }
+
+  /** The IVF index build — what a production deployment runs ONCE per
+    * corpus snapshot and PERSISTS (the stress probe shows why: rebuilt
+    * per query batch, the assignment + centroid passes dominate and
+    * brute force wins; amortized as stored artifacts, only the probe +
+    * in-cell search remain at query time). Returns (centroids, cell
+    * assignments): centroid = mean of assigned vectors per cell;
+    * assignment = narrow in-expression argmax over the seed quantizer
+    * (score desc, seed id asc tiebreak) — map-only, no join/shuffle/
+    * window on the corpus.
+    */
+  def annIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val emb = withNorm(Tables.embeddings(s, dir))
-    // one assignment pass: each vector → nearest seed by cosine, as a
-    // narrow in-expression argmax (score desc, seed id asc tiebreak)
     val assigned = emb
       .withColumn("cell",
         element_at(rankedSeeds(typedlit(driverSeeds(s, dir, 10))), 1)
@@ -402,15 +414,58 @@ object SimOps extends OpModule {
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("v"))))
         .getField("v").as("centroid"))
-    val q = queriesSide(s, dir)
+    (centroids, assigned)
+  }
+
+  /** Query-time IVF search against a (possibly persisted and reloaded)
+    * [[annIndex]]: rank the broadcast centroids per query, probe the top
+    * 4 cells, exact cosine inside, bounded-heap top-5. The corpus is
+    * touched only through `assigned` — at scale that table lives
+    * partitioned/bucketed by cell so probing prunes at the source.
+    */
+  def annSearch(s: SparkSession, queries: DataFrame, centroids: DataFrame,
+      assigned: DataFrame): DataFrame =
+    annSearchCore(annProbe(queries, centroids), assigned)
+
+  /** [[annSearch]] against a cell-PARTITIONED assignment store, with the
+    * probed cells pushed into the scan as a LITERAL partition filter:
+    * the probe step (broadcast centroids × queries — a tiny frame) runs
+    * first, its distinct cell set is collected (serve-time metadata, the
+    * same class of driver work as loading the quantizer), and the
+    * distributed search then reads only ~probes/cells of the store —
+    * `PartitionFilters` at the source, asserted in PlanAuditSpec. Spark's
+    * dynamic partition pruning would do this inside one query only when
+    * it can reuse the broadcast; on this join it plans a degenerate
+    * `dynamicpruningexpression(true)`, so the explicit two-step is the
+    * dependable serving form.
+    */
+  def annSearchPruned(s: SparkSession, queries: DataFrame,
+      centroids: DataFrame, assigned: DataFrame): DataFrame = {
+    val probed = annProbe(queries, centroids)
+    val cells = probed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    annSearchCore(probed, assigned.filter(col("cell").isin(cells: _*)))
+  }
+
+  /** Probe step: rank the broadcast centroids per query, keep the top 4
+    * cells — a queries × cells frame, tiny on both axes.
+    */
+  private def annProbe(queries: DataFrame, centroids: DataFrame): DataFrame = {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("cell"))
-    val probed = broadcast(q)
+    broadcast(queries)
       .join(broadcast(centroids))
       .withColumn("c_sim", dot(col("q_emb"), col("centroid")))
       .withColumn("c_rnk", row_number().over(probeW))
       .filter(col("c_rnk") <= 4)
       .select(col("q_id"), col("q_emb"), col("q_norm"), col("cell"))
+  }
+
+  private def annSearchCore(probed: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    import graft.functions.TopKByScore
+    val s = probed.sparkSession
+    graft.functions.GraftFunctions.register(s)
     val topk = udaf(TopKByScore.TopKAgg(5),
       Encoders.product[TopKByScore.ScoredId])
     probed.join(assigned, Seq("cell"))

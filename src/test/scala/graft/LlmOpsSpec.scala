@@ -69,6 +69,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.75, s"IVF recall@5 = $recall")
   }
 
+  // The serving path: the IVF index persisted as parquet artifacts and
+  // reloaded — query-time search is deterministic given the frozen index
+  // and holds the same recall bar (the index build's float centroids are
+  // shuffle-order-dependent, which is WHY serving freezes them).
+  test("annSearch from a persisted index: deterministic, recall@5 >= 0.75") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val (centroids, assigned) = SimOps.annIndex(spark, sf0001)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    val c = spark.read.parquet(s"$dir/centroids")
+    val a = spark.read.parquet(s"$dir/assigned")
+    val q = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 20)
+      .withColumn("q_norm", sqrt(call_function("graft_dot",
+        col("embedding"), col("embedding"))))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("q_norm"))
+    val r1 = SimOps.annSearch(spark, q, c, a).collect()
+    val r2 = SimOps.annSearch(spark, q, c, a).collect()
+    assert(r1.nonEmpty)
+    assert(r1.toSeq === r2.toSeq, "frozen index must serve deterministically")
+    val brute = SimOps.simTopk(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val served = r1
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & served).size.toDouble / brute.size
+    assert(recall >= 0.75, s"served recall@5 = $recall")
+  }
+
   /** The reference computation both lossless tests compare against:
     * brute-force all-pairs cosine ≥ 0.45, optionally restricted to pairs
     * whose right side crosses `minVb` (the incremental boundary).

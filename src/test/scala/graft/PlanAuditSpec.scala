@@ -108,6 +108,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("annSearchPruned: probed cells prune the partitioned store at the source") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_annprune").toString
+    val (c, a) = SimOps.annIndex(spark, sf0001)
+    a.write.mode("overwrite").partitionBy("cell").parquet(s"$out/assigned")
+    val aP = spark.read.parquet(s"$out/assigned")
+    val q = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 20)
+      .selectExpr("vec_id AS q_id", "embedding AS q_emb",
+        "sqrt(graft_dot(embedding, embedding)) AS q_norm")
+    val pruned = SimOps.annSearchPruned(spark, q, c, aP)
+    val p = plan(pruned)
+    // the literal cell set reaches the scan as a partition filter — only
+    // the probed partitions are read (~probes/cells of the store)
+    assert(p.contains("PartitionFilters: [cell"), p)
+    // and pruning must not change the answer
+    val full = SimOps.annSearch(spark, q, c, aP).collect()
+    assert(pruned.collect().toSeq === full.toSeq)
+  }
+
   test("llm_dedup_near: LSH band self-join reuses the banded-corpus exchange") {
     // both sides of the candidate self-join hash the same banded subtree on
     // the same keys — Spark must compute that exchange once and replay it
