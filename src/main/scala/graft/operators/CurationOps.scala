@@ -72,24 +72,33 @@ object CurationOps extends OpModule {
     * kept in the regex subset Java and RE2 agree on. Narrow end-to-end.
     */
   def piiScrub(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    scrubFrame(Tables.documents(s, dir)
       .withColumn("dirty",
         when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com or call 555-"),
             lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(col("text")))
-      .withColumn("n_emails",
-        size(expr("regexp_extract_all(dirty, '[a-z0-9.]+@[a-z0-9.]+[a-z]', 0)")))
+          .otherwise(col("text"))), "dirty")
+      .orderBy(col("doc_id"))
+
+  /** The scrub transform over any frame with a text column — STATELESS
+    * and narrow, so it runs unchanged on a stream (no sort, no state;
+    * CurationSpec drives it through readStream). Emits doc_id, n_emails,
+    * n_phones, clean_text.
+    */
+  def scrubFrame(df: DataFrame, textCol: String = "text"): DataFrame =
+    df
+      .withColumn("n_emails", size(expr(
+        s"regexp_extract_all($textCol, '[a-z0-9.]+@[a-z0-9.]+[a-z]', 0)")))
       .withColumn("n_phones",
-        size(expr("regexp_extract_all(dirty, '555-[0-9]{4}', 0)")))
+        size(expr(s"regexp_extract_all($textCol, '555-[0-9]{4}', 0)")))
       .withColumn("clean_text",
         regexp_replace(
-          regexp_replace(col("dirty"), "[a-z0-9.]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
+          regexp_replace(col(textCol),
+            "[a-z0-9.]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
           "555-[0-9]{4}", "<PHONE>"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
         col("clean_text"))
-      .orderBy(col("doc_id"))
 
   /** Gopher-style repetition scoring: the fraction of duplicated tokens
     * and duplicated 3-grams inside each document (1 − distinct/total),

@@ -97,6 +97,32 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("scrubFrame runs unchanged on a STREAM — stateless narrow curation") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_spii").toString
+    Seq(
+      (1L, "hello there contact me at someone@mail.example now"),
+      (2L, "clean doc nothing to redact"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/src")
+    val schema = spark.read.parquet(s"$base/src").schema
+    val q = graft.operators.CurationOps
+      .scrubFrame(spark.readStream.schema(schema).parquet(s"$base/src"))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("pii_stream").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[String]("clean_text"))).toMap
+    assert(rows(1L)._1 === 1)
+    assert(rows(1L)._2.contains("<EMAIL>") && !rows(1L)._2.contains("@"))
+    assert(rows(2L) === (0, "clean doc nothing to redact"))
+  }
+
   test("curation ops on an empty corpus return empty, not errors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cur0").toString
     Tables.documents(spark, sf0001).filter(lit(false))
