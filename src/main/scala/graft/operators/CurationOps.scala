@@ -48,6 +48,14 @@ object CurationOps extends OpModule {
     * tiny next to the corpus); the corpus side explodes once, equi-joins
     * on the n-gram string, and aggregates per doc — no corpus self-join,
     * no shuffle except the per-doc count.
+    *
+    * Skew note for 100 TB: a stop-n-gram ("the a of"-grade) present in a
+    * large corpus fraction would fan the join out by its benchmark
+    * multiplicity. Production decontamination caps benchmark-side n-gram
+    * document frequency first (a frequent n-gram is not leakage — the
+    * standard 8-13-gram length mostly prevents it, and the cap is one
+    * `groupBy(g).count.filter` on the TINY benchmark side). Not applied
+    * here so the fixture's n=3 oracle stays an exact overlap census.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(s, dir)
