@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -175,6 +175,45 @@ object AggOps extends OpModule {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** KMV (k-minimum-values) distinct-count sketch — the PORTABLE
+    * mergeable sketch companion to [[approxSketch]]'s engine-specific
+    * HLL (the same move `llm_simhash_portable` made for SimHash): the k
+    * smallest md5-derived 32-bit hashes of the distinct keys determine
+    * the estimate (k−1)·2³²/kth, and DuckDB recomputes the identical
+    * hashes, kth value, and IEEE division — a full value oracle for a
+    * sketch.
+    *
+    * Shape at scale: distinct-key hash aggregate (scalable, the same
+    * shuffle exact count-distinct needs per group) feeding the
+    * bounded-heap [[graft.functions.TopKByScore]] aggregator with
+    * score = −hash — partial state is ≤ k entries per (group ×
+    * partition), mergeable, so the final shuffle carries k values per
+    * group instead of the distinct key set. Groups with ≤ k keys are
+    * exact by construction.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScore
+    graft.functions.GraftFunctions.register(s)
+    val k = 64
+    val dist = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+    val topk = udaf(TopKByScore.TopKAgg(k),
+      Encoders.product[TopKByScore.ScoredId])
+    dist.groupBy(col("l_returnflag"))
+      .agg(topk(col("hv"), -col("hv").cast("double")).as("top"),
+        count(lit(1)).as("n_exact"))
+      .withColumn("kth_hash",
+        element_at(col("top"), least(lit(k), col("n_exact")).cast("int"))
+          .getField("id"))
+      .select(col("l_returnflag"), col("n_exact"), col("kth_hash"),
+        when(col("n_exact") <= k, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1) * 4294967296.0) / col("kth_hash"))
+          .as("kmv_estimate"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hash_group" -> hashGroup,
     "agg_count_distinct" -> countDistinctAgg,
@@ -184,7 +223,8 @@ object AggOps extends OpModule {
     "offset_watermark_agg" -> offsetWatermark,
     "agg_percentile" -> percentileAgg,
     "agg_stats_moments" -> statsMoments,
-    "agg_approx_sketch" -> approxSketch
+    "agg_approx_sketch" -> approxSketch,
+    "agg_kmv_distinct" -> kmvDistinct
   )
 
   val oracle: Map[String, String] = Map(
@@ -229,6 +269,25 @@ object AggOps extends OpModule {
     // Statistics from exact decimal moments, derived in the SAME double
     // expressions as the Spark side — bit-identical, unlike the engines'
     // built-in streaming var/corr implementations.
+    // The sketch recomputed value-for-value: same md5-derived 32-bit
+    // hashes, same kth minimum, same single IEEE division.
+    "agg_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |v AS (
+        |  SELECT l_returnflag,
+        |         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+        |              ::UBIGINT AS BIGINT) AS hv
+        |  FROM h),
+        |s AS (
+        |  SELECT l_returnflag, list_sort(list(hv)) AS hs,
+        |         count(*) AS n_exact
+        |  FROM v GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_exact,
+        |       hs[CAST(least(64, n_exact) AS INT)] AS kth_hash,
+        |       CASE WHEN n_exact <= 64 THEN CAST(n_exact AS DOUBLE)
+        |            ELSE 63 * 4294967296.0 / hs[64] END AS kmv_estimate
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "agg_stats_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -58,6 +58,24 @@ class JoinAggSpec extends SparkSpec {
     assert(exactP50.nonEmpty)
   }
 
+  // KMV estimate quality: error ~1/sqrt(k) = 12.5% at k=64 — assert a
+  // 3-sigma-ish 40% bound per group, and exactness when n <= k.
+  test("agg_kmv_distinct: estimate within KMV error of exact; small groups exact") {
+    val kmv = AggOps.kmvDistinct(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = AggOps.countDistinctAgg(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_parts")).toMap
+    assert(kmv.nonEmpty)
+    exact.foreach { case (flag, nExact) =>
+      val est = kmv(flag).getAs[Double]("kmv_estimate")
+      val n = kmv(flag).getAs[Long]("n_exact")
+      assert(n === nExact)
+      if (n <= 64) assert(est === n.toDouble, s"$flag: n<=k must be exact")
+      else assert(math.abs(est - nExact) / nExact < 0.4,
+        s"$flag: KMV $est vs exact $nExact")
+    }
+  }
+
   // The moment-derived statistics must BE variance/correlation: compare
   // against Spark's built-in streaming implementations within float noise.
   test("agg_stats_moments matches built-in var_samp/corr within 1e-9 rel") {
