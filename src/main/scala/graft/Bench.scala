@@ -40,8 +40,13 @@ object Bench {
         case None => SparkEntry.queries
         case Some(ps) =>
           val prefixes = ps.split(',').map(_.trim).filter(_.nonEmpty)
-          SparkEntry.queries.filter { case (n, _) =>
+          val m = SparkEntry.queries.filter { case (n, _) =>
             prefixes.exists(n.startsWith) }
+          // a typo'd prefix must fail loudly, not emit a zero-query JSON
+          // that masquerades as an instant full run
+          require(m.nonEmpty,
+            s"SPARK_GRAFT_ONLY_PREFIX='$ps' matches no queries")
+          m
       }
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =

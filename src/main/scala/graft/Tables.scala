@@ -42,12 +42,19 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
   /** Max ids of the shipped fixtures (TESTDATA.md) — the constants the
-    * incremental-dedup snapshot boundaries derive from.
+    * incremental-dedup snapshot boundaries derive from. Keyed on the FULL
+    * canonical fixture path, not the basename: a regenerated fixture in
+    * some other directory that happens to be named `sf0.1` must fall
+    * through to the data-derived boundary, not silently inherit a stale
+    * constant.
     */
   private val fixtureMaxIds: Map[(String, String), Long] = Map(
-    ("sf0.001", "documents") -> 499L, ("sf0.001", "embeddings") -> 499L,
-    ("sf0.01", "documents") -> 499L, ("sf0.01", "embeddings") -> 499L,
-    ("sf0.1", "documents") -> 4999L, ("sf0.1", "embeddings") -> 1999L)
+    ("/root/testdata/sf0.001", "documents") -> 499L,
+    ("/root/testdata/sf0.001", "embeddings") -> 499L,
+    ("/root/testdata/sf0.01", "documents") -> 499L,
+    ("/root/testdata/sf0.01", "embeddings") -> 499L,
+    ("/root/testdata/sf0.1", "documents") -> 4999L,
+    ("/root/testdata/sf0.1", "embeddings") -> 1999L)
 
   /** Snapshot boundary for the incremental-dedup queries: the first 80% of
     * the id space plays the prior snapshot's store. In production a
@@ -60,7 +67,7 @@ object Tables {
     * back to one tiny max() probe — the documented non-production path.
     */
   def snapshotBoundary(s: SparkSession, dir: String, table: String): Long = {
-    val base = new java.io.File(dir).getName
+    val base = new java.io.File(dir).getCanonicalPath
     val maxId = fixtureMaxIds.getOrElse((base, table), {
       val idCol = if (table == "documents") "doc_id" else "vec_id"
       val r = t(s, dir, table).agg(expr(s"max($idCol)")).head()

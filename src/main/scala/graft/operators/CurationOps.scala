@@ -89,6 +89,14 @@ object CurationOps extends OpModule {
           .otherwise(col("text"))), "dirty")
       .orderBy(col("doc_id"))
 
+  /** The email pattern, in the regex subset Java and RE2 agree on (no
+    * backrefs/lookaround): full local-part character class, case-
+    * insensitive via explicit ranges, TLD of ≥2 letters — `scrubFrame`
+    * is a reusable API over arbitrary input, so a lowercase-only class
+    * would silently leak mixed-case or `_`/`+`/`-` addresses.
+    */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
   /** The scrub transform over any frame with a text column — STATELESS
     * and narrow, so it runs unchanged on a stream (no sort, no state;
     * CurationSpec drives it through readStream). Emits doc_id, n_emails,
@@ -97,13 +105,12 @@ object CurationOps extends OpModule {
   def scrubFrame(df: DataFrame, textCol: String = "text"): DataFrame =
     df
       .withColumn("n_emails", size(expr(
-        s"regexp_extract_all($textCol, '[a-z0-9.]+@[a-z0-9.]+[a-z]', 0)")))
+        s"regexp_extract_all($textCol, '$emailRe', 0)")))
       .withColumn("n_phones",
         size(expr(s"regexp_extract_all($textCol, '555-[0-9]{4}', 0)")))
       .withColumn("clean_text",
         regexp_replace(
-          regexp_replace(col(textCol),
-            "[a-z0-9.]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
+          regexp_replace(col(textCol), emailRe, "<EMAIL>"),
           "555-[0-9]{4}", "<PHONE>"))
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
         col("clean_text"))
@@ -112,6 +119,9 @@ object CurationOps extends OpModule {
     * and duplicated 3-grams inside each document (1 − distinct/total),
     * plus the filter verdict at the 5% duplicate-3-gram threshold. Pure
     * narrow array arithmetic — the doc never leaves its partition.
+    * Documents too short to FORM a 3-gram carry no repetition evidence
+    * and score 0 (flagging them 'maximally repetitive' would silently
+    * drop every short doc from training data).
     */
   def repetition(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -120,9 +130,10 @@ object CurationOps extends OpModule {
       .withColumn("dup_token_frac",
         lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
           col("n_tokens"))
-      .withColumn("n_grams", greatest(col("n_tokens") - 2, lit(1)))
       .withColumn("dup_3gram_frac",
-        lit(1.0) - size(ngrams(3)).cast("double") / col("n_grams"))
+        when(col("n_tokens") >= 3,
+          lit(1.0) - size(ngrams(3)).cast("double") / (col("n_tokens") - 2))
+          .otherwise(lit(0.0)))
       .withColumn("flagged", col("dup_3gram_frac") > 0.05)
       .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
         col("dup_3gram_frac"), col("flagged"))
@@ -200,11 +211,13 @@ object CurationOps extends OpModule {
         |  FROM documents)
         |SELECT doc_id,
         |       CAST(len(regexp_extract_all(dirty,
-        |            '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS INT) AS n_emails,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |            AS INT) AS n_emails,
         |       CAST(len(regexp_extract_all(dirty, '555-[0-9]{4}')) AS INT)
         |         AS n_phones,
         |       regexp_replace(regexp_replace(dirty,
-        |           '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |           '<EMAIL>', 'g'),
         |           '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text
         |FROM d ORDER BY doc_id""".stripMargin,
     "llm_pack_sequences" ->
@@ -227,21 +240,21 @@ object CurationOps extends OpModule {
         |FROM c ORDER BY doc_id""".stripMargin,
     "llm_repetition" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-        |SELECT doc_id,
-        |       CAST(len(toks) AS INT) AS n_tokens,
-        |       1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-        |         AS dup_token_frac,
-        |       1.0 - CAST(len(list_distinct([toks[i] || ' ' || toks[i+1] ||
-        |                ' ' || toks[i+2]
-        |                for i in range(1, greatest(len(toks)-1, 1))]))
-        |              AS DOUBLE) / greatest(len(toks) - 2, 1)
-        |         AS dup_3gram_frac,
-        |       (1.0 - CAST(len(list_distinct([toks[i] || ' ' || toks[i+1] ||
-        |                ' ' || toks[i+2]
-        |                for i in range(1, greatest(len(toks)-1, 1))]))
-        |              AS DOUBLE) / greatest(len(toks) - 2, 1)) > 0.05
-        |         AS flagged
-        |FROM t ORDER BY doc_id""".stripMargin
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |         CAST(len(toks) AS INT) AS n_tokens,
+        |         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+        |           AS dup_token_frac,
+        |         CASE WHEN len(toks) >= 3 THEN
+        |           1.0 - CAST(len(list_distinct([toks[i] || ' ' ||
+        |                  toks[i+1] || ' ' || toks[i+2]
+        |                  for i in range(1, greatest(len(toks)-1, 1))]))
+        |                AS DOUBLE) / (len(toks) - 2)
+        |         ELSE 0.0 END AS dup_3gram_frac
+        |  FROM t)
+        |SELECT doc_id, n_tokens, dup_token_frac, dup_3gram_frac,
+        |       dup_3gram_frac > 0.05 AS flagged
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

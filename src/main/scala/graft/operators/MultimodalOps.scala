@@ -106,8 +106,11 @@ object MultimodalOps extends OpModule {
       new java.io.ByteArrayInputStream(bytes))
     try {
       val fmt = in.getFormat
-      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
-        s"expected 16-bit little-endian PCM, got $fmt")
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+        fmt.getChannels == 1 &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"expected 16-bit little-endian signed mono PCM, got $fmt — " +
+          "stereo would silently interleave channels into the RMS bins")
       val raw = in.readAllBytes()
       val n = raw.length / 2
       val energy = new Array[Double](16)

@@ -191,8 +191,8 @@ object PipelineOps extends OpModule {
         |           1.0 - CAST(len(list_distinct([toks[i] || ' ' ||
         |                  toks[i+1] || ' ' || toks[i+2]
         |                  for i in range(1, greatest(len(toks)-1, 1))]))
-        |                 AS DOUBLE) / greatest(len(toks) - 2, 1) AS frac
-        |    FROM t)
+        |                 AS DOUBLE) / (len(toks) - 2) AS frac
+        |    FROM t WHERE len(toks) >= 3)
         |  WHERE frac > 0.05),
         |base AS (
         |  SELECT doc_id, doc_id % 32 AS shard, n_tokens FROM clean

@@ -83,6 +83,14 @@ object JdbcUpsert {
     * misclassify as table-missing and trigger a doomed CREATE whose
     * failure masks the original error). Everything else (connection loss,
     * permissions, syntax) is NOT "missing" and must propagate.
+    *
+    * Deliberate tradeoff: a dialect whose not-exist message omits the
+    * table name AND whose SQLState is ambiguous (Oracle's 42000 covers
+    * syntax errors too) now propagates instead of auto-creating — the
+    * reviewed-and-chosen failure direction, since a wrong CREATE destroys
+    * state while a propagated probe error is actionable. Add such a
+    * dialect's specific SQLState to the allowlist rather than loosening
+    * the message check.
     */
   private def isMissingTable(e: java.sql.SQLException,
       table: String): Boolean = {

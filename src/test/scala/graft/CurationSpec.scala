@@ -103,7 +103,8 @@ class CurationSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_spii").toString
     Seq(
       (1L, "hello there contact me at someone@mail.example now"),
-      (2L, "clean doc nothing to redact"))
+      (2L, "clean doc nothing to redact"),
+      (3L, "mixed case works too John_Doe+spam@Example.COM indeed"))
       .toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(s"$base/src")
     val schema = spark.read.parquet(s"$base/src").schema
@@ -121,6 +122,9 @@ class CurationSpec extends SparkSpec {
     assert(rows(1L)._1 === 1)
     assert(rows(1L)._2.contains("<EMAIL>") && !rows(1L)._2.contains("@"))
     assert(rows(2L) === (0, "clean doc nothing to redact"))
+    // the reusable API must catch mixed-case and _/+ local parts too
+    assert(rows(3L)._1 === 1)
+    assert(rows(3L)._2.contains("<EMAIL>") && !rows(3L)._2.contains("@"))
   }
 
   test("curation ops on an empty corpus return empty, not errors") {
@@ -144,14 +148,20 @@ class CurationSpec extends SparkSpec {
       assert(dg >= 0.0 && dg < 1.0)
       assert(r.getAs[Boolean]("flagged") === (dg > 0.05))
     }
-    // a maximally repetitive doc must be flagged with the exact fractions
+    // a maximally repetitive doc must be flagged with the exact fractions;
+    // a doc too short to form a 3-gram carries no repetition evidence and
+    // must NOT be flagged (it would silently drop all short docs)
     val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
-    Seq((0L, "spam spam spam spam spam spam", "en", "src0", 29L))
+    Seq((0L, "spam spam spam spam spam spam", "en", "src0", 29L),
+      (1L, "tiny doc", "en", "src0", 8L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val rep = CurationOps.repetition(spark, dir).collect().head
-    assert(rep.getAs[Double]("dup_token_frac") === 1.0 - 1.0 / 6)
-    assert(rep.getAs[Double]("dup_3gram_frac") === 1.0 - 1.0 / 4)
-    assert(rep.getAs[Boolean]("flagged"))
+    val reps = CurationOps.repetition(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(reps(0L).getAs[Double]("dup_token_frac") === 1.0 - 1.0 / 6)
+    assert(reps(0L).getAs[Double]("dup_3gram_frac") === 1.0 - 1.0 / 4)
+    assert(reps(0L).getAs[Boolean]("flagged"))
+    assert(reps(1L).getAs[Double]("dup_3gram_frac") === 0.0)
+    assert(!reps(1L).getAs[Boolean]("flagged"))
   }
 }
