@@ -178,11 +178,36 @@ object CurationOps extends OpModule {
         (col("cum_before") % budget + col("n_tokens") > budget).as("crosses"))
   }
 
+  /** Sliding token-window chunking — the step before embedding documents
+    * longer than the encoder's context: 32-token windows every 24 tokens
+    * (25% overlap so no boundary-straddling phrase is lost), the tail
+    * window clipped, chunk_idx = start/stride. One explode, otherwise
+    * narrow — a chunk never leaves its document's partition, and at
+    * 100 TB the fan-out factor is bounded by doc length / stride.
+    */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    val win = 32
+    val stride = 24
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("start", explode(sequence(lit(0),
+        greatest(col("n_tokens") - 1, lit(0)), lit(stride))))
+      .withColumn("chunk_toks",
+        slice(col("toks"), col("start") + 1, lit(win)))
+      .select(col("doc_id"),
+        expr(s"start div $stride").as("chunk_idx"),
+        size(col("chunk_toks")).as("n_chunk_tokens"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_decontaminate" -> decontaminate,
     "llm_pii_scrub" -> piiScrub,
     "llm_repetition" -> repetition,
-    "llm_pack_sequences" -> packSequences
+    "llm_pack_sequences" -> packSequences,
+    "llm_chunk_windows" -> chunkWindows
   )
 
   val oracle: Map[String, String] = Map(
@@ -220,6 +245,17 @@ object CurationOps extends OpModule {
         |           '<EMAIL>', 'g'),
         |           '555-[0-9]{4}', '<PHONE>', 'g') AS clean_text
         |FROM d ORDER BY doc_id""".stripMargin,
+    "llm_chunk_windows" ->
+      """SELECT doc_id,
+        |       CAST(s // 24 AS BIGINT) AS chunk_idx,
+        |       CAST(len(toks[s + 1 : s + 32]) AS INT) AS n_chunk_tokens,
+        |       array_to_string(toks[s + 1 : s + 32], ' ') AS chunk_text
+        |FROM (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks), 1), 24)) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents))
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "llm_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 32 AS shard,

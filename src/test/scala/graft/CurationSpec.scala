@@ -97,6 +97,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("llm_chunk_windows: full coverage, 25% overlap, doc reconstructs") {
+    val docs = Tables.documents(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").toSeq).toMap
+    val chunks = CurationOps.chunkWindows(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_text").split(" ").toSeq))
+      .groupBy(_._1)
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (id, cs) =>
+      val toks = docs(id)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong),
+        s"doc $id chunk indices not contiguous")
+      assert(sorted.length === (toks.length + 23) / 24)
+      sorted.foreach { case (_, idx, ct) =>
+        val start = idx.toInt * 24
+        assert(ct === toks.slice(start, start + 32), s"doc $id chunk $idx")
+      }
+      // stride-prefixes reconstruct the document exactly
+      val rebuilt = sorted.flatMap { case (_, _, ct) => ct.take(24) }
+      assert(rebuilt.toSeq === toks, s"doc $id does not reconstruct")
+    }
+  }
+
   test("scrubFrame runs unchanged on a STREAM — stateless narrow curation") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
