@@ -160,6 +160,7 @@ class CurationSpec extends SparkSpec {
     assert(CurationOps.piiScrub(spark, dir).count() === 0)
     assert(CurationOps.repetition(spark, dir).count() === 0)
     assert(CurationOps.packSequences(spark, dir).count() === 0)
+    assert(CurationOps.chunkWindows(spark, dir).count() === 0)
   }
 
   test("llm_repetition: fractions bounded, verdict consistent, hand-check") {
