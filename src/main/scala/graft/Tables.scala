@@ -41,20 +41,29 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
+  /** Root under which the shipped fixtures live. Env-configurable
+    * (`GRAFT_TESTDATA_ROOT`) so relocating the test data does not
+    * silently demote every recognized fixture to the slower data-derived
+    * boundary fallback; the default is the harness layout (TESTDATA.md).
+    */
+  private[graft] val testdataRoot: String = new java.io.File(
+    sys.env.getOrElse("GRAFT_TESTDATA_ROOT", "/root/testdata"))
+    .getCanonicalPath
+
   /** Max ids of the shipped fixtures (TESTDATA.md) — the constants the
     * incremental-dedup snapshot boundaries derive from. Keyed on the FULL
-    * canonical fixture path, not the basename: a regenerated fixture in
-    * some other directory that happens to be named `sf0.1` must fall
-    * through to the data-derived boundary, not silently inherit a stale
-    * constant.
+    * canonical fixture path (under [[testdataRoot]]), not the basename: a
+    * regenerated fixture in some other directory that happens to be named
+    * `sf0.1` must fall through to the data-derived boundary, not silently
+    * inherit a stale constant.
     */
   private val fixtureMaxIds: Map[(String, String), Long] = Map(
-    ("/root/testdata/sf0.001", "documents") -> 499L,
-    ("/root/testdata/sf0.001", "embeddings") -> 499L,
-    ("/root/testdata/sf0.01", "documents") -> 499L,
-    ("/root/testdata/sf0.01", "embeddings") -> 499L,
-    ("/root/testdata/sf0.1", "documents") -> 4999L,
-    ("/root/testdata/sf0.1", "embeddings") -> 1999L)
+    (s"$testdataRoot/sf0.001", "documents") -> 499L,
+    (s"$testdataRoot/sf0.001", "embeddings") -> 499L,
+    (s"$testdataRoot/sf0.01", "documents") -> 499L,
+    (s"$testdataRoot/sf0.01", "embeddings") -> 499L,
+    (s"$testdataRoot/sf0.1", "documents") -> 4999L,
+    (s"$testdataRoot/sf0.1", "embeddings") -> 1999L)
 
   /** Snapshot boundary for the incremental-dedup queries: the first 80% of
     * the id space plays the prior snapshot's store. In production a

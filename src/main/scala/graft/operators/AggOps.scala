@@ -208,8 +208,13 @@ object AggOps extends OpModule {
         element_at(col("top"), least(lit(k), col("n_exact")).cast("int"))
           .getField("id"))
       .select(col("l_returnflag"), col("n_exact"), col("kth_hash"),
+        // kth_hash = 0 (p ≈ n/2³² per group) would hit Spark's non-ANSI
+        // divide-by-zero NULL vs DuckDB's IEEE double rules — guard the
+        // division identically on both sides so the sketch stays a VALUE
+        // oracle even on that tail
         when(col("n_exact") <= k, col("n_exact").cast("double"))
-          .otherwise(lit((k - 1) * 4294967296.0) / col("kth_hash"))
+          .when(col("kth_hash") > 0,
+            lit((k - 1) * 4294967296.0) / col("kth_hash"))
           .as("kmv_estimate"))
       .orderBy(col("l_returnflag"))
   }
@@ -286,7 +291,8 @@ object AggOps extends OpModule {
         |SELECT l_returnflag, n_exact,
         |       hs[CAST(least(64, n_exact) AS INT)] AS kth_hash,
         |       CASE WHEN n_exact <= 64 THEN CAST(n_exact AS DOUBLE)
-        |            ELSE 63 * 4294967296.0 / hs[64] END AS kmv_estimate
+        |            WHEN hs[64] > 0 THEN 63 * 4294967296.0 / hs[64]
+        |            ELSE NULL END AS kmv_estimate
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "agg_stats_moments" ->
       """WITH m AS (

@@ -101,13 +101,19 @@ object CurationOps extends OpModule {
     * and narrow, so it runs unchanged on a stream (no sort, no state;
     * CurationSpec drives it through readStream). Emits doc_id, n_emails,
     * n_phones, clean_text.
+    *
+    * Both the counting and the redaction paths take the SAME Scala
+    * pattern string through the functions API — never through a SQL
+    * string literal, whose parser (escapedStringLiterals=false) would
+    * strip the `\` off `\.` and silently turn the TLD dot into
+    * any-character for the count while redaction kept the literal dot.
     */
   def scrubFrame(df: DataFrame, textCol: String = "text"): DataFrame =
     df
-      .withColumn("n_emails", size(expr(
-        s"regexp_extract_all($textCol, '$emailRe', 0)")))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))))
       .withColumn("n_phones",
-        size(expr(s"regexp_extract_all($textCol, '555-[0-9]{4}', 0)")))
+        size(regexp_extract_all(col(textCol), lit("555-[0-9]{4}"), lit(0))))
       .withColumn("clean_text",
         regexp_replace(
           regexp_replace(col(textCol), emailRe, "<EMAIL>"),

@@ -92,10 +92,12 @@ object JdbcUpsert {
     * dialect's specific SQLState to the allowlist rather than loosening
     * the message check.
     */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def isMissingTable(e: java.sql.SQLException,
       table: String): Boolean = {
     val state = Option(e.getSQLState).getOrElse("")
-    Set("42X05", "42S02", "42P01", "S0002").contains(state) || {
+    val missing = Set("42X05", "42S02", "42P01", "S0002").contains(state) || {
       val msg = Option(e.getMessage).getOrElse("").toLowerCase
       // unqualified name too: dialects report "TABLE" for "schema.TABLE"
       val names = (table +: table.split('.').toSeq).map(_.toLowerCase)
@@ -103,6 +105,14 @@ object JdbcUpsert {
       (msg.contains("not exist") || msg.contains("not found")) &&
         names.exists(msg.contains)
     }
+    // Surface the classification so a propagated probe error on a dialect
+    // outside the allowlist (whose not-exist message omits the table name)
+    // is diagnosable from the log rather than a silent behavior change.
+    if (!missing)
+      log.info(s"probe error on $table classified NOT-missing " +
+        s"(SQLState=$state) — propagating instead of auto-creating: " +
+        s"${e.getMessage}")
+    missing
   }
 
   /** Create `table` if it does not exist yet (probed with a zero-row

@@ -152,6 +152,28 @@ class CurationSpec extends SparkSpec {
     assert(rows(3L)._2.contains("<EMAIL>") && !rows(3L)._2.contains("@"))
   }
 
+  test("scrubFrame: near-miss address — count and redaction agree (no parser backslash loss)") {
+    import spark.implicits._
+    // 'x@ab cd' is NOT an email (no dot-separated TLD). If the pattern
+    // ever travels through a SQL string literal again, the parser strips
+    // the \ off \. and the count path matches 'ab<space>cd' while the
+    // redaction path (literal dot) does not — count 1, redactions 0.
+    val rows = graft.operators.CurationOps.scrubFrame(
+      Seq((1L, "write to x@ab cd today"),
+        (2L, "real one a@b.co here"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[String]("clean_text"))).toMap
+    assert(rows(1L) === (0, "write to x@ab cd today"))
+    assert(rows(2L)._1 === 1)
+    assert(rows(2L)._2 === "real one <EMAIL> here")
+    // invariant the ADVICE finding is about: n_emails counts exactly the
+    // substrings redaction replaces
+    rows.values.foreach { case (n, clean) =>
+      assert(n === "<EMAIL>".r.findAllIn(clean).length)
+    }
+  }
+
   test("curation ops on an empty corpus return empty, not errors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cur0").toString
     Tables.documents(spark, sf0001).filter(lit(false))
