@@ -143,6 +143,42 @@ class LlmOpsSpec extends SparkSpec {
   // The reference's idempotence-by-identifier argument, cross-run: feeding
   // the store's own documents back in as "the new crawl" must reject every
   // one as an exact duplicate — zero rows get added to the corpus.
+  test("llm_dup_clusters: chain graph closes transitively over multiple rounds") {
+    import spark.implicits._
+    // 1-2-3-4-5 is a diameter-4 chain (labels need several propagation
+    // rounds — the fixpoint loop, not one join) plus a separate pair and
+    // a 3-clique; no vertex outside an edge appears.
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val rows = graft.operators.DedupOps.clustersFromEdges(edges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("keeper"))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L, 21L, 22L))
+    (1L to 5L).foreach(v => assert(rows(v) === (1L, 5L, v == 1L), s"v=$v"))
+    Seq(10L, 11L).foreach(v => assert(rows(v) === (10L, 2L, v == 10L)))
+    Seq(20L, 21L, 22L).foreach(v => assert(rows(v) === (20L, 3L, v == 20L)))
+  }
+
+  test("llm_dup_clusters: consistent with llm_dedup_near on the fixture") {
+    val pairs = DedupOps.dedupNear(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val clusters = DedupOps.dupClusters(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every paired doc is clustered, pair members share a cluster, and
+    // exactly one keeper (the min doc) exists per cluster
+    assert(clusters.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    pairs.foreach { case (a, b) => assert(clusters(a) === clusters(b)) }
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid)
+    }
+    // empty edge set → empty frame, not an error
+    assert(DedupOps.clustersFromEdges(
+      DedupOps.dedupNear(spark, sf0001).filter(lit(false))
+        .select(col("doc_a"), col("doc_b"))).count() === 0)
+  }
+
   test("llm_dedup_incremental: re-ingesting the store adds zero rows") {
     val docs = Tables.documents(spark, sf0001)
     val verdicts = DedupOps.dedupIncremental(spark, docs, docs).collect()
