@@ -25,7 +25,7 @@ import graft.Tables
 object DedupOps extends OpModule {
 
   /** 3-gram shingle set (distinct) from the whitespace tokens. */
-  private def shingleCol: Column = expr(
+  private[operators] def shingleCol: Column = expr(
     """array_distinct(
       |  CASE WHEN size(toks) >= 3 THEN
       |    transform(sequence(0, size(toks) - 3),
@@ -139,6 +139,38 @@ object DedupOps extends OpModule {
       .withColumn("uni", col("size_a") + col("size_b") - col("inter"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
         col("size_a"), col("size_b"))
+  }
+
+  /** Near-dup pairs (exact Jaccard ≥ 0.9) from an artifact frame carrying
+    * `doc_id, mh, shingles` — the staging-table form of [[dedupNear]] for
+    * composed pipelines that already paid ONE shared corpus pass
+    * ([[graft.operators.PipelineOps.corpusPrepare]]): the band join runs
+    * off the cached sketches and exact Jaccard off the cached shingle
+    * sets, so no second (or third) scan of the raw text happens. The
+    * standalone [[dedupNear]] keeps its two-pass shape instead — when
+    * nothing else shares the pass, materializing every doc's shingle set
+    * is strictly worse than recomputing it for the candidate sliver.
+    */
+  private[operators] def nearPairsFromArtifacts(art: DataFrame): DataFrame = {
+    val bandedDocs = bandedFromSketch(art)
+    val cands = bandedDocs.as("x")
+      .join(bandedDocs.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val setsA = art.select(col("doc_id").as("doc_a"),
+      col("shingles").as("sh_a"))
+    val setsB = art.select(col("doc_id").as("doc_b"),
+      col("shingles").as("sh_b"))
+    cands.join(setsA, "doc_a").join(setsB, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Directional containment |A∩B|/|A| and |A∩B|/|B| for the near-dup

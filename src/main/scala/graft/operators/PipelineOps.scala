@@ -43,22 +43,62 @@ object PipelineOps extends OpModule {
   }
 
   /** The COMPLETE corpus-preparation flow, crawl to training sequences:
-    * [[corpusClean]]'s survivors (quality gate → exact dedup → near-dup
-    * removal → language filter) minus the benchmark slice and every doc
-    * sharing an n-gram with it ([[CurationOps.decontaminate]] — eval data
-    * neither trains nor leaks), minus repetitive docs
-    * ([[CurationOps.repetition]]), packed into fixed 512-token training
-    * sequences ([[CurationOps.packed]] — spreadRank prefix sums, so the
-    * packing runs at shuffle-width parallelism). Every stage is the
-    * individually-verified operator; composition is doc_id joins.
+    * [[corpusClean]]'s survivor criteria (quality gate → exact dedup →
+    * near-dup removal → language filter) minus the benchmark slice and
+    * every doc sharing an n-gram with it ([[CurationOps.decontaminate]]'s
+    * criterion — eval data neither trains nor leaks), minus repetitive
+    * docs ([[CurationOps.repetition]]'s criterion), packed into fixed
+    * 512-token training sequences ([[CurationOps.packed]] — spreadRank
+    * prefix sums, so the packing runs at shuffle-width parallelism).
+    *
+    * Plan shape: ONE narrow corpus pass computes every per-doc artifact
+    * the stages consume — text signals ([[TextOps.signalsFrame]]), digest,
+    * minhash sketch, shingle set — and is materialized once
+    * (localCheckpoint here; at 100 TB this frame is a persisted STAGING
+    * TABLE written by the pass and read by each stage). The five stages
+    * then run as aggregates/joins over those ~500 B/doc artifacts: the
+    * raw text is scanned exactly once per run instead of once per stage,
+    * which at corpus scale is the difference between one 100 TB read and
+    * seven. Each stage's criterion is byte-identical to its standalone
+    * operator ([[DedupOps.nearPairsFromArtifacts]] is the artifact twin
+    * of the two-pass [[DedupOps.dedupNear]]); the oracle composes the
+    * same CTEs.
     */
   def corpusPrepare(s: SparkSession, dir: String): DataFrame = {
-    val survivors = corpusClean(s, dir)
+    graft.functions.GraftFunctions.register(s)
+    val art = TextOps.signalsFrame(graft.Tables.documents(s, dir))
+      .withColumn("digest", DedupOps.digestCol)
+      .withColumn("mh",
+        when(size(col("toks")) >= 3, expr("graft_minhash_tokens(toks)")))
+      .withColumn("shingles", DedupOps.shingleCol)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("predicted_lang"), col("digest"), col("mh"), col("shingles"))
+      .localCheckpoint()
+    val exactKeepers = art.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val nearDupLosers = DedupOps.nearPairsFromArtifacts(art)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val survivors = art
+      .filter(col("quality") >= 0.3 &&
+        col("predicted_lang").isin("en", "mixed") &&
+        col("doc_id") % 97 =!= 0)
+      .join(exactKeepers, "doc_id")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_tokens"))
-      .filter(col("doc_id") % 97 =!= 0)
-    val contaminated = CurationOps.decontaminate(s, dir).select(col("doc_id"))
-    val repetitive = CurationOps.repetition(s, dir)
-      .filter(col("flagged")).select(col("doc_id"))
+    val grams = art.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val benchGrams = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("g")).distinct()
+    val contaminated = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+    // dup-3gram fraction from the cached shingle set: shingles IS the
+    // distinct 3-gram array, so 1 − |shingles|/(n_tokens−2); docs too
+    // short to form a 3-gram score 0 (CurationOps.repetition's rule)
+    val repetitive = art
+      .filter(col("n_tokens") >= 3 &&
+        lit(1.0) - size(col("shingles")).cast("double") /
+          (col("n_tokens") - 2) > 0.05)
+      .select(col("doc_id"))
     val base = survivors
       .join(contaminated, Seq("doc_id"), "left_anti")
       .join(repetitive, Seq("doc_id"), "left_anti")

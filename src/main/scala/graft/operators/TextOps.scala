@@ -41,7 +41,14 @@ object TextOps extends OpModule {
     * a single scan feeds them all.
     */
   def signals(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    signalsFrame(Tables.documents(s, dir))
+
+  /** [[signals]] over an arbitrary documents frame — the form composed
+    * pipelines use so the signal math can ride a SHARED corpus pass
+    * instead of a scan of its own.
+    */
+  private[graft] def signalsFrame(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", toks)
       .withColumn("n_tokens", size(col("toks")))
       .withColumn("uniq_ratio",
