@@ -141,6 +141,51 @@ object DedupOps extends OpModule {
         col("size_a"), col("size_b"))
   }
 
+  /** Cross-document repeated-SPAN census — the substring-dedup signal
+    * (exact duplicated token spans across documents, the boilerplate /
+    * licence-header / template detector that document-level Jaccard
+    * misses: two long docs sharing one 16-token span are nowhere near
+    * 0.9 whole-doc similarity, yet that span is memorization fuel).
+    * Every 16-token window (stride 1) is hashed; a position is SHARED
+    * when its span occurs in ≥ 2 distinct docs. Emits per doc: window
+    * count, shared-window count, shared fraction.
+    *
+    * Scale shape: what shuffles is a 16-byte md5 per token position —
+    * never the span text — through two hash aggregations (span census,
+    * per-doc rollup) and one equi-join; fan-out is bounded by doc
+    * length. This is the Spark-native answer to suffix-array substring
+    * dedup: linear, partition-parallel, no global structure. Production
+    * would cap the census at a document-frequency bound the way
+    * decontamination documents its stop-n-gram cap.
+    */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val spanLen = 16
+    val docs = Tables.documents(s, dir)
+    val spans = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= spanLen)
+      .withColumn("i", explode(sequence(lit(0), col("n_tokens") - spanLen)))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(spanLen))))
+          .as("h"))
+    val census = spans.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val perDoc = spans.join(census, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("n_docs") >= 2, 1)).as("n_shared"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          col("n_shared").cast("double") / col("n_spans"))
+          .otherwise(lit(0.0)).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup pairs (exact Jaccard ≥ 0.9) from an artifact frame carrying
     * `doc_id, mh, shingles` — the staging-table form of [[dedupNear]] for
     * composed pipelines that already paid ONE shared corpus pass
@@ -446,7 +491,8 @@ object DedupOps extends OpModule {
     "llm_containment" -> containment,
     "llm_dedup_incremental" -> dedupIncrementalQuery,
     "llm_simhash_portable" -> simhashPortable,
-    "llm_dup_clusters" -> dupClusters
+    "llm_dup_clusters" -> dupClusters,
+    "llm_span_dedup" -> spanDedup
   )
 
   val oracle: Map[String, String] = Map(
@@ -553,6 +599,31 @@ object DedupOps extends OpModule {
         |FROM b WHERE doc_id NOT IN (SELECT doc_id FROM ex)
         |         AND doc_id NOT IN (SELECT doc_id FROM nr)
         |ORDER BY doc_id""".stripMargin,
+    // Same 16-token windows, same md5 span keys, recomputed wholesale:
+    // census by distinct-doc count, per-position shared verdicts, per-doc
+    // rollup with zero-filled short docs.
+    "llm_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(toks[i + 1 : i + 16], ' ')) AS h
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(range(0, greatest(len(toks) - 15, 0))) AS i
+        |        FROM t)),
+        |c AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY h),
+        |p AS (
+        |  SELECT s.doc_id, count(*) AS n_spans,
+        |         count(*) FILTER (WHERE c.n_docs >= 2) AS n_shared
+        |  FROM s JOIN c USING (h) GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+        |       CASE WHEN COALESCE(n_spans, 0) > 0
+        |            THEN CAST(n_shared AS DOUBLE) / n_spans
+        |            ELSE 0.0 END AS shared_frac
+        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // Connected components the slow-but-certain way: full pairwise
     // Jaccard builds the edge set, a recursive CTE computes reachability
     // (terminates: UNION dedups, the reachable set is finite), and each

@@ -110,6 +110,41 @@ object TextOps extends OpModule {
     * reproducible). Rank-exact quotas would need a per-stratum sort; the
     * threshold form is the one that scales.
     */
+  /** Weighted mixture sampling to a TOKEN budget — the data-mixing step
+    * that turns per-source weights ("50% web, 30% books, 20% code") into
+    * an actual training set: within each source, documents are taken in
+    * a deterministic content-keyed pseudo-random order (md5 of doc_id —
+    * reproducible across engines and cluster layouts, never `rand()`)
+    * until the source's token budget fills; the doc that crosses the
+    * boundary is included, so every budget is met. The fixture recipe
+    * gives even-suffixed sources a 500-token budget and odd 250.
+    *
+    * Unlike [[sampleStratified]]'s rate threshold (which needs no
+    * ordering at all), a token budget is a QUOTA — it needs the running
+    * token sum per source in hash order. That is
+    * [[graft.operators.WindowOps.spreadRank]]'s prefix machinery
+    * (weight = n_tokens), so parallelism is the shuffle width, not the
+    * source count — the same fix the round-5 window rewrite made; a
+    * `Window.partitionBy(source)` would serialize each source through
+    * one task at 100 TB.
+    */
+  def mixWeighted(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("mix_key"))
+    WindowOps.spreadRank(base, "source",
+        Seq(col("mix_key"), col("doc_id")),
+        s.sessionState.conf.numShufflePartitions, weight = Some("n_tokens"))
+      .withColumn("cum_before", col("__pre") - col("n_tokens"))
+      .filter(col("cum_before") <
+        when(expr("CAST(substring(source, 4) AS INT)") % 2 === 0, 500)
+          .otherwise(250))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("cum_before"))
+      .orderBy(col("doc_id"))
+  }
+
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
     signals(s, dir)
       .withColumn("bucket", expr(
@@ -170,6 +205,7 @@ object TextOps extends OpModule {
     "llm_token_count" -> tokenCount,
     "llm_lang_id" -> langId,
     "llm_sample_stratified" -> sampleStratified,
+    "llm_mix_weighted" -> mixWeighted,
     "llm_fingerprint" -> fingerprint,
     "llm_tfidf" -> tfidf
   )
@@ -177,6 +213,28 @@ object TextOps extends OpModule {
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    // The quota semantics in window form: per-source running token sum
+    // in md5(doc_id) order, doc taken while the EXCLUSIVE sum is under
+    // the source's budget — the boundary-crossing doc is in.
+    "llm_mix_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS mix_key
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(COALESCE(SUM(n_tokens) OVER (
+        |              PARTITION BY source ORDER BY mix_key, doc_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+        |       cum_before
+        |FROM c
+        |WHERE cum_before < CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+        |                        THEN 500 ELSE 250 END
+        |ORDER BY doc_id""".stripMargin,
     "llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,

@@ -179,6 +179,71 @@ class LlmOpsSpec extends SparkSpec {
         .select(col("doc_a"), col("doc_b"))).count() === 0)
   }
 
+  test("llm_mix_weighted: budgets bind per source, selection is hash-deterministic") {
+    import graft.operators.TextOps
+    val rows = TextOps.mixWeighted(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens"), r.getAs[Long]("cum_before")))
+    assert(rows.nonEmpty)
+    def budget(src: String) =
+      if (src.stripPrefix("src").toInt % 2 == 0) 500 else 250
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      // every selected doc started under budget; dropping the boundary
+      // doc leaves the rest strictly inside it
+      docs.foreach { case (_, id, _, cb) =>
+        assert(cb < budget(src), s"$src doc $id over budget")
+      }
+      val total = docs.map(_._3.toLong).sum
+      assert(total >= budget(src),
+        s"$src under-filled: $total < ${budget(src)} (fixture has enough)")
+      // cum_before matches a local replay of the md5-ordered greedy fill
+      var cum = 0L
+      val replay = Tables.documents(spark, sf0001)
+        .filter(col("source") === src)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"),
+          md5(col("doc_id").cast("string")).as("k"))
+        .collect()
+        .map(r => (r.getAs[String]("k"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("n")))
+        .sortBy(t => (t._1, t._2))
+        .flatMap { case (_, id, n) =>
+          val res = if (cum < budget(src)) Some((id, n, cum)) else None
+          cum += n
+          res
+        }
+      assert(docs.map(d => (d._2, d._3, d._4)).sortBy(_._1).toSeq ===
+        replay.sortBy(_._1).toSeq, s"$src selection mismatch")
+    }
+  }
+
+  test("llm_span_dedup: shared spans found across docs, short docs zero-filled") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_span").toString
+    val span = (1 to 16).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, s"alpha beta $span gamma delta", "en", "s0", 0L),
+      (1L, s"unrelated prefix tokens here $span", "en", "s0", 0L),
+      (2L, "completely different words that never repeat anywhere at all today quickly", "en", "s0", 0L),
+      (3L, "short doc", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.DedupOps.spanDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("shared_frac"))).toMap
+    // doc 0: 20 tokens → 5 windows; only the window starting at the span
+    // start (pos 2) matches doc 1's trailing window
+    assert(rows(0L) === (5L, 1L, 0.2))
+    assert(rows(1L)._1 === 5L && rows(1L)._2 === 1L)
+    assert(rows(2L) === (0L, 0L, 0.0)) // 11 tokens < 16 → no windows
+    assert(rows(3L) === (0L, 0L, 0.0))
+    // fixture: planted near-dups share long runs → some doc has a high
+    // shared fraction; fully novel docs sit at 0
+    val fix = graft.operators.DedupOps.spanDedup(spark, sf0001).collect()
+      .map(_.getAs[Double]("shared_frac"))
+    assert(fix.max > 0.5 && fix.min === 0.0)
+  }
+
   test("llm_dedup_incremental: re-ingesting the store adds zero rows") {
     val docs = Tables.documents(spark, sf0001)
     val verdicts = DedupOps.dedupIncremental(spark, docs, docs).collect()
