@@ -218,6 +218,80 @@ object DedupOps extends OpModule {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** ALL near-dup pairs that involve the batch — store-vs-batch plus
+    * batch-vs-batch, never store-vs-store (those were settled by the
+    * prior run) — from two artifact frames. The pairs-level sibling of
+    * [[dedupIncremental]]'s verdicts (which keep only each doc's
+    * smallest partner); cluster maintenance needs the whole new edge
+    * set. Store ids precede batch ids by construction, so (p_id, doc_id)
+    * is already (smaller, larger).
+    */
+  private[operators] def nearPairsIncremental(artStore: DataFrame,
+      artBatch: DataFrame): DataFrame = {
+    val sBands = bandedFromSketch(artStore)
+      .select(col("doc_id").as("p_id"), col("band_idx"), col("band_key"))
+    val bBands = bandedFromSketch(artBatch)
+    val candPairs = bBands.join(sBands, Seq("band_idx", "band_key"))
+      .select(col("doc_id"), col("p_id"))
+      .unionByName(bBands.as("n")
+        .join(bBands.select(col("doc_id").as("p_id"),
+          col("band_idx").as("bi"), col("band_key").as("bk")).as("p"),
+          col("band_idx") === col("bi") && col("band_key") === col("bk") &&
+            col("p_id") < col("doc_id"))
+        .select(col("doc_id"), col("p_id")))
+      .distinct()
+    val setsN = artBatch.select(col("doc_id"), col("shingles").as("sh_n"))
+    val setsP = artStore
+      .select(col("doc_id").as("p_id"), col("shingles").as("sh_p"))
+      .unionByName(artBatch
+        .select(col("doc_id").as("p_id"), col("shingles").as("sh_p")))
+    candPairs.join(setsN, "doc_id").join(setsP, "p_id")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_p"))))
+      .withColumn("uni",
+        size(col("sh_n")) + size(col("sh_p")) - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("uni"))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("p_id").as("doc_a"), col("doc_id").as("doc_b"))
+  }
+
+  /** Incremental cluster MAINTENANCE: fold a new batch into the prior
+    * snapshot's duplicate clusters without re-pairing the store against
+    * itself. The prior run's labels stand in for every old intra-cluster
+    * edge as a STAR (cluster_id → member) — component-preserving by
+    * construction, and |labels| ≪ |old edges| — and only the new edges
+    * ([[nearPairsIncremental]]: store-vs-batch + batch-vs-batch) are
+    * computed fresh. Min-label propagation then starts from an
+    * almost-converged graph. Output is identical to a full-corpus
+    * [[dupClusters]] recompute — the oracle is literally the same
+    * full-closure SQL — which is the point: the incremental path must
+    * lose nothing.
+    */
+  def dupClustersIncremental(s: SparkSession,
+      priorLabels: DataFrame, artStore: DataFrame,
+      artBatch: DataFrame): DataFrame = {
+    val labelEdges = priorLabels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+    clustersFromEdges(labelEdges
+      .unionByName(nearPairsIncremental(artStore, artBatch)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[dupClustersIncremental]] over the fixture: the first 80% of the
+    * id space plays the prior snapshot — its labels are rebuilt here
+    * (in production they are the persisted output of the prior run, like
+    * the artifact store the other incremental queries read).
+    */
+  def dupClustersIncrementalQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val k = Tables.snapshotBoundary(s, dir, "documents")
+    val artStore = snapshotArtifacts(s, docs.filter(col("doc_id") < k))
+    val artBatch = snapshotArtifacts(s, docs.filter(col("doc_id") >= k))
+    val priorLabels = clustersFromEdges(nearPairsFromArtifacts(artStore)
+      .select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("cluster_id"))
+    dupClustersIncremental(s, priorLabels, artStore, artBatch)
+  }
+
   /** Directional containment |A∩B|/|A| and |A∩B|/|B| for the near-dup
     * pairs (jaccard ≥ 0.9 precondition keeps the LSH candidate set exact
     * by construction — a containment-only threshold could admit pairs the
@@ -492,8 +566,45 @@ object DedupOps extends OpModule {
     "llm_dedup_incremental" -> dedupIncrementalQuery,
     "llm_simhash_portable" -> simhashPortable,
     "llm_dup_clusters" -> dupClusters,
+    "llm_dup_clusters_incremental" -> dupClustersIncrementalQuery,
     "llm_span_dedup" -> spanDedup
   )
+
+  /** Full-closure connected-components SQL, shared by `llm_dup_clusters`
+    * and `llm_dup_clusters_incremental` — the incremental label
+    * maintenance must reproduce the full recompute bit-for-bit.
+    */
+  private val dupClustersClosureSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
+      |                toks[i+2] for i in range(1, greatest(len(toks)-1, 1))]))
+      |           AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |        FROM documents)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT doc_a, doc_b FROM inter
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+      |      UNION SELECT doc_b, doc_a FROM p),
+      |r AS (
+      |  SELECT a AS doc_id, a AS reach FROM e
+      |  UNION
+      |  SELECT r.doc_id, e.b AS reach FROM r JOIN e ON r.reach = e.a),
+      |c AS (SELECT doc_id, min(reach) AS cluster_id FROM r GROUP BY doc_id),
+      |cs AS (SELECT cluster_id, count(*) AS cluster_size
+      |       FROM c GROUP BY cluster_id)
+      |SELECT c.doc_id, c.cluster_id, cs.cluster_size,
+      |       c.doc_id = c.cluster_id AS keeper
+      |FROM c JOIN cs USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "llm_dedup_exact" ->
@@ -628,38 +739,11 @@ object DedupOps extends OpModule {
     // Jaccard builds the edge set, a recursive CTE computes reachability
     // (terminates: UNION dedups, the reachable set is finite), and each
     // vertex's cluster is the minimum over its reachable set — exactly
-    // the min-label fixpoint the Spark loop converges to.
-    "llm_dup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
-        |                toks[i+2] for i in range(1, greatest(len(toks)-1, 1))]))
-        |           AS s
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
-        |        FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |p AS (
-        |  SELECT doc_a, doc_b FROM inter
-        |  JOIN sizes sa ON doc_a = sa.doc_id
-        |  JOIN sizes sb ON doc_b = sb.doc_id
-        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
-        |      UNION SELECT doc_b, doc_a FROM p),
-        |r AS (
-        |  SELECT a AS doc_id, a AS reach FROM e
-        |  UNION
-        |  SELECT r.doc_id, e.b AS reach FROM r JOIN e ON r.reach = e.a),
-        |c AS (SELECT doc_id, min(reach) AS cluster_id FROM r GROUP BY doc_id),
-        |cs AS (SELECT cluster_id, count(*) AS cluster_size
-        |       FROM c GROUP BY cluster_id)
-        |SELECT c.doc_id, c.cluster_id, cs.cluster_size,
-        |       c.doc_id = c.cluster_id AS keeper
-        |FROM c JOIN cs USING (cluster_id)
-        |ORDER BY doc_id""".stripMargin,
+    // the min-label fixpoint the Spark loop converges to. The SAME full
+    // closure oracles the incremental query too: star-edge label
+    // maintenance must reproduce the full recompute bit-for-bit.
+    "llm_dup_clusters" -> dupClustersClosureSql,
+    "llm_dup_clusters_incremental" -> dupClustersClosureSql,
     "llm_containment" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -179,6 +179,23 @@ class LlmOpsSpec extends SparkSpec {
         .select(col("doc_a"), col("doc_b"))).count() === 0)
   }
 
+  test("llm_dup_clusters_incremental == full recompute; star edges preserve components") {
+    val full = DedupOps.dupClusters(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("keeper")))
+    val inc = DedupOps.dupClustersIncrementalQuery(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size"), r.getAs[Boolean]("keeper")))
+    assert(full.nonEmpty)
+    assert(inc.toSeq === full.toSeq)
+    // the batch really contributes: some cluster spans the boundary,
+    // otherwise this test proves nothing about the merge path
+    val k = Tables.snapshotBoundary(spark, sf0001, "documents")
+    val spanning = full.groupBy(_._2).values
+      .exists(c => c.exists(_._1 < k) && c.exists(_._1 >= k))
+    assert(spanning, "no cluster spans the snapshot boundary")
+  }
+
   test("llm_mix_weighted: budgets bind per source, selection is hash-deterministic") {
     import graft.operators.TextOps
     val rows = TextOps.mixWeighted(spark, sf0001).collect()
