@@ -175,6 +175,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("llm_mix_weighted: quota fill rides spread rank — no bare-source window") {
+    val p = plan(TextOps.mixWeighted(spark, sf0001))
+    // the running token sum must be the (__pid, source)-local window over
+    // the range exchange, never a window partitioned by the bare source
+    // key (source count = a hard parallelism ceiling at 100 TB)
+    assert(p.contains("windowspecdefinition(__pid"), p)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("llm_span_dedup: only 16-byte span hashes shuffle, never span text") {
+    val p = plan(DedupOps.spanDedup(spark, sf0001))
+    // census + rollup are partial-before-shuffle hash aggregates, and the
+    // span string is consumed by md5 BEFORE any exchange: no exchange
+    // input carries a concat_ws projection
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // every hash exchange partitions on the md5 hash and/or doc_id —
+    // never on a raw span-text column (the concat_ws projections live
+    // scan-side, feeding md5 before any stage boundary)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    exchanges.foreach(l =>
+      assert(l.contains("h#") || l.contains("doc_id#"), l))
+  }
+
   test("tpch_q8: dimension arms broadcast, no cartesian in the join tree") {
     val p = plan(ComposedOps.q8Shape(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)
