@@ -480,6 +480,45 @@ object SimOps extends OpModule {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** IVF search against the FROZEN quantizer — the portable, fully
+    * value-oracled twin of [[annIvf]] (the move `llm_simhash_portable`
+    * and `agg_kmv_distinct` made for their families): the cells are the
+    * 10 unit-normalized seeds themselves, skipping the float-average
+    * centroid refinement whose shuffle-order-dependent sums are exactly
+    * what keeps [[annIvf]] oracle-free. Corpus vectors assign to their
+    * argmax cell (narrow, in-expression), queries probe their top-4
+    * cells, exact cosine + bounded-heap top-5 inside the probed cells.
+    * Every number is a strict-ordered double expression both engines
+    * replay bit-for-bit — DuckDB recomputes the unit seeds, the
+    * assignment, the probe ranking, and the final cosines value-for-
+    * value. [[annIvf]] (refined centroids, better recall) stays the
+    * scale path; this is the verifiable one.
+    */
+  def annFrozen(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScore
+    graft.functions.GraftFunctions.register(s)
+    val seedsLit = typedlit(driverSeeds(s, dir, 10))
+    val corpus = withNorm(Tables.embeddings(s, dir))
+      .withColumn("cell",
+        element_at(rankedSeeds(seedsLit), 1).getField("sid"))
+    val qProbes = withNorm(Tables.embeddings(s, dir).filter(col("vec_id") < 20))
+      .withColumn("cell", explode(probeCells(seedsLit, 4)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"), col("cell"))
+    val topk = udaf(TopKByScore.TopKAgg(5),
+      Encoders.product[TopKByScore.ScoredId])
+    broadcast(qProbes).join(corpus, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Cluster assignment as a first-class query: each vector → nearest of
     * the 10 unit-normalized seed centroids (the IVF quantizer's assignment
     * step, exposed). `affinity` = dot(v, seed_unit) = cos·‖v‖; argmax ties
@@ -512,6 +551,7 @@ object SimOps extends OpModule {
     "llm_dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
     "llm_dedup_embed_incremental" -> dedupEmbedIncremental,
     "llm_ann_ivf" -> annIvf,
+    "llm_ann_frozen" -> annFrozen,
     "llm_cluster_assign" -> clusterAssign
   )
 
@@ -531,6 +571,50 @@ object SimOps extends OpModule {
         |                   for i in range(1, 65)]) / (q.norm * c.norm)
         |           AS cosine
         |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id != c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // The whole frozen-quantizer IVF pipeline replayed in SQL: unit
+    // seeds, argmax assignment (rn = 1), top-4 probe ranking (rn <= 4),
+    // exact cosine inside probed cells, windowed top-5 — the same
+    // strict-ordered double sums as the Spark expressions throughout.
+    "llm_ann_frozen" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS seed_id,
+        |         [embedding[i]::DOUBLE / norm for i in range(1, 65)]
+        |           AS seed_unit
+        |  FROM e WHERE vec_id < 10),
+        |assign AS (
+        |  SELECT e.vec_id, s.seed_id AS cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_sum([e.embedding[i]::DOUBLE
+        |                              * s.seed_unit[i] for i in range(1, 65)])
+        |                              DESC, s.seed_id) AS rn
+        |  FROM e CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, cell FROM assign
+        |           WHERE vec_id < 20 AND rn <= 4),
+        |cand AS (
+        |  SELECT p.q_id, c.vec_id AS neighbor_id
+        |  FROM probes p JOIN cells c USING (cell)
+        |  WHERE c.vec_id != p.q_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.neighbor_id,
+        |         list_sum([q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE
+        |                   for i in range(1, 65)]) / (q.norm * n.norm)
+        |           AS cosine
+        |  FROM cand
+        |  JOIN e q ON q.vec_id = cand.q_id
+        |  JOIN e n ON n.vec_id = cand.neighbor_id),
         |ranked AS (
         |  SELECT q_id, neighbor_id, cosine,
         |         row_number() OVER (PARTITION BY q_id

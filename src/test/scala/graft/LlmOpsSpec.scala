@@ -69,6 +69,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.75, s"IVF recall@5 = $recall")
   }
 
+  test("llm_ann_frozen: well-formed top-5, recall measured vs brute force") {
+    val frozen = SimOps.annFrozen(spark, sf0001).collect()
+    val byQ = frozen.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq ===
+        (1 to sorted.length).toSeq)
+      // ranks really descend by cosine
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    def keyset(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = keyset(SimOps.simTopk(spark, sf0001).collect())
+    val recall = (brute & keyset(frozen)).size.toDouble / brute.size
+    // 4-of-10 unrefined cells on a near-uniform corpus: the verifiable
+    // floor, not the quality bar (annIvf's refined centroids hold 0.75)
+    assert(recall >= 0.4, s"frozen-quantizer recall@5 = $recall")
+    info(s"frozen-quantizer recall@5 = $recall")
+  }
+
   // The serving path: the IVF index persisted as parquet artifacts and
   // reloaded — query-time search is deterministic given the frozen index
   // and holds the same recall bar (the index build's float centroids are
