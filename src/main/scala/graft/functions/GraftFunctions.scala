@@ -59,6 +59,11 @@ object GraftFunctions {
       new ExpressionInfo(classOf[RollingFingerprint].getName,
         "graft_fingerprint"),
       (children: Seq[Expression]) => RollingFingerprint(children.head))
+    reg.registerFunction(FunctionIdentifier("graft_fingerprint_portable"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName,
+        "graft_fingerprint_portable"),
+      (children: Seq[Expression]) =>
+        RollingFingerprint(children.head, portable = true))
     // optimizer rule on a live session (extensions only bind at build time)
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
@@ -93,6 +98,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingFingerprint].getName,
         "graft_fingerprint"),
       (children: Seq[Expression]) => RollingFingerprint(children.head)))
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint_portable"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName,
+        "graft_fingerprint_portable"),
+      (children: Seq[Expression]) =>
+        RollingFingerprint(children.head, portable = true)))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

@@ -172,6 +172,22 @@ object TextOps extends OpModule {
       .orderBy(col("doc_id"))
   }
 
+  /** [[fingerprint]] in portable-hash mode: the same Rabin-Karp fold and
+    * 8-token-window minimum, but over md5-derived token hashes any engine
+    * can recompute — giving the fingerprint family its value-for-value
+    * SQL oracle (the `llm_simhash_portable` move), while the xxhash64
+    * default stays the fast path.
+    */
+  def fingerprintPortable(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("fp", expr("graft_fingerprint_portable(toks)"))
+      .select(col("doc_id"), col("fp")(0).as("fingerprint"),
+        col("fp")(1).as("win_min_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF per (doc, token): tf · ln(N/df). One explode, two hash
     * aggregates, one broadcast-able join of the (tiny) df table back onto
     * the term rows — the canonical text-weighting pipeline. ln of a
@@ -207,12 +223,62 @@ object TextOps extends OpModule {
     "llm_sample_stratified" -> sampleStratified,
     "llm_mix_weighted" -> mixWeighted,
     "llm_fingerprint" -> fingerprint,
+    "llm_fingerprint_portable" -> fingerprintPortable,
     "llm_tfidf" -> tfidf
   )
 
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    // The portable fingerprint replayed value-for-value: md5-prefix token
+    // hashes converted to SIGNED 64-bit, floorMod via ((h % P) + P) % P,
+    // the Rabin-Karp fold via list_reduce seeded with 0, and the 8-token
+    // window minimum over the same signed conversions (whole text when
+    // the doc is shorter than a window).
+    "llm_fingerprint_portable" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i, toks[i] AS s
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+        |        FROM t)),
+        |tm AS (
+        |  SELECT doc_id, i,
+        |         ((CAST(CASE WHEN u >= 9223372036854775808::UBIGINT
+        |                     THEN CAST(u AS HUGEINT)
+        |                          - 18446744073709551616::HUGEINT
+        |                     ELSE CAST(u AS HUGEINT) END AS BIGINT)
+        |           % 2147483647 + 2147483647) % 2147483647) AS m
+        |  FROM (SELECT doc_id, i,
+        |               ('0x' || substr(md5(s), 1, 16))::UBIGINT AS u
+        |        FROM tok)),
+        |fp AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                                  list(m ORDER BY i)),
+        |                     (a, b) -> (a * 31 + b) % 2147483647)
+        |           AS fingerprint
+        |  FROM tm GROUP BY doc_id),
+        |w AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |              ELSE [array_to_string(toks[s1 + 1 : s1 + 8], ' ')
+        |                    for s1 in range(0, len(toks) - 7)] END AS wins
+        |  FROM t),
+        |wm AS (
+        |  SELECT doc_id,
+        |         min(CAST(CASE WHEN u >= 9223372036854775808::UBIGINT
+        |                       THEN CAST(u AS HUGEINT)
+        |                            - 18446744073709551616::HUGEINT
+        |                       ELSE CAST(u AS HUGEINT) END AS BIGINT))
+        |           AS win_min_hash
+        |  FROM (SELECT doc_id,
+        |               ('0x' || substr(md5(wtext), 1, 16))::UBIGINT AS u
+        |        FROM (SELECT doc_id, unnest(wins) AS wtext FROM w))
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, fp.fingerprint, wm.win_min_hash
+        |FROM t JOIN fp USING (doc_id) JOIN wm USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // The quota semantics in window form: per-source running token sum
     // in md5(doc_id) order, doc taken while the EXCLUSIVE sum is under
     // the source's budget — the boundary-crossing doc is in.

@@ -35,7 +35,7 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("extensions-only session resolves all 6 native functions in SQL") {
+  test("extensions-only session resolves all 7 native functions in SQL") {
     withExtensionOnlySession { s =>
       val row = s.sql(
         """SELECT
@@ -46,7 +46,9 @@ class GraftExtensionsSpec extends SparkSpec {
           |  graft_fingerprint(split('rolling fingerprint input text', ' '))
           |    AS fp,
           |  graft_simhash_portable(split('hello world graft engine', ' '))
-          |    AS shp
+          |    AS shp,
+          |  graft_fingerprint_portable(
+          |    split('rolling fingerprint input text', ' ')) AS fpp
           |""".stripMargin).collect().head
       assert(row.getDouble(0) === 11.0)
       assert(row.getAs[Seq[Long]](1).length === 60)
@@ -56,14 +58,20 @@ class GraftExtensionsSpec extends SparkSpec {
       val viaRegister = spark.sql(
         "SELECT graft_simhash(split('hello world graft engine', ' ')), " +
           "graft_fingerprint(split('rolling fingerprint input text', ' ')), " +
-          "graft_simhash_portable(split('hello world graft engine', ' '))")
+          "graft_simhash_portable(split('hello world graft engine', ' ')), " +
+          "graft_fingerprint_portable(" +
+          "split('rolling fingerprint input text', ' '))")
         .collect().head
       assert(row.getLong(2) === viaRegister.getLong(0))
       assert(row.getAs[scala.collection.Seq[Long]](4).toSeq ===
         viaRegister.getAs[scala.collection.Seq[Long]](1).toSeq)
       assert(row.getLong(5) === viaRegister.getLong(2))
-      // the two hash modes are genuinely different functions
+      assert(row.getAs[scala.collection.Seq[Long]](6).toSeq ===
+        viaRegister.getAs[scala.collection.Seq[Long]](3).toSeq)
+      // the hash modes are genuinely different functions
       assert(row.getLong(2) !== row.getLong(5))
+      assert(row.getAs[scala.collection.Seq[Long]](4).toSeq !==
+        row.getAs[scala.collection.Seq[Long]](6).toSeq)
     }
   }
 
