@@ -219,6 +219,55 @@ object AggOps extends OpModule {
       .orderBy(col("l_returnflag"))
   }
 
+  /** KMV sketch SET ALGEBRA — the property that makes sketches the
+    * 100 TB answer: two groups' bottom-64 sketches MERGE into the union's
+    * sketch without touching the data again (bottom-k of A∪B is fully
+    * determined by bottom-k(A) ∪ bottom-k(B)), so cross-group distinct
+    * unions, Jaccard, and intersection estimates come from 64-entry
+    * arrays instead of a re-scan. Per flag pair: union estimate
+    * (k−1)·2³²/kth over the merged bottom-k (exact when the merged set
+    * is still under k), Jaccard = the fraction of the merged bottom-k
+    * present in BOTH sketches, intersection = J · union — all array
+    * arithmetic DuckDB replays value-for-value on the identical
+    * md5-derived hashes.
+    */
+  def kmvSetops(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScore
+    graft.functions.GraftFunctions.register(s)
+    val k = 64
+    val dist = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .withColumn("hv", expr(
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"))
+    val topk = udaf(TopKByScore.TopKAgg(k),
+      Encoders.product[TopKByScore.ScoredId])
+    // score = −hash ⇒ the array comes out hash-ascending: the bottom-k
+    val sk = dist.groupBy(col("l_returnflag"))
+      .agg(topk(col("hv"), -col("hv").cast("double")).as("top"))
+      .select(col("l_returnflag"),
+        expr("transform(top, x -> x.id)").as("sk"))
+    sk.as("a")
+      .join(sk.as("b"), col("a.l_returnflag") < col("b.l_returnflag"))
+      .select(col("a.l_returnflag").as("flag_a"),
+        col("b.l_returnflag").as("flag_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("merged", array_sort(array_union(col("ska"), col("skb"))))
+      .withColumn("kk", least(lit(k), size(col("merged"))))
+      .withColumn("bottom", slice(col("merged"), lit(1), col("kk")))
+      .withColumn("kth", element_at(col("bottom"), col("kk")))
+      .withColumn("union_est",
+        when(size(col("merged")) < k, size(col("merged")).cast("double"))
+          .when(col("kth") > 0,
+            lit((k - 1) * 4294967296.0) / col("kth")))
+      .withColumn("jaccard_est",
+        size(array_intersect(array_intersect(col("bottom"), col("ska")),
+          col("skb"))).cast("double") / col("kk"))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+      .select(col("flag_a"), col("flag_b"), col("kth"), col("union_est"),
+        col("jaccard_est"), col("inter_est"))
+      .orderBy(col("flag_a"), col("flag_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hash_group" -> hashGroup,
     "agg_count_distinct" -> countDistinctAgg,
@@ -229,7 +278,8 @@ object AggOps extends OpModule {
     "agg_percentile" -> percentileAgg,
     "agg_stats_moments" -> statsMoments,
     "agg_approx_sketch" -> approxSketch,
-    "agg_kmv_distinct" -> kmvDistinct
+    "agg_kmv_distinct" -> kmvDistinct,
+    "agg_kmv_setops" -> kmvSetops
   )
 
   val oracle: Map[String, String] = Map(
@@ -294,6 +344,41 @@ object AggOps extends OpModule {
         |            WHEN hs[64] > 0 THEN 63 * 4294967296.0 / hs[64]
         |            ELSE NULL END AS kmv_estimate
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    // The sketch algebra replayed: identical md5 hashes, per-flag
+    // bottom-64, pairwise merge via list_distinct + sort, and the same
+    // union/Jaccard/intersection arithmetic over the merged bottom-k.
+    "agg_kmv_setops" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag, l_partkey FROM lineitem),
+        |v AS (
+        |  SELECT l_returnflag,
+        |         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+        |              ::UBIGINT AS BIGINT) AS hv
+        |  FROM h),
+        |s AS (
+        |  SELECT l_returnflag, list_sort(list(hv))[:64] AS sk
+        |  FROM v GROUP BY l_returnflag),
+        |p AS (
+        |  SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+        |         a.sk AS ska, b.sk AS skb
+        |  FROM s a JOIN s b ON a.l_returnflag < b.l_returnflag),
+        |c AS (
+        |  SELECT flag_a, flag_b, ska, skb,
+        |         list_sort(list_distinct(ska || skb)) AS merged,
+        |         least(64, len(list_distinct(ska || skb))) AS kk
+        |  FROM p),
+        |f AS (
+        |  SELECT flag_a, flag_b, merged[kk] AS kth,
+        |         CASE WHEN len(merged) < 64 THEN CAST(len(merged) AS DOUBLE)
+        |              WHEN merged[kk] > 0 THEN 63 * 4294967296.0 / merged[kk]
+        |              ELSE NULL END AS union_est,
+        |         CAST(len(list_filter(merged[:kk],
+        |              x -> list_contains(ska, x) AND list_contains(skb, x)))
+        |              AS DOUBLE) / kk AS jaccard_est
+        |  FROM c)
+        |SELECT flag_a, flag_b, kth, union_est, jaccard_est,
+        |       jaccard_est * union_est AS inter_est
+        |FROM f ORDER BY flag_a, flag_b""".stripMargin,
     "agg_stats_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,

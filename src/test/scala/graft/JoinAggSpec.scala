@@ -76,6 +76,27 @@ class JoinAggSpec extends SparkSpec {
     }
   }
 
+  test("agg_kmv_setops: merged-sketch union/intersection track the exact values") {
+    import org.apache.spark.sql.functions._
+    val got = AggOps.kmvSetops(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size === 3) // A/N/R pairs
+    val li = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_partkey")).distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getAs[Long]("l_partkey")).toSet }
+    got.foreach { case ((a, b), r) =>
+      val exactU = (li(a) | li(b)).size.toDouble
+      val exactI = (li(a) & li(b)).size.toDouble
+      val estU = r.getAs[Double]("union_est")
+      val estI = r.getAs[Double]("inter_est")
+      // union: the same 1/sqrt(64) ≈ 12.5% sketch error, 3σ-ish bound;
+      // intersection compounds Jaccard noise — looser bound
+      assert(math.abs(estU - exactU) / exactU < 0.4, s"$a/$b union $estU vs $exactU")
+      assert(math.abs(estI - exactI) / exactI < 0.6, s"$a/$b inter $estI vs $exactI")
+    }
+  }
+
   // The moment-derived statistics must BE variance/correlation: compare
   // against Spark's built-in streaming implementations within float noise.
   test("agg_stats_moments matches built-in var_samp/corr within 1e-9 rel") {
