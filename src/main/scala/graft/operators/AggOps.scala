@@ -230,6 +230,13 @@ object AggOps extends OpModule {
     * present in BOTH sketches, intersection = J · union — all array
     * arithmetic DuckDB replays value-for-value on the identical
     * md5-derived hashes.
+    *
+    * The `<` self-join pairing the sketches is a broadcast non-equi join
+    * over per-GROUP summaries — rows = the return-flag enum (3), each a
+    * 64-entry array, a size fixed by the sketch parameter and the group
+    * cardinality, NOT the data volume. Sanctioned in QueriesSmokeSpec's
+    * allowlist per its rule: the corpus-scale work all happens in the
+    * partial-aggregated sketch build above the join.
     */
   def kmvSetops(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKByScore

@@ -28,8 +28,11 @@ class QueriesSmokeSpec extends SparkSpec {
   // NOT grow with the corpus), and (b) a note in this comment block, like
   // the round-4 removals above. Never add a name just to make this spec
   // pass.
+  // agg_kmv_setops (round 6): its `<` self-join pairs per-GROUP sketch
+  // summaries — 3 rows of 64-entry arrays whose cardinality is the flag
+  // enum, not the data volume (justified in AggOps.kmvSetops's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
-    "llm_ann_ivf", "llm_tfidf")
+    "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {
