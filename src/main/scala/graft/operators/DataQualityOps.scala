@@ -64,12 +64,82 @@ object DataQualityOps extends OpModule {
       .orderBy(col("rule"))
   }
 
+  /** Distribution DRIFT between the prior snapshot and the new batch —
+    * the monitoring gate a pipeline runs per crawl ("did the new data's
+    * shape move?"): population-stability-index terms over fixed-edge
+    * token-length buckets (width 10, capped at 9 — fixed edges, never
+    * data-derived quantiles, so the bucketing is deterministic and
+    * comparable across runs). PSI term = (p_batch − p_store) ·
+    * ln(p_batch/p_store); |PSI| sums read as <0.1 stable / >0.25 shifted.
+    *
+    * Scale shape: two narrow filtered aggregations over the pushed-down
+    * snapshot boundary, a full-outer join of two ≤10-row histograms, and
+    * window totals over that METADATA frame (10 rows — not a data-volume
+    * window). `ln` parity with DuckDB is the `llm_tfidf` precedent.
+    */
+  def drift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = Tables.snapshotBoundary(s, dir, "documents")
+    val docs = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("bucket", least(expr("n_tokens div 10"), lit(9)))
+    def hist(side: DataFrame, asCol: String) =
+      side.groupBy(col("bucket")).agg(count(lit(1)).as(asCol))
+    val joined = hist(docs.filter(col("doc_id") < k), "n_store")
+      .join(hist(docs.filter(col("doc_id") >= k), "n_batch"),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_store"), lit(0L)).as("n_store"),
+        coalesce(col("n_batch"), lit(0L)).as("n_batch"))
+    val w = Window.partitionBy()
+    joined
+      .withColumn("p_store",
+        col("n_store").cast("double") / sum(col("n_store")).over(w).cast("double"))
+      .withColumn("p_batch",
+        col("n_batch").cast("double") / sum(col("n_batch")).over(w).cast("double"))
+      .withColumn("psi_term",
+        when(col("n_store") > 0 && col("n_batch") > 0,
+          (col("p_batch") - col("p_store")) *
+            log(col("p_batch") / col("p_store"))))
+      .select(col("bucket"), col("n_store"), col("n_batch"),
+        col("p_store"), col("p_batch"), col("psi_term"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> profile,
-    "dq_constraints" -> constraints
+    "dq_constraints" -> constraints,
+    "dq_drift" -> drift
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_drift" ->
+      """WITH k AS (SELECT max(doc_id) * 4 // 5 AS kv FROM documents),
+        |d AS (
+        |  SELECT doc_id,
+        |         least(len(string_split(text, ' ')) // 10, 9) AS bucket
+        |  FROM documents),
+        |hs AS (SELECT bucket, count(*) AS n_store
+        |       FROM d, k WHERE doc_id < kv GROUP BY bucket),
+        |hb AS (SELECT bucket, count(*) AS n_batch
+        |       FROM d, k WHERE doc_id >= kv GROUP BY bucket),
+        |j AS (
+        |  SELECT COALESCE(hs.bucket, hb.bucket) AS bucket,
+        |         COALESCE(n_store, 0) AS n_store,
+        |         COALESCE(n_batch, 0) AS n_batch
+        |  FROM hs FULL OUTER JOIN hb ON hs.bucket = hb.bucket),
+        |t AS (
+        |  SELECT bucket, n_store, n_batch,
+        |         CAST(n_store AS DOUBLE) /
+        |           CAST(SUM(n_store) OVER () AS DOUBLE) AS p_store,
+        |         CAST(n_batch AS DOUBLE) /
+        |           CAST(SUM(n_batch) OVER () AS DOUBLE) AS p_batch
+        |  FROM j)
+        |SELECT bucket, n_store, n_batch, p_store, p_batch,
+        |       CASE WHEN n_store > 0 AND n_batch > 0
+        |            THEN (p_batch - p_store) * ln(p_batch / p_store)
+        |            ELSE NULL END AS psi_term
+        |FROM t ORDER BY bucket""".stripMargin,
     "dq_profile" ->
       """WITH one AS (
         |  SELECT CAST(count(*) AS DOUBLE) AS row_count,

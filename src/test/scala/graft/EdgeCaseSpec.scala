@@ -60,6 +60,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getAs[String]("k") === "7")
   }
 
+  test("dq_drift: same-generator snapshot halves read as stable (|PSI| small)") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.DataQualityOps.drift(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // probabilities are distributions
+    assert(math.abs(rows.map(_.getAs[Double]("p_store")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("p_batch")).sum - 1.0) < 1e-9)
+    // the fixture's store/batch split comes from one generator — PSI must
+    // read "stable" (< 0.1); a shifted distribution would break this
+    val psi = rows.flatMap(r => Option(r.getAs[java.lang.Double]("psi_term"))
+      .map(_.doubleValue.abs)).sum
+    assert(psi < 0.1, s"PSI $psi on identically-generated halves")
+  }
+
   test("dedupIncremental cold start (empty store) and empty batch behave") {
     import spark.implicits._
     val docs = Seq(
