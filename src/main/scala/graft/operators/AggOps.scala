@@ -275,6 +275,33 @@ object AggOps extends OpModule {
       .orderBy(col("flag_a"), col("flag_b"))
   }
 
+  /** Arg-extrema per group: the customer carrying each nation's max/min
+    * account balance, via `max_by`/`min_by` (SQL ARG_MAX/ARG_MIN — one
+    * pass, mergeable (value, key) state, no join-back or window). Larger
+    * fixtures DO have per-nation acctbal ties, so the pick key is the
+    * (acctbal, custkey) pair encoded into one BIGINT — cents * 10^7 +
+    * custkey — because the DuckDB twin's arg_max accepts only scalar
+    * keys. Lexicographic order survives the encoding (custkey is
+    * non-negative and < 10^7; cents is exact for the 2-decimal fixture),
+    * so both engines pick the same row deterministically.
+    */
+  def argExtrema(s: SparkSession, dir: String): DataFrame = {
+    val pickKey = round(col("c_acctbal") * 100).cast("long") *
+      10000000L + col("c_custkey")
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("pick_key", pickKey)
+      .groupBy(col("n_name"))
+      .agg(
+        max_by(col("c_name"), col("pick_key")).as("top_customer"),
+        max(col("c_acctbal")).as("max_acctbal"),
+        min_by(col("c_name"), col("pick_key")).as("bottom_customer"),
+        min(col("c_acctbal")).as("min_acctbal"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_hash_group" -> hashGroup,
     "agg_count_distinct" -> countDistinctAgg,
@@ -286,10 +313,22 @@ object AggOps extends OpModule {
     "agg_stats_moments" -> statsMoments,
     "agg_approx_sketch" -> approxSketch,
     "agg_kmv_distinct" -> kmvDistinct,
-    "agg_kmv_setops" -> kmvSetops
+    "agg_kmv_setops" -> kmvSetops,
+    "agg_argmax" -> argExtrema
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_argmax" ->
+      """SELECT n_name,
+        |       arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+        |                         * 10000000 + c_custkey) AS top_customer,
+        |       max(c_acctbal) AS max_acctbal,
+        |       arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT)
+        |                         * 10000000 + c_custkey) AS bottom_customer,
+        |       min(c_acctbal) AS min_acctbal,
+        |       count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_hash_group" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       $sumQty AS sum_qty, $sumPrice AS sum_base,

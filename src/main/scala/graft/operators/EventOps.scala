@@ -1,0 +1,315 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Event-sequence analytics over the `events` table: staged funnel
+  * conversion, last-touch attribution, and time-grid gap-fill (LOCF
+  * resampling). These are the event-log queries a product-analytics user
+  * of the reference pipeline (README.md:9-18 motivates the sensor-event
+  * stream) runs downstream of ingestion; gap-based sessionization itself
+  * lives in [[StreamTwinOps.session]].
+  *
+  * Scale notes (100 TB):
+  *  - Everything here clusters by `user_id` — a key whose cardinality
+  *    grows with the data (unlike a fixed enum), so hash parallelism
+  *    scales with the corpus. Per-user row counts are bounded by human
+  *    activity rates, so no single partition key explodes.
+  *  - The funnel is aggregate-then-join: each stage reduces events to one
+  *    row per user BEFORE joining the next stage, so joins move |users|
+  *    rows, never |events|. All stages key on user_id — after the first
+  *    shuffle every groupBy/join reuses the same hash partitioning.
+  *  - Gap-fill repartitions ONCE by user_id up front; the hourly rollup,
+  *    the per-user bounds, the grid join and the LOCF window all cluster
+  *    by a user_id subset, so Catalyst inserts no further exchange (plan
+  *    asserted in PlanAuditSpec). The generated grid is bounded by
+  *    |users| x hours-in-range, independent of event volume.
+  *  - Attribution is one window pass (rows frame, running `last`), one
+  *    shuffle on user_id; the carried state per row is a single
+  *    (type, ts) pair, not a buffered partition.
+  *  - Money/metric sums run in DECIMAL (exact, order-independent) and
+  *    cast to DOUBLE at the output edge, same as AggOps.
+  */
+object EventOps extends OpModule {
+
+  private val touchTypes = Seq("click", "view")
+
+  /** Staged conversion funnel signup -> view -> purchase: per user, the
+    * first signup, the first view AFTER that signup, and the first
+    * purchase AFTER that view; `stage` counts how deep the user got.
+    * Each stage is a min-aggregate joined back on user_id, so event rows
+    * never survive past their stage's aggregation.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t_signup"))
+    val view = ev.filter(col("event_type") === "view")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("t_signup"))
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(view, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    signup.join(view, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_signup"), col("t_view"),
+        col("t_purchase"),
+        (lit(1) + when(col("t_view").isNotNull, 1).otherwise(0) +
+          when(col("t_purchase").isNotNull, 1).otherwise(0)).as("stage"))
+      .orderBy("user_id")
+  }
+
+  /** Last-touch attribution: for every purchase, the most recent PRECEDING
+    * click/view of the same user (the touch that gets conversion credit).
+    * Both attributed columns come from the same running `last` over a
+    * rows-to-previous frame, so they always describe one event.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val before = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes.map(x => x: Any): _*)
+    Tables.events(s, dir)
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true)
+          .over(before))
+      .withColumn("touch_ts",
+        last(when(isTouch, col("ts")), ignoreNulls = true).over(before))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("ts").as("purchase_ts"), col("touch_type"), col("touch_ts"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Time-grid gap-fill: resample each user's first-week metric to an
+    * hourly grid (first to last active hour) with
+    * last-observation-carried-forward. The observation an hour keeps is
+    * its LAST event's value (`max_by(value, ts)` — (user_id, ts) is
+    * unique in the fixture, asserted in EventOpsSpec, so the pick is
+    * deterministic on both engines).
+    *
+    * Shape: instead of generate-grid + left-join + LOCF-window (three
+    * operators, two legs over the same rollup — which column pruning
+    * splits into two scans), each observation EXPANDS FORWARD to the hour
+    * before its successor (`lead` + `sequence`), so the carried value
+    * rides the generate and LOCF is true by construction. One scan, one
+    * explicit user_id shuffle (the rollup and the lead-window both reuse
+    * it — asserted in EventOpsSpec), no join. The DuckDB twin deliberately
+    * keeps the textbook grid+join+window formulation: two independent
+    * routes to the same rows.
+    */
+  def gapfillLocf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      .select(col("user_id"), col("ts"), col("value"))
+      .repartition(col("user_id"))
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(max_by(col("value"), col("ts")).as("v_obs"))
+    val nxt = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    hourly
+      .withColumn("next_hr", lead(col("hr"), 1).over(nxt))
+      .select(col("user_id"),
+        explode(sequence(col("hr"),
+          coalesce(col("next_hr") - expr("INTERVAL 1 HOUR"), col("hr")),
+          expr("INTERVAL 1 HOUR"))).as("hr"),
+        col("v_obs").as("value_locf"))
+      .orderBy("user_id", "hr")
+  }
+
+  /** Cohort retention: users grouped by the week of their first signup,
+    * tracked by which later weeks they were active in. Output is the
+    * classic retention triangle (cohort_week × week_offset →
+    * n_active / retention_pct). Week bucketing is `date_trunc('week')`
+    * (Monday-based on both engines); the pct divides two small exact
+    * counts, so it is bit-identical cross-engine.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cohorts = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("a_week"))
+      .distinct()
+    val joined = cohorts.join(activity, "user_id")
+      .filter(col("a_week") >= col("cohort_week"))
+      .withColumn("week_offset",
+        (datediff(col("a_week"), col("cohort_week")) / 7).cast("int"))
+    val sized = joined.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    joined.groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sized, "cohort_week")
+      .withColumn("retention_pct",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"), col("retention_pct"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** OHLC bars: per user per day, the classic open/high/low/close rollup
+    * — one hash aggregate, open/close picked by `min_by`/`max_by` on the
+    * tie-free (user_id, ts) key.
+    */
+  def ohlcBars(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("user_id", "day")
+
+  /** Path analysis: the frequency census of 3-step event-type sequences
+    * (per-user, time-ordered, overlapping). One window pass builds the
+    * trigrams (two `lead`s share one sort), one aggregate counts them —
+    * group cardinality is |types|³ = 125, tiny versus input, so the
+    * count shuffle is bounded. Fully ordered output (count desc + the
+    * trigram itself) keeps ties deterministic.
+    */
+  def pathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(desc("n"), col("step1"), col("step2"), col("step3"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_funnel" -> funnel,
+    "event_attribution" -> attribution,
+    "ts_gapfill_locf" -> gapfillLocf,
+    "event_retention" -> retention,
+    "ts_ohlc_bars" -> ohlcBars,
+    "event_path_trigrams" -> pathTrigrams
+  )
+
+  val oracle: Map[String, String] = Map(
+    "event_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_view
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) > s1.t_signup
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t_view
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, t_signup, t_view, t_purchase,
+        |       1 + CASE WHEN t_view IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    "event_attribution" ->
+      """SELECT user_id, event_id, purchase_ts, touch_type, touch_ts FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER w AS touch_type,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |           OVER w AS touch_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+    "event_path_trigrams" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS step1,
+        |         lead(event_type, 1) OVER w AS step2,
+        |         lead(event_type, 2) OVER w AS step3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT step1, step2, step3, count(*) AS n,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM seq WHERE step3 IS NOT NULL
+        |GROUP BY step1, step2, step3
+        |ORDER BY n DESC, step1, step2, step3""".stripMargin,
+    "event_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id,
+        |         date_trunc('week', min(CAST(ts AS TIMESTAMP)))
+        |           AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |activity AS (
+        |  SELECT DISTINCT user_id,
+        |         date_trunc('week', CAST(ts AS TIMESTAMP)) AS a_week
+        |  FROM events),
+        |joined AS (
+        |  SELECT c.user_id, c.cohort_week,
+        |         CAST(date_diff('day', c.cohort_week, a.a_week) // 7
+        |              AS INTEGER) AS week_offset
+        |  FROM cohorts c JOIN activity a ON c.user_id = a.user_id
+        |  WHERE a.a_week >= c.cohort_week),
+        |sized AS (
+        |  SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+        |  FROM joined GROUP BY cohort_week)
+        |SELECT CAST(j.cohort_week AS TIMESTAMP) AS cohort_week,
+        |       j.week_offset,
+        |       count(DISTINCT j.user_id) AS n_active,
+        |       s.cohort_size,
+        |       CAST(count(DISTINCT j.user_id) AS DOUBLE)
+        |         / CAST(s.cohort_size AS DOUBLE) AS retention_pct
+        |FROM joined j JOIN sized s ON j.cohort_week = s.cohort_week
+        |GROUP BY j.cohort_week, j.week_offset, s.cohort_size
+        |ORDER BY cohort_week, j.week_offset""".stripMargin,
+    "ts_ohlc_bars" ->
+      """SELECT user_id,
+        |       CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |         AS day,
+        |       arg_min(value, ts) AS open,
+        |       max(value) AS high,
+        |       min(value) AS low,
+        |       arg_max(value, ts) AS close,
+        |       count(*) AS n_ticks
+        |FROM events
+        |GROUP BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |ORDER BY user_id, day""".stripMargin,
+    "ts_gapfill_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+        |hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |         arg_max(value, ts) AS v_obs
+        |  FROM ev GROUP BY user_id, date_trunc('hour', ts)),
+        |bounds AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM ev GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |  FROM bounds)
+        |SELECT g.user_id, g.hr,
+        |       last_value(h.v_obs IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.hr
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS value_locf
+        |FROM grid g
+        |LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin
+  )
+}

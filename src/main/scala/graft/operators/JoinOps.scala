@@ -146,6 +146,28 @@ object JoinOps extends OpModule {
       .crossJoin(Tables.region(s, dir).select(col("r_regionkey").as("rk_b")))
       .orderBy(col("rk_a"), col("rk_b"))
 
+  /** LATERAL top-N: each customer's two most expensive orders via a
+    * correlated LATERAL subquery with ORDER BY + LIMIT. Runs through
+    * `spark.sql` so Catalyst's lateral-join decorrelation actually
+    * executes: the per-customer limit rewrites to a ranked window over
+    * one shuffle of orders — never a per-row re-scan (nested-loop
+    * re-execution is what LATERAL means naively; the decorrelated plan is
+    * why it scales). Customers with no orders drop out (inner lateral).
+    */
+  def lateralTopN(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_lv")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_lv")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_lv c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_lv
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_inner_equi" -> innerEqui,
     "join_broadcast" -> broadcastDims,
@@ -155,7 +177,8 @@ object JoinOps extends OpModule {
     "join_semi" -> semi,
     "join_anti" -> anti,
     "join_range_theta" -> rangeTheta,
-    "join_asof" -> asOf
+    "join_asof" -> asOf,
+    "join_lateral_topn" -> lateralTopN
   )
 
   val oracle: Map[String, String] = Map(
@@ -205,6 +228,15 @@ object JoinOps extends OpModule {
         |  ON a.user_id = b.user_id
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "join_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t ON true
+        |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin,
     "join_asof" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
         |       last_value(CASE WHEN event_type = 'signup'

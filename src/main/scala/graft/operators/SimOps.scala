@@ -546,13 +546,100 @@ object SimOps extends OpModule {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every vector to its single nearest cell of the frozen
+    * 32-seed coarse quantizer, then WITHIN each cell drop any vector
+    * whose cosine to a lower-id cell-mate reaches the threshold — keeping
+    * one representative per semantic neighborhood. Unlike [[dedupEmbed]]
+    * (which hunts ALL qualifying pairs via multi-probe cell overlap), the
+    * single-cell restriction here is the operator's DEFINITION, not an
+    * approximation: the comparison budget is Σ|cell|², never corpus²,
+    * which is what makes semantic dedup tractable at 100 TB (cells grow
+    * ~√n; the quantizer is the same frozen model artifact the incremental
+    * paths persist). The drop rule — dominated by ANY lower-id cell-mate,
+    * dropped or not — is deterministic and engine-independent, so the
+    * whole verdict set value-oracles.
+    *
+    * Plan: narrow argmax assignment (the [[rankedSeeds]]
+    * literal-quantizer pass — no join/shuffle/window), one cell equi-join
+    * for within-cell pairs, one anti-join to remove the dominated side.
+    */
+  def semanticDedup(s: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val seedsLit = typedlit(driverSeeds(s, dir, dedupCells))
+    val assigned = withNorm(Tables.embeddings(s, dir))
+      .withColumn("cell",
+        element_at(rankedSeeds(seedsLit), 1).getField("sid"))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("norm"))
+    val a = assigned.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("emb_a"), col("norm").as("norm_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("emb_b"), col("norm").as("norm_b"))
+    val dropped = a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+      .withColumn("cosine",
+        dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("vb").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Incremental SemDeDup: judge only the NEW crawl's vectors, against
+    * (a) the store's semantic SURVIVORS and (b) lower-id batch mates —
+    * exactly semantic dedup over (store-survivors ∪ batch) restricted to
+    * batch output. A vector the store already discarded cannot veto new
+    * data (its surviving representative does that), the store is never
+    * re-judged, and store-vs-store pairs are never formed — the dominance
+    * join's right side is the batch alone, so at 100 TB the store
+    * contributes one artifact scan (survivor ids + cells persist as the
+    * snapshot's output; the inline store pass here stands in for reading
+    * it, same stance as [[dedupEmbedIncremental]]) while all pair work
+    * scales with the batch. Snapshot boundary is config
+    * ([[graft.Tables.snapshotBoundary]]), not a per-run data probe.
+    */
+  def semanticDedupIncremental(s: SparkSession, dir: String,
+      threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val boundary = Tables.snapshotBoundary(s, dir, "embeddings")
+    val seedsLit = typedlit(driverSeeds(s, dir, dedupCells))
+    val assigned = withNorm(Tables.embeddings(s, dir))
+      .withColumn("cell",
+        element_at(rankedSeeds(seedsLit), 1).getField("sid"))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("norm"))
+    val store = assigned.filter(col("vec_id") < boundary)
+    val batch = assigned.filter(col("vec_id") >= boundary)
+    def dominated(cands: DataFrame, targets: DataFrame): DataFrame = {
+      val a = cands.select(col("cell"), col("vec_id").as("va"),
+        col("embedding").as("emb_a"), col("norm").as("norm_a"))
+      val b = targets.select(col("cell"), col("vec_id").as("vb"),
+        col("embedding").as("emb_b"), col("norm").as("norm_b"))
+      a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+        .withColumn("cosine",
+          dot(col("emb_a"), col("emb_b")) /
+            (col("norm_a") * col("norm_b")))
+        .filter(col("cosine") >= threshold)
+        .select(col("vb").as("vec_id")).distinct()
+    }
+    val storeSurvivors =
+      store.join(dominated(store, store), Seq("vec_id"), "left_anti")
+    val batchDropped = dominated(storeSurvivors.unionByName(batch), batch)
+    batch.join(batchDropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_topk" -> simTopk,
     "llm_dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
     "llm_dedup_embed_incremental" -> dedupEmbedIncremental,
     "llm_ann_ivf" -> annIvf,
     "llm_ann_frozen" -> annFrozen,
-    "llm_cluster_assign" -> clusterAssign
+    "llm_cluster_assign" -> clusterAssign,
+    "llm_semantic_dedup" -> ((s, dir) => semanticDedup(s, dir)),
+    "llm_semantic_dedup_incremental" ->
+      ((s, dir) => semanticDedupIncremental(s, dir))
   )
 
   private val dotSql =
@@ -622,6 +709,81 @@ object SimOps extends OpModule {
         |  FROM scored)
         |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "llm_semantic_dedup_incremental" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |k AS (SELECT max(vec_id) * 4 // 5 AS kv FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS seed_id,
+        |         [embedding[i]::DOUBLE / norm for i in range(1, 65)]
+        |           AS seed_unit
+        |  FROM e WHERE vec_id < 32),
+        |scored AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_sum([e.embedding[i]::DOUBLE
+        |                              * s.seed_unit[i] for i in range(1, 65)])
+        |                              DESC, s.seed_id) AS rn
+        |  FROM e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT scored.vec_id, scored.seed_id AS cell, e.embedding, e.norm
+        |  FROM scored JOIN e ON scored.vec_id = e.vec_id WHERE rn = 1),
+        |store_dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id, k
+        |  WHERE b.vec_id < kv
+        |    AND list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                  for i in range(1, 65)]) / (a.norm * b.norm) >= 0.3),
+        |cand AS (
+        |  SELECT assigned.* FROM assigned, k
+        |  WHERE (vec_id < kv
+        |         AND vec_id NOT IN (SELECT vec_id FROM store_dropped))
+        |     OR vec_id >= kv),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM cand a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id, k
+        |  WHERE b.vec_id >= kv
+        |    AND list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                  for i in range(1, 65)]) / (a.norm * b.norm) >= 0.3)
+        |SELECT vec_id, cell FROM assigned, k
+        |WHERE vec_id >= kv
+        |  AND vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
+    "llm_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS seed_id,
+        |         [embedding[i]::DOUBLE / norm for i in range(1, 65)]
+        |           AS seed_unit
+        |  FROM e WHERE vec_id < 32),
+        |scored AS (
+        |  SELECT e.vec_id, s.seed_id,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_sum([e.embedding[i]::DOUBLE
+        |                              * s.seed_unit[i] for i in range(1, 65)])
+        |                              DESC, s.seed_id) AS rn
+        |  FROM e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT scored.vec_id, scored.seed_id AS cell, e.embedding, e.norm
+        |  FROM scored JOIN e ON scored.vec_id = e.vec_id WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+        |                  for i in range(1, 65)]) / (a.norm * b.norm) >= 0.3)
+        |SELECT vec_id, cell FROM assigned
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
     "llm_cluster_assign" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
