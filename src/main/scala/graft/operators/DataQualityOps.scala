@@ -106,13 +106,53 @@ object DataQualityOps extends OpModule {
       .orderBy(col("bucket"))
   }
 
+  /** Fixed-width numeric histogram of `l_extendedprice` — the profiling
+    * companion to [[profile]]'s scalar stats ("what does the distribution
+    * LOOK like?"), and the batch form of [[drift]]'s bucketing: width 5000
+    * from 0, top-coded at bucket 19, so edges are constants, never
+    * data-derived quantiles — the histogram is comparable across runs and
+    * engines by construction.
+    *
+    * Scale shape: one narrow bucket projection + one hash aggregate (≤20
+    * groups, map-side partials carry almost everything), then the share
+    * ratio over the ≤20-row METADATA frame — the unpartitioned window
+    * never sees data volume (the dq_drift precedent).
+    */
+  def histogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+    val w = Window.partitionBy()
+    li.groupBy(least(floor(col("l_extendedprice") / 5000.0d), lit(19L))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"))
+      .withColumn("share",
+        col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> profile,
     "dq_constraints" -> constraints,
-    "dq_drift" -> drift
+    "dq_drift" -> drift,
+    "dq_histogram" -> histogram
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_histogram" ->
+      """WITH b AS (
+        |  SELECT CAST(least(floor(l_extendedprice / 5000.0), 19) AS BIGINT)
+        |           AS bucket,
+        |         l_extendedprice
+        |  FROM lineitem),
+        |h AS (
+        |  SELECT bucket, count(*) AS n,
+        |         min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n, lo, hi,
+        |       CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+        |FROM h ORDER BY bucket""".stripMargin,
     "dq_drift" ->
       """WITH k AS (SELECT max(doc_id) * 4 // 5 AS kv FROM documents),
         |d AS (

@@ -189,16 +189,64 @@ object EventOps extends OpModule {
       .orderBy(desc("n"), col("step1"), col("step2"), col("step3"))
   }
 
+  /** SCD2 dimension build from a change log: per user, collapse runs of
+    * consecutive identical states (an event repeating its predecessor's
+    * type is not a change), then intervalize what remains —
+    * `valid_from` = the change's timestamp, `valid_to` = the NEXT
+    * change's (NULL on the open current row), `version` numbering the
+    * history. The classic warehouse type-2 dimension derivation, run
+    * here on the event stream the reference ingests.
+    *
+    * Scale shape: both window passes (the `lag` change filter and the
+    * `lead`/`row_number` intervalizer) partition by `user_id` with the
+    * SAME (ts, event_id) sort, so one exchange + one sort serve both —
+    * the filter between them preserves ordering and partitioning, and
+    * per-user history is bounded by human activity rates.
+    */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_state", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_state").isNull ||
+        col("prev_state") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_funnel" -> funnel,
     "event_attribution" -> attribution,
     "ts_gapfill_locf" -> gapfillLocf,
     "event_retention" -> retention,
     "ts_ohlc_bars" -> ohlcBars,
-    "event_path_trigrams" -> pathTrigrams
+    "event_path_trigrams" -> pathTrigrams,
+    "dim_scd2" -> scd2
   )
 
   val oracle: Map[String, String] = Map(
+    "dim_scd2" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |c AS (
+        |  SELECT *, lag(event_type) OVER w AS prev_state FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |ch AS (
+        |  SELECT user_id, event_id, event_type, ts FROM c
+        |  WHERE prev_state IS NULL OR prev_state <> event_type)
+        |SELECT user_id, event_type AS state, ts AS valid_from,
+        |       lead(ts) OVER w AS valid_to,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       lead(ts) OVER w IS NULL AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "event_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_signup

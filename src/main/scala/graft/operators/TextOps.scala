@@ -215,7 +215,40 @@ object TextOps extends OpModule {
       .orderBy(col("doc_id"), col("token"))
   }
 
+  /** Vocabulary census: the top-100 tokens by corpus frequency with each
+    * prefix's cumulative share of ALL token occurrences — the first
+    * artifact a tokenizer-training run reads ("how many types cover 90%
+    * of the stream?"), and the coverage curve that decides vocab size.
+    *
+    * Scale shape: one explode + one hash aggregate over the token space
+    * (map-side partials absorb the heavy hitters — exactly the skew this
+    * query exists to find), the top-100 via `TakeOrderedAndProject`
+    * (bounded heap per partition, never a global sort), the corpus total
+    * as a broadcast one-row aggregate (the [[tfidf]] precedent), and the
+    * rank/coverage window over the 100-row RESULT frame only.
+    * Tie-break (n desc, token) keeps ranks deterministic cross-engine.
+    */
+  def vocabCensus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).cast("double").as("total"))
+    val w = Window.orderBy(col("n").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.orderBy(col("n").desc, col("token")).limit(100)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      .withColumn("cum_share",
+        sum(col("n")).over(w).cast("double") / col("total"))
+      .select(col("rank"), col("token"), col("n"), col("cum_share"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_vocab_census" -> vocabCensus,
     "llm_text_stats" -> textStats,
     "llm_quality_score" -> qualityScore,
     "llm_token_count" -> tokenCount,
@@ -230,6 +263,20 @@ object TextOps extends OpModule {
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "llm_vocab_census" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (
+        |  SELECT token, count(*) AS n FROM toks
+        |  WHERE len(token) > 0 GROUP BY token),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+        |top AS (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 100)
+        |SELECT CAST(row_number() OVER w AS BIGINT) AS rank, token, n,
+        |       CAST(SUM(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |                         CURRENT ROW) AS DOUBLE) / total AS cum_share
+        |FROM top, tot
+        |WINDOW w AS (ORDER BY n DESC, token)
+        |ORDER BY rank""".stripMargin,
     // The portable fingerprint replayed value-for-value: md5-prefix token
     // hashes converted to SIGNED 64-bit, floorMod via ((h % P) + P) % P,
     // the Rabin-Karp fold via list_reduce seeded with 0, and the 8-token
