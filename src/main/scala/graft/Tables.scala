@@ -75,6 +75,20 @@ object Tables {
     * constants; an unrecognized dir (a generated stress fixture) falls
     * back to one tiny max() probe — the documented non-production path.
     */
+  /** Embedding-corpus row count, for sizing the coarse quantizer
+    * ([[graft.operators.SimOps.scaledCells]]). Same config-not-derived
+    * stance as [[snapshotBoundary]]: the shipped fixtures' ids are dense
+    * 0..max, so the count is a known constant (maxId + 1); an
+    * unrecognized dir (a generated stress fixture) pays one
+    * metadata-only parquet count — footers carry exact row counts, no
+    * data pages are read.
+    */
+  def vectorCount(s: SparkSession, dir: String): Long = {
+    val base = new java.io.File(dir).getCanonicalPath
+    fixtureMaxIds.get((base, "embeddings")).map(_ + 1)
+      .getOrElse(t(s, dir, "embeddings").count())
+  }
+
   def snapshotBoundary(s: SparkSession, dir: String, table: String): Long = {
     val base = new java.io.File(dir).getCanonicalPath
     val maxId = fixtureMaxIds.getOrElse((base, table), {

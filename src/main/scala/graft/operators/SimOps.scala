@@ -132,15 +132,36 @@ object SimOps extends OpModule {
     * cosine — an adversarial worst case for any bucketing; every qualifying
     * pair at sf0.001/0.01/0.1 shares ≥1 probed cell, most share ≥2). On a
     * real near-dup corpus (threshold ≥0.85) the same plan prunes orders of
-    * magnitude harder; at 100 TB, `dedupCells` grows ~√n so the per-cell
+    * magnitude harder; at 100 TB the cell count grows ~√n so the per-cell
     * pair work stays bounded and cells map to parquet partitions. These
-    * defaults are the fixture-calibrated ORACLE configuration;
-    * [[dedupEmbed]] takes (cells, probes) as parameters for bigger corpora
-    * — the 10× stress tier runs √n ≈ 128 cells (graft.StressProbe measures
-    * the quadratic-vs-√n difference empirically; PERF.md records it).
+    * constants are the fixture-calibrated ORACLE configuration, and
+    * [[scaledCells]] keeps them bit-frozen on every shipped fixture while
+    * sizing bigger corpora to √n automatically — the 10× stress tier gets
+    * 128 cells (graft.StressProbe measures the quadratic-vs-√n difference
+    * empirically and requires 100% true-dup recall at both sizes; PERF.md
+    * records it).
     */
   val dedupCells = 32
   val dedupProbes = 7
+
+  /** Corpus-sized cell count for the candidate-proposal quantizers
+    * ([[dedupEmbed]] / [[dedupEmbedIncremental]] — the ops where the
+    * exact in-plan cosine disposes, so the cell count affects only work,
+    * never output). Up to 4096 vectors the fixture-calibrated
+    * [[dedupCells]] stands (all shipped oracle fixtures are ≤ 2000 —
+    * their configuration is bit-frozen); past that, the power of two
+    * nearest √n from below — the IVF sizing rule that keeps per-cell
+    * pair work bounded as the corpus grows. The fixed default
+    * measurably degenerates: at 20k iid vectors, 32 cells × 7 probes
+    * co-buckets 83% of ALL pairs (306M joined rows — brute force with
+    * extra steps); √n cells cuts the candidate volume 4× and the gap
+    * widens linearly with n. NOT for the frozen-semantics quantizers
+    * ([[semanticDedup]], [[annIvf]]'s declared configuration): there
+    * the cell structure IS the operator definition.
+    */
+  def scaledCells(n: Long): Int =
+    if (n <= 4096) dedupCells
+    else Integer.highestOneBit(math.sqrt(n.toDouble).toInt)
 
   /** The row's `probes` nearest cells of the broadcast quantizer, as one
     * array expression — the per-vector assignment both the live pass and
@@ -233,10 +254,15 @@ object SimOps extends OpModule {
     * Asserted cartesian/BNLJ-free in PlanAuditSpec.
     */
   def dedupEmbed(s: SparkSession, dir: String,
-      cells: Int = dedupCells, probes: Int = dedupProbes): DataFrame = {
+      cells: Int = 0, probes: Int = dedupProbes): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // cells = 0 → corpus-sized (the fixture constant or one metadata
+    // count): identical to dedupCells on every shipped oracle fixture,
+    // √n on bigger corpora — see scaledCells
+    val c = if (cells > 0) cells
+            else scaledCells(Tables.vectorCount(s, dir))
     val assigned = probeAssigned(Tables.embeddings(s, dir),
-      typedlit(driverSeeds(s, dir, cells)), probes)
+      typedlit(driverSeeds(s, dir, c)), probes)
     val a = assigned.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("vb"),
@@ -273,7 +299,8 @@ object SimOps extends OpModule {
   def dedupEmbedIncremental(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val k = Tables.snapshotBoundary(s, dir, "embeddings")
-    val seedsCol = typedlit(driverSeeds(s, dir, dedupCells))
+    val seedsCol = typedlit(driverSeeds(s, dir,
+      scaledCells(Tables.vectorCount(s, dir))))
     val all = Tables.embeddings(s, dir)
     embedIncrementalCore(
       probeAssigned(all.filter(col("vec_id") < k), seedsCol),
