@@ -120,6 +120,40 @@ object JoinOps extends OpModule {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest as-of join: for each event, the same user's CLOSEST 'signup'
+    * timestamp in either direction (ties → the earlier one; the event
+    * itself is excluded, so a signup event finds its nearest OTHER
+    * signup). The sensor-alignment flavor of [[asOf]] — "match each
+    * reading to the closest calibration point", where backward-only
+    * as-of mis-assigns everything before the first calibration.
+    *
+    * Scale shape: the backward pass (`last` over the preceding frame) and
+    * the forward pass (`first` over the following frame) share ONE
+    * partition + sort, so Catalyst plans one exchange and one sort for
+    * both WindowExecs — still strictly cheaper than any range self-join
+    * formulation, and `user_id` keys it to data-scaling parallelism.
+    */
+  def asOfNearest(s: SparkSession, dir: String): DataFrame = {
+    val sig = when(col("event_type") === "signup", col("ts"))
+    val base = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val back = base.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = base.rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .withColumn("prev_sig", last(sig, ignoreNulls = true).over(back))
+      .withColumn("next_sig", first(sig, ignoreNulls = true).over(fwd))
+      .withColumn("nearest_signup_ts",
+        when(col("prev_sig").isNull, col("next_sig"))
+          .when(col("next_sig").isNull, col("prev_sig"))
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_sig")) <=
+                unix_micros(col("next_sig")) - unix_micros(col("ts")),
+            col("prev_sig"))
+          .otherwise(col("next_sig")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("nearest_signup_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Full outer: per-nation customer counts vs HIGH-BALANCE supplier
     * counts — the filter makes the right side partial, so real one-sided
     * rows appear. Keys coalesced for a total output order.
@@ -178,6 +212,7 @@ object JoinOps extends OpModule {
     "join_anti" -> anti,
     "join_range_theta" -> rangeTheta,
     "join_asof" -> asOf,
+    "join_asof_nearest" -> asOfNearest,
     "join_lateral_topn" -> lateralTopN
   )
 
@@ -245,6 +280,26 @@ object JoinOps extends OpModule {
         |               ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |         AS prev_signup_ts
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         last_value(CASE WHEN event_type = 'signup'
+        |                         THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prev_sig,
+        |         first_value(CASE WHEN event_type = 'signup'
+        |                          THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |           OVER (w ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |           AS next_sig
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN prev_sig IS NULL THEN next_sig
+        |            WHEN next_sig IS NULL THEN prev_sig
+        |            WHEN date_diff('microsecond', prev_sig, ts)
+        |                 <= date_diff('microsecond', ts, next_sig)
+        |            THEN prev_sig ELSE next_sig END AS nearest_signup_ts
+        |FROM b ORDER BY event_id""".stripMargin
   )
 }

@@ -95,6 +95,37 @@ class Round6OpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("join_asof_nearest: picks the closer signup, ties to the earlier, " +
+    "one-sided rows fall back to the existing side") {
+    val near = graft.operators.JoinOps.asOfNearest(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    // every matched ts is a real signup ts of the same user
+    val sigs = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("nearest_signup_ts"))
+    assert(near.filter(col("nearest_signup_ts").isNotNull)
+      .join(sigs, Seq("user_id", "nearest_signup_ts"), "left_anti")
+      .count() == 0L)
+    // nearest dominates the backward-only answer: |ts - nearest| <=
+    // |ts - prev| wherever the backward as-of found anything
+    val back = graft.operators.JoinOps.asOf(spark, sf0001)
+      .select(col("event_id"), col("prev_signup_ts"))
+    val worse = near.join(back, "event_id")
+      .filter(col("prev_signup_ts").isNotNull)
+      .filter(abs(unix_micros(col("ts")) -
+          unix_micros(col("nearest_signup_ts"))) >
+        abs(unix_micros(col("ts")) - unix_micros(col("prev_signup_ts"))))
+      .count()
+    assert(worse == 0L)
+  }
+
+  test("join_asof_nearest plan: the backward and forward passes share one " +
+    "exchange and one sort — never a range self-join") {
+    val plan = finalPlan(graft.operators.JoinOps.asOfNearest(spark, sf0001))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      plan)
+  }
+
   test("runtime bloom-filter join pruning: a selective dim filter injects " +
     "a bloom probe into the fact scan side (the runtime semi-join " +
     "reduction large shuffle joins rely on at scale)") {
