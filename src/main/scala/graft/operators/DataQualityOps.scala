@@ -132,14 +132,70 @@ object DataQualityOps extends OpModule {
       .orderBy(col("bucket"))
   }
 
+  /** Per-group 3σ outlier census over the event stream: each event type's
+    * count, how many of its values sit more than three sample standard
+    * deviations from its mean, and the most extreme |z| — the anomaly
+    * gate a pipeline runs on metric columns before training on them.
+    *
+    * Parity design (the [[graft.operators.AggOps.statsMoments]]
+    * precedent): mean/std come from DECIMAL-exact sums (order-independent
+    * — a float sum would differ run-to-run under Spark's partition
+    * nondeterminism, let alone vs DuckDB), cast to DOUBLE at the edge;
+    * each row's z is then a fixed IEEE op sequence, identical on both
+    * engines. Scale shape: one aggregate to a |types|-row moments frame,
+    * broadcast back over the stream, one final aggregate — two scans, no
+    * data-volume shuffle beyond the groupBys' partial aggregation.
+    */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    val sx = "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+    val sx2 = """CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+      | CAST(value AS DECIMAL(18,2))) AS DOUBLE)"""
+      .stripMargin.replaceAll("\n", "")
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val moments = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), expr(sx).as("sx"), expr(sx2).as("sx2"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("std",
+        when(col("n") > 1,
+          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1))))
+      .select(col("event_type"), col("mean"), col("std"))
+    ev.join(broadcast(moments), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+        max(abs(col("z"))).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> profile,
     "dq_constraints" -> constraints,
     "dq_drift" -> drift,
-    "dq_histogram" -> histogram
+    "dq_histogram" -> histogram,
+    "dq_outliers" -> outliers
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2)) *
+        |                  CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, sx / n AS mean,
+        |         CASE WHEN n > 1
+        |              THEN sqrt((sx2 - sx * sx / n) / (n - 1)) END AS std
+        |  FROM s)
+        |SELECT e.event_type, count(*) AS n,
+        |       CAST(sum(CASE WHEN abs((value - mean) / std) > 3.0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       max(abs((value - mean) / std)) AS max_abs_z
+        |FROM events e JOIN m USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "dq_histogram" ->
       """WITH b AS (
         |  SELECT CAST(least(floor(l_extendedprice / 5000.0), 19) AS BIGINT)

@@ -176,7 +176,26 @@ object ScalarFnOps extends OpModule {
       .orderBy(col("event_id"))
   }
 
+  /** Bitwise scalar surface over the event keys: and/or/xor/not, shifts,
+    * population count — the ops id-hashing, bitmap flags, and bucket
+    * assignment lean on. Fully narrow and codegen'd; 64-bit semantics
+    * match DuckDB's integer operators exactly (two's complement, no
+    * overflow at these id ranges).
+    */
+  def fnBitwise(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("bxor", col("event_id").bitwiseXOR(col("user_id")))
+      .withColumn("band", col("event_id").bitwiseAND(col("user_id")))
+      .withColumn("bor", col("event_id").bitwiseOR(col("user_id")))
+      .withColumn("bnot", expr("~event_id"))
+      .withColumn("shl3", shiftleft(col("event_id"), 3))
+      .withColumn("shr2", shiftright(col("event_id"), 2))
+      .withColumn("popcnt", bit_count(col("event_id")))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_bitwise" -> fnBitwise,
     "fn_map" -> fnMap,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -189,6 +208,16 @@ object ScalarFnOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT event_id, user_id,
+        |       xor(event_id, user_id) AS bxor,
+        |       event_id & user_id AS band,
+        |       event_id | user_id AS bor,
+        |       ~event_id AS bnot,
+        |       event_id << 3 AS shl3,
+        |       event_id >> 2 AS shr2,
+        |       CAST(bit_count(event_id) AS INT) AS popcnt
+        |FROM events ORDER BY event_id""".stripMargin,
     "fn_map" ->
       """WITH f AS (
         |  SELECT *, list_filter(json_keys(props),

@@ -95,6 +95,19 @@ class Round6OpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("dq_outliers: conserves row counts and only reports outliers when " +
+    "the max |z| actually crosses the 3-sigma gate") {
+    val o = DataQualityOps.outliers(spark, sf0001).collect()
+    val total = Tables.events(spark, sf0001).count()
+    assert(o.map(_.getAs[Long]("n")).sum == total)
+    o.foreach { r =>
+      val nOut = r.getAs[Long]("n_outliers")
+      val maxZ = r.getAs[Double]("max_abs_z")
+      assert(nOut >= 0 && nOut < r.getAs[Long]("n"))
+      assert((nOut > 0) == (maxZ > 3.0))
+    }
+  }
+
   test("join_asof_nearest: picks the closer signup, ties to the earlier, " +
     "one-sided rows fall back to the existing side") {
     val near = graft.operators.JoinOps.asOfNearest(spark, sf0001)
