@@ -302,7 +302,61 @@ object AggOps extends OpModule {
       .orderBy(col("n_name"))
   }
 
+  /** Deterministic per-group mode: the most frequent `o_orderpriority` per
+    * order status, ties broken toward the lexicographically smallest
+    * value (built-in `mode()` is tie-nondeterministic on BOTH engines, so
+    * neither side uses it). Two hash aggregates — the second runs on
+    * |statuses × priorities| rows, nothing at data volume — and the pick
+    * is `min_by` over the (-count, value) pair, which is exactly
+    * "max count, then min value" without a join-back or window.
+    */
+  def modeAgg(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("o_orderstatus"))
+      .agg(
+        min_by(col("o_orderpriority"),
+          struct((-col("n")).as("neg_n"), col("o_orderpriority")))
+          .as("mode_value"),
+        max(col("n")).as("n_mode"),
+        sum(col("n")).as("total"))
+      .withColumn("share",
+        col("n_mode").cast("double") / col("total").cast("double"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Ordered list aggregation: per nation, the top-3 customers by
+    * (acctbal desc, custkey) serialized as a comma-joined custkey string.
+    * `collect_list` alone is shuffle-order-nondeterministic, so the list
+    * is collected as (rank, key) pairs and `array_sort`ed before
+    * serialization — the deterministic form of DuckDB's
+    * `string_agg(... ORDER BY ...)`. The rank filter bounds every group
+    * to 3 rows before the collect, so the aggregate state is O(k), never
+    * O(group).
+    */
+  def collectOrdered(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rk"), col("c_custkey")))),
+            x => x.getField("c_custkey").cast("string")),
+          ",").as("top_custkeys"),
+        count(lit(1)).as("n_top"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> modeAgg,
+    "agg_collect_ordered" -> collectOrdered,
     "agg_hash_group" -> hashGroup,
     "agg_count_distinct" -> countDistinctAgg,
     "agg_rollup" -> rollupAgg,
@@ -318,6 +372,33 @@ object AggOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *,
+        |         row_number() OVER (PARTITION BY o_orderstatus
+        |                            ORDER BY n DESC, o_orderpriority) AS rk,
+        |         CAST(sum(n) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+        |           AS total
+        |  FROM c)
+        |SELECT o_orderstatus, o_orderpriority AS mode_value,
+        |       n AS n_mode, total,
+        |       CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+        |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
+    "agg_collect_ordered" ->
+      """WITH r AS (
+        |  SELECT c_nationkey, c_custkey,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |  FROM customer)
+        |SELECT c_nationkey,
+        |       string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY rk)
+        |         AS top_custkeys,
+        |       count(*) AS n_top
+        |FROM r WHERE rk <= 3
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "agg_argmax" ->
       """SELECT n_name,
         |       arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT)

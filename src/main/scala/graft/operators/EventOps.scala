@@ -219,7 +219,77 @@ object EventOps extends OpModule {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** Gap-based sessionization (batch form): a session is a maximal run of
+    * a user's events with no inactivity gap over 30 minutes; output is
+    * one row per session with its bounds, size, and duration. The
+    * streaming twin (`stream_session`) uses `session_window`; this is the
+    * backfill/batch shape that runs over historical logs.
+    *
+    * Scale shape: the `lag` gap-test and the running-sum session counter
+    * share one (user_id)-partitioned, (ts, event_id)-sorted window pass,
+    * and the per-session aggregate groups on a user_id superset — one
+    * exchange, one sort for the whole query. Durations are integer
+    * microsecond arithmetic (`unix_micros`), bit-identical cross-engine.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L // 30-minute inactivity boundary
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs).cast("long"))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .withColumn("duration_us",
+        unix_micros(col("session_end")) - unix_micros(col("session_start")))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** CDC snapshot diff: the per-user current state (last event's type, by
+    * (ts, event_id)) at a mid-month boundary versus at the end of the
+    * log, classified insert / update / unchanged — the change-data-capture
+    * comparison a warehouse runs between two ingested snapshots. The log
+    * is append-only, so `delete` cannot occur here, but the full-outer
+    * shape produces it naturally when a key vanishes.
+    *
+    * Scale shape: both state extractions are (user_id)-partitioned
+    * `row_number` windows and the diff is a full-outer join on the same
+    * key — after the first shuffle every operator reuses the user_id
+    * partitioning, and each side carries ONE row per user into the join,
+    * never the event volume.
+    */
+  def cdcDiff(s: SparkSession, dir: String): DataFrame = {
+    val boundary = lit("2024-01-15").cast("timestamp")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    def stateOf(df: DataFrame, state: String, ts: String): DataFrame = df
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as(state), col("ts").as(ts))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val old = stateOf(ev.filter(col("ts") < boundary), "old_state", "old_ts")
+    val now = stateOf(ev, "new_state", "new_ts")
+    old.join(now, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_state").isNull, "insert")
+          .when(col("new_state").isNull, "delete")
+          .when(col("old_state") =!= col("new_state") ||
+            col("old_ts") =!= col("new_ts"), "update")
+          .otherwise("unchanged"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_sessionize" -> sessionize,
+    "cdc_snapshot_diff" -> cdcDiff,
     "event_funnel" -> funnel,
     "event_attribution" -> attribution,
     "ts_gapfill_locf" -> gapfillLocf,
@@ -230,6 +300,51 @@ object EventOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "event_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, lag(epoch_us(ts)) OVER w AS prev_us FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_type,
+        |         CAST(sum(CASE WHEN prev_us IS NULL
+        |                         OR epoch_us(ts) - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id,
+        |       min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       count(DISTINCT event_type) AS n_types,
+        |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "cdc_snapshot_diff" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |old AS (
+        |  SELECT user_id, event_type AS old_state, ts AS old_ts FROM e
+        |  WHERE ts < TIMESTAMP '2024-01-15'
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+        |new AS (
+        |  SELECT user_id, event_type AS new_state, ts AS new_ts FROM e
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1)
+        |SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+        |       old_state, old_ts, new_state, new_ts,
+        |       CASE WHEN o.user_id IS NULL THEN 'insert'
+        |            WHEN n.user_id IS NULL THEN 'delete'
+        |            WHEN o.old_state <> n.new_state
+        |              OR o.old_ts <> n.new_ts THEN 'update'
+        |            ELSE 'unchanged' END AS status
+        |FROM old o FULL JOIN new n ON o.user_id = n.user_id
+        |ORDER BY user_id""".stripMargin,
     "dim_scd2" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -57,13 +57,71 @@ object RelationalOps extends OpModule {
       .orderBy(col("event_id"))
   }
 
+  /** Z-order layout census: interleave the low 8 bits of two clustering
+    * dimensions (customer bucket × order-date day bucket) into one
+    * space-filling-curve key, then audit the 256 top-level curve cells —
+    * row count and the min/max span of BOTH dimensions inside each cell.
+    *
+    * Why it matters at 100 TB: writing a fact table
+    * `repartitionByRange(zval).sortWithinPartitions(zval)` makes every
+    * parquet file cover a bounded range of BOTH dimensions at once, so
+    * footer min/max stats prune scans filtered on EITHER key — the
+    * multi-dimensional clustering a single-column sort cannot give. The
+    * census is the auditable artifact of that claim: per-cell dim spans
+    * stay narrow (asserted in Round6OpsSpec), which IS the pruning bound.
+    * The bit-interleave is pure integer arithmetic (same expression both
+    * engines), and the whole query is one narrow projection + one
+    * 256-group hash aggregate.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_custkey") % 256
+    val y = datediff(col("o_orderdate").cast("date"),
+      to_date(lit("1992-01-01"))).cast("long") % 256
+    // z = bit-interleave(x, y): x in even positions, y in odd
+    def interleave(xc: org.apache.spark.sql.Column,
+                   yc: org.apache.spark.sql.Column) =
+      (0 until 8).map { b =>
+        (shiftleft(shiftright(xc, b).bitwiseAND(1), 2 * b))
+          .bitwiseOR(shiftleft(shiftright(yc, b).bitwiseAND(1), 2 * b + 1))
+      }.reduce(_ bitwiseOR _)
+    Tables.orders(s, dir)
+      .select(x.as("x"), y.as("y"))
+      .withColumn("zval", interleave(col("x"), col("y")))
+      .withColumn("z_cell", shiftright(col("zval"), 8))
+      .groupBy(col("z_cell"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("z_cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_parquet" -> scanParquet,
     "filter_pushdown" -> filterPushdown,
-    "csv_parse_project" -> csvParseProject
+    "csv_parse_project" -> csvParseProject,
+    "layout_zorder" -> zorderLayout
   )
 
+  /** The same bit-interleave as [[zorderLayout]], spelled out for DuckDB:
+    * ((x>>b)&1)<<2b | ((y>>b)&1)<<(2b+1), summed over b = 0..7 by OR.
+    */
+  private val zInterleaveSql: String = (0 until 8).map { b =>
+    s"(((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1})"
+  }.mkString(" | ")
+
   val oracle: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""WITH d AS (
+        |  SELECT o_custkey % 256 AS x,
+        |         CAST(date_diff('day', DATE '1992-01-01',
+        |                        CAST(o_orderdate AS DATE)) AS BIGINT)
+        |           % 256 AS y
+        |  FROM orders),
+        |z AS (SELECT x, y, ($zInterleaveSql) AS zval FROM d)
+        |SELECT zval >> 8 AS z_cell, count(*) AS n,
+        |       min(x) AS min_x, max(x) AS max_x,
+        |       min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1 ORDER BY z_cell""".stripMargin,
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "filter_pushdown" ->

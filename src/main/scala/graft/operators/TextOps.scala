@@ -247,7 +247,32 @@ object TextOps extends OpModule {
       .orderBy(col("rank"))
   }
 
+  /** BPE pair census: the frequency table of ADJACENT token pairs across
+    * the corpus — the inner statistic of byte-pair-encoding tokenizer
+    * training (each merge round picks the most frequent adjacent pair;
+    * this is that census for round one, top-50). Pairs are built by
+    * zipping each token list against itself shifted by one
+    * (`slice`+`arrays_zip` — pure narrow array ops, no join, no
+    * positional explode-then-self-join), so the only shuffle is the
+    * count's map-side-combined hash aggregate and the top-50 is a
+    * bounded-heap `TakeOrderedAndProject`. Tie-break (n desc, a, b) is a
+    * total order over distinct pairs, so the cutoff is deterministic.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("a"),
+        slice(toks, lit(2), size(toks) - 1).as("b"))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("a"), col("b"))
+      .limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bpe_pairs" -> bpePairs,
     "llm_vocab_census" -> vocabCensus,
     "llm_text_stats" -> textStats,
     "llm_quality_score" -> qualityScore,
@@ -263,6 +288,16 @@ object TextOps extends OpModule {
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "llm_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT unnest(list_zip(toks[1:length(toks) - 1],
+        |                         toks[2:length(toks)])) AS pr
+        |  FROM t)
+        |SELECT pr[1] AS a, pr[2] AS b, count(*) AS n
+        |FROM p GROUP BY a, b
+        |ORDER BY n DESC, a, b LIMIT 50""".stripMargin,
     "llm_vocab_census" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),

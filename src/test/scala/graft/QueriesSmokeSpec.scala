@@ -31,8 +31,12 @@ class QueriesSmokeSpec extends SparkSpec {
   // agg_kmv_setops (round 6): its `<` self-join pairs per-GROUP sketch
   // summaries — 3 rows of 64-entry arrays whose cardinality is the flag
   // enum, not the data volume (justified in AggOps.kmvSetops's doc).
+  // llm_vocab_census (round 6): the corpus-total denominator rides the
+  // same broadcast ONE-ROW scalar-aggregate cross join as llm_tfidf
+  // (justified in TextOps.vocabCensus's doc) — and it joins against the
+  // top-100 RESULT frame, not the corpus.
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
-    "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops")
+    "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {

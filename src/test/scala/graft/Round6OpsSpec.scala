@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DataQualityOps, EventOps, TextOps}
+import graft.operators.{AggOps, DataQualityOps, EventOps, RelationalOps, TextOps}
 
 /** Semantic + plan tests for the round-6 third-wave additions
   * (dq_histogram, dim_scd2, llm_vocab_census) and the runtime
@@ -169,5 +169,116 @@ class Round6OpsSpec extends SparkSpec {
         v.fold(conf.unset(k))(conf.set(k, _))
       }
     }
+  }
+
+  test("event_sessionize: sessions partition the events, intra-session " +
+    "gaps <= 30min, inter-session gaps > 30min") {
+    val sess = EventOps.sessionize(spark, sf0001)
+    val total = Tables.events(spark, sf0001).count()
+    assert(sess.agg(sum(col("n_events"))).head().getLong(0) == total)
+    // consecutive sessions of one user are separated by > 30 minutes,
+    // and numbered contiguously from 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("session_id")
+    val bad = sess
+      .withColumn("prev_end", lag(col("session_end"), 1).over(w))
+      .withColumn("prev_sid", lag(col("session_id"), 1).over(w))
+      .filter(
+        (col("prev_sid").isNull && col("session_id") =!= 1L) ||
+        (col("prev_sid").isNotNull &&
+          (col("session_id") =!= col("prev_sid") + 1L ||
+           unix_micros(col("session_start")) -
+             unix_micros(col("prev_end")) <= 1800L * 1000000L)))
+      .count()
+    assert(bad == 0L)
+    // a session's span can exceed 30min only via chained events; spot-pin
+    // the invariant that duration is non-negative and start <= end
+    assert(sess.filter(col("duration_us") < 0).count() == 0L)
+  }
+
+  test("cdc_snapshot_diff: one row per user, insert iff no pre-boundary " +
+    "events, unchanged iff nothing arrived after") {
+    val d = EventOps.cdcDiff(spark, sf0001)
+    val ev = Tables.events(spark, sf0001)
+    val users = ev.select("user_id").distinct().count()
+    assert(d.count() == users)
+    assert(d.select("user_id").distinct().count() == users)
+    val boundary = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val preUsers = ev.filter(col("ts") < lit(boundary))
+      .select("user_id").distinct().count()
+    assert(d.filter(col("status") === "insert").count() == users - preUsers)
+    // unchanged <=> the user's last event overall is before the boundary
+    val lastTs = ev.groupBy("user_id").agg(max("ts").as("last_ts"))
+    val expectUnchanged = lastTs.filter(col("last_ts") < lit(boundary)).count()
+    assert(d.filter(col("status") === "unchanged").count() == expectUnchanged)
+    assert(d.filter(col("status") === "delete").count() == 0L)
+  }
+
+  test("agg_mode: the mode's count is the max per-group count and ties " +
+    "break to the smallest value") {
+    val m = AggOps.modeAgg(spark, sf0001).collect()
+    val counts = Tables.orders(spark, sf0001)
+      .groupBy("o_orderstatus", "o_orderpriority").count().collect()
+      .groupBy(_.getString(0))
+    m.foreach { r =>
+      val grp = counts(r.getString(0)).map(x => (x.getString(1), x.getLong(2)))
+      val maxN = grp.map(_._2).max
+      assert(r.getLong(2) == maxN)
+      val want = grp.filter(_._2 == maxN).map(_._1).min
+      assert(r.getString(1) == want)
+    }
+  }
+
+  test("agg_collect_ordered: per-nation list is the acctbal-descending " +
+    "top-3 custkeys in rank order") {
+    val got = AggOps.collectOrdered(spark, sf0001).collect()
+    got.foreach { r =>
+      val keys = r.getString(1).split(",")
+      assert(keys.length == r.getLong(2) && keys.length <= 3)
+    }
+    // re-derive one nation's expected list independently
+    val nk = got.head.get(0)
+    val want = Tables.customer(spark, sf0001)
+      .filter(col("c_nationkey") === nk)
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(3).select("c_custkey").collect().map(_.getLong(0))
+      .mkString(",")
+    assert(got.head.getString(1) == want)
+  }
+
+  test("layout_zorder: cells bound BOTH dimension spans to 16 — the " +
+    "file-skipping guarantee of the curve layout") {
+    val z = RelationalOps.zorderLayout(spark, sf0001).collect()
+    assert(z.length <= 256)
+    val total = Tables.orders(spark, sf0001).count()
+    assert(z.map(_.getAs[Long]("n")).sum == total)
+    z.foreach { r =>
+      // a top-level cell fixes the high 4 bits of each dimension, so
+      // every file written from one cell spans <= 16 of x AND <= 16 of y
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 15L)
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 15L)
+      assert(r.getAs[Long]("z_cell") >= 0L && r.getAs[Long]("z_cell") <= 255L)
+    }
+  }
+
+  test("llm_bpe_pairs: top-50 descending, and pair volume conserves " +
+    "(full census sums to sum(len(toks) - 1))") {
+    val top = TextOps.bpePairs(spark, sf0001).collect()
+    assert(top.length <= 50)
+    val ns = top.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y })
+    // conservation over the unlimited census
+    val docs = Tables.documents(spark, sf0001)
+    val expected = docs
+      .select((size(split(col("text"), " ")) - 1).cast("long").as("k"))
+      .agg(sum(when(col("k") > 0, col("k")).otherwise(0L))).head().getLong(0)
+    val full = docs
+      .select(explode(arrays_zip(
+        slice(split(col("text"), " "), lit(1),
+          size(split(col("text"), " ")) - 1).as("a"),
+        slice(split(col("text"), " "), lit(2),
+          size(split(col("text"), " ")) - 1).as("b"))).as("pr"))
+      .count()
+    assert(full == expected)
   }
 }
