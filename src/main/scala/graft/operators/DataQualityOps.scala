@@ -169,15 +169,81 @@ object DataQualityOps extends OpModule {
       .orderBy(col("event_type"))
   }
 
+  /** Referential-integrity reconciliation across the star schema: for
+    * each foreign-key edge (lineitem→orders, orders→customer,
+    * customer→nation) the orphan count, plus the reverse check (orders
+    * with no lineitems — childless parents). The post-load audit a
+    * warehouse runs before publishing a snapshot.
+    *
+    * Scale shape: each check is ONE left-outer hash join on the FK (the
+    * parent key is unique, so no fanout) with the violation counted as a
+    * null-probe sum — total and violations come out of a single pass.
+    * The childless-parent check distincts the child keys first, so the
+    * join moves one row per key, not per child row. The four 1-row
+    * results union into a constant-size report.
+    */
+  def referential(s: SparkSession, dir: String): DataFrame = {
+    def check(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame =
+      child.join(parent, col(childKey) === col(parentKey), "left_outer")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col(parentKey).isNull, 1L).otherwise(0L))
+            .as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_total"),
+          col("n_violations"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+    check("lineitem_to_orders", li, "l_orderkey",
+        ord.select(col("o_orderkey")), "o_orderkey")
+      .unionAll(check("orders_to_customer",
+        ord.select(col("o_custkey")), "o_custkey",
+        cust.select(col("c_custkey")), "c_custkey"))
+      .unionAll(check("customer_to_nation",
+        cust.select(col("c_nationkey")), "c_nationkey",
+        nat.select(col("n_nationkey")), "n_nationkey"))
+      .unionAll(check("orders_with_lineitems",
+        ord.select(col("o_orderkey")), "o_orderkey",
+        li.distinct().withColumnRenamed("l_orderkey", "lk"), "lk"))
+      .orderBy(col("check_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_profile" -> profile,
     "dq_constraints" -> constraints,
     "dq_drift" -> drift,
     "dq_histogram" -> histogram,
-    "dq_outliers" -> outliers
+    "dq_outliers" -> outliers,
+    "dq_referential" -> referential
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_referential" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_to_orders' AS check_name,
+        |         count(*) AS n_total,
+        |         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_violations
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders_to_customer', count(*),
+        |         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'customer_to_nation', count(*),
+        |         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 'orders_with_lineitems', count(*),
+        |         CAST(sum(CASE WHEN lk.lk IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT)
+        |  FROM orders o LEFT JOIN
+        |    (SELECT DISTINCT l_orderkey AS lk FROM lineitem) lk
+        |    ON o.o_orderkey = lk.lk)
+        |ORDER BY check_name""".stripMargin,
     "dq_outliers" ->
       """WITH s AS (
         |  SELECT event_type, count(*) AS n,

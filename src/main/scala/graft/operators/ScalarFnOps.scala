@@ -194,7 +194,29 @@ object ScalarFnOps extends OpModule {
       .withColumn("popcnt", bit_count(col("event_id")))
       .orderBy(col("event_id"))
 
+  /** URL parsing (`parse_url` — the scalar every crawl-processing
+    * pipeline leans on for host/path/query splitting). The URL itself is
+    * assembled deterministically from event columns so both engines see
+    * identical well-formed inputs; Spark extracts with the real
+    * `parse_url` (java.net.URI under the hood), the oracle re-derives
+    * each part with anchored regexes — two independent parsers agreeing
+    * value-for-value. Fully narrow and codegen'd; no shuffle but the
+    * ordered output.
+    */
+  def fnUrl(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        concat(lit("https://"), col("event_type"), lit(".example.com/u/"),
+          col("user_id"), lit("/p?ref="), col("event_id") % 7,
+          lit("&v=2")).as("url"))
+      .withColumn("host", expr("parse_url(url, 'HOST')"))
+      .withColumn("path", expr("parse_url(url, 'PATH')"))
+      .withColumn("query", expr("parse_url(url, 'QUERY')"))
+      .withColumn("ref", expr("parse_url(url, 'QUERY', 'ref')"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_url" -> fnUrl,
     "fn_bitwise" -> fnBitwise,
     "fn_map" -> fnMap,
     "fn_string" -> fnString,
@@ -208,6 +230,19 @@ object ScalarFnOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "fn_url" ->
+      """WITH u AS (
+        |  SELECT event_id,
+        |         'https://' || event_type || '.example.com/u/' ||
+        |         CAST(user_id AS VARCHAR) || '/p?ref=' ||
+        |         CAST(event_id % 7 AS VARCHAR) || '&v=2' AS url
+        |  FROM events)
+        |SELECT event_id, url,
+        |       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+        |       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+        |       regexp_extract(url, '\?(.*)$', 1) AS query,
+        |       regexp_extract(url, '[?&]ref=([^&]*)', 1) AS ref
+        |FROM u ORDER BY event_id""".stripMargin,
     "fn_bitwise" ->
       """SELECT event_id, user_id,
         |       xor(event_id, user_id) AS bxor,

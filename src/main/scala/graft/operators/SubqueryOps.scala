@@ -51,10 +51,31 @@ object SubqueryOps extends OpModule {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** Correlated EXISTS + NOT EXISTS in one predicate — the two remaining
+    * subquery rewrite paths (EXISTS → left-semi, NOT EXISTS → left-anti,
+    * both decorrelated by RewritePredicateSubquery). Customers with a
+    * finished order but no open one: both probes hit the same orders
+    * table, and at scale both plan as hash joins on the correlation key —
+    * never a per-row re-execution.
+    */
+  def existsSubquery(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "subquery_correlated" -> correlatedScalar,
     "subquery_scalar" -> uncorrelatedScalar,
-    "subquery_in" -> inSubquery
+    "subquery_in" -> inSubquery,
+    "subquery_exists" -> existsSubquery
   )
 
   val oracle: Map[String, String] = Map(
@@ -71,6 +92,15 @@ object SubqueryOps extends OpModule {
       """SELECT o_orderkey, o_custkey FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+    "subquery_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -261,6 +261,56 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("subquery_exists: EXISTS plans a semi join and NOT EXISTS an anti " +
+    "join — never a per-row re-execution") {
+    val df = graft.operators.SubqueryOps.existsSubquery(spark, sf0001)
+    val plan = finalPlan(df)
+    assert(plan.contains("LeftSemi"), s"no semi join in plan:\n$plan")
+    assert(plan.contains("LeftAnti"), s"no anti join in plan:\n$plan")
+    // semantics: every returned customer has >=1 'F' order and zero 'O'
+    val ord = Tables.orders(spark, sf0001)
+    val f = ord.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+    val o = ord.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey")).distinct()
+    val expected = f.join(o, f("o_custkey") === o("o_custkey"), "left_anti")
+      .count()
+    assert(df.count() == expected)
+  }
+
+  test("dq_referential: the shipped fixture is referentially clean, " +
+    "totals match table counts") {
+    val r = DataQualityOps.referential(spark, sf0001).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("lineitem_to_orders")._1 ==
+      Tables.lineitem(spark, sf0001).count())
+    assert(r("orders_to_customer")._1 == Tables.orders(spark, sf0001).count())
+    assert(r("customer_to_nation")._1 ==
+      Tables.customer(spark, sf0001).count())
+    // FK edges hold on the generated star schema; childless orders may
+    // legitimately exist, but violations never exceed totals
+    assert(r("lineitem_to_orders")._2 == 0L)
+    assert(r("orders_to_customer")._2 == 0L)
+    assert(r("customer_to_nation")._2 == 0L)
+    r.values.foreach { case (total, bad) => assert(bad <= total) }
+  }
+
+  test("fn_url: parse_url splits agree with independent re-derivation") {
+    val rows = graft.operators.ScalarFnOps.fnUrl(spark, sf0001)
+      .limit(20).collect()
+    rows.foreach { r =>
+      val url = r.getAs[String]("url")
+      assert(url.startsWith("https://"))
+      assert(r.getAs[String]("host") == url.stripPrefix("https://")
+        .takeWhile(_ != '/'))
+      assert(r.getAs[String]("path") == "/u/" + url.split("/u/")(1)
+        .takeWhile(_ != '?'))
+      assert(r.getAs[String]("query") == url.dropWhile(_ != '?').drop(1))
+      assert(r.getAs[String]("ref") ==
+        url.split("ref=")(1).takeWhile(_ != '&'))
+    }
+  }
+
   test("llm_bpe_pairs: top-50 descending, and pair volume conserves " +
     "(full census sums to sum(len(toks) - 1))") {
     val top = TextOps.bpePairs(spark, sf0001).collect()
