@@ -354,7 +354,82 @@ object AggOps extends OpModule {
       .orderBy(col("c_nationkey"))
   }
 
+  /** Weighted percentiles (p25/p50/p75 of `l_extendedprice` weighted by
+    * `l_quantity`, per returnflag) — the statistic token-budget and
+    * cost-model analyses need, and one the engines' built-ins don't
+    * value-agree on. Definition: the smallest price whose cumulative
+    * weight reaches q × total, all weight arithmetic in exact DECIMAL so
+    * the crossing row is bit-deterministic cross-engine.
+    *
+    * Scale shape: the value domain first collapses to one row per
+    * (flag, price) — at 100 TB that domain still grows with the data, so
+    * the running weight does NOT use a per-flag window (the 3-partition
+    * straggler the spread-rank rework removed from win_distribution);
+    * it rides [[WindowOps.spreadRank]]'s range-partitioned two-pass
+    * prefix sum, parallel in the range partition count. Totals are a
+    * |flags|-row broadcast. The DuckDB twin keeps the textbook
+    * single-window form — an independent route to the same crossing
+    * rows.
+    */
+  def weightedPercentile(s: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice"),
+        expr("CAST(l_quantity AS DECIMAL(18,2))").as("q"))
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("q")).as("w"))
+    val spread = WindowOps.spreadRank(grouped, "l_returnflag",
+      Seq(col("l_extendedprice")),
+      s.sessionState.conf.numShufflePartitions, weight = Some("w"))
+    val totals = grouped.groupBy(col("l_returnflag"))
+      .agg(sum(col("w")).as("tw"))
+    spread.join(broadcast(totals), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("tw"))
+      .agg(
+        min(when(col("__pre") * 4 >= col("tw"), col("l_extendedprice")))
+          .as("wp25"),
+        min(when(col("__pre") * 2 >= col("tw"), col("l_extendedprice")))
+          .as("wp50"),
+        min(when(col("__pre") * 4 >= col("tw") * 3, col("l_extendedprice")))
+          .as("wp75"))
+      .select(col("l_returnflag"), col("wp25"), col("wp50"), col("wp75"),
+        col("tw").cast("double").as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Heavy hitters by sketch-then-verify: a Misra–Gries candidate pass
+    * (bounded k-counter state per partition — see
+    * [[graft.functions.HeavyHitters]] for why exact groupBy is the wrong
+    * shape when the key space is ~billions), then an exact recount
+    * restricted to the broadcast candidate set, then the exact threshold
+    * `n × 1300 > total` (share > ~0.077%). The MG superset guarantee
+    * (k = threshold denominator) means no true heavy hitter can be
+    * missing from the candidates, so the final answer is EXACT — fully
+    * value-oracled against DuckDB's plain count-and-filter.
+    *
+    * The 1-row corpus total rides a broadcast cross join (the
+    * llm_tfidf-sanctioned pattern).
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val threshold = 1300
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val mg = graft.functions.HeavyHitters.MisraGriesAgg(threshold)
+    val candidates = ev.as[Long].select(mg.toColumn).toDF("c")
+      .select(explode(col("c")).as("user_id"))
+    val total = ev.agg(count(lit(1)).as("total"))
+    ev.join(broadcast(candidates), Seq("user_id"), "left_semi")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * threshold > col("total"))
+      .select(col("user_id"), col("n"),
+        col("n").cast("double") / col("total").cast("double") as "share")
+      .orderBy(desc("n"), col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_percentile" -> weightedPercentile,
+    "agg_heavy_hitters" -> heavyHitters,
     "agg_mode" -> modeAgg,
     "agg_collect_ordered" -> collectOrdered,
     "agg_hash_group" -> hashGroup,
@@ -372,6 +447,31 @@ object AggOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_weighted_percentile" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT *,
+        |         sum(w) OVER (PARTITION BY l_returnflag
+        |                      ORDER BY l_extendedprice) AS cum,
+        |         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM g)
+        |SELECT l_returnflag,
+        |       min(CASE WHEN cum * 4 >= tw THEN l_extendedprice END) AS wp25,
+        |       min(CASE WHEN cum * 2 >= tw THEN l_extendedprice END) AS wp50,
+        |       min(CASE WHEN cum * 4 >= tw * 3 THEN l_extendedprice END)
+        |         AS wp75,
+        |       CAST(tw AS DOUBLE) AS total_weight
+        |FROM c GROUP BY l_returnflag, tw ORDER BY l_returnflag""".stripMargin,
+    "agg_heavy_hitters" ->
+      """WITH t AS (SELECT count(*) AS total FROM events),
+        |c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+        |SELECT c.user_id, c.n,
+        |       CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS share
+        |FROM c, t WHERE c.n * 1300 > t.total
+        |ORDER BY n DESC, user_id""".stripMargin,
     "agg_mode" ->
       """WITH c AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS n

@@ -35,8 +35,12 @@ class QueriesSmokeSpec extends SparkSpec {
   // same broadcast ONE-ROW scalar-aggregate cross join as llm_tfidf
   // (justified in TextOps.vocabCensus's doc) — and it joins against the
   // top-100 RESULT frame, not the corpus.
+  // agg_heavy_hitters (round 6): the exact-threshold denominator is the
+  // same broadcast ONE-ROW total, joined against the <= k-row candidate
+  // recount (justified in AggOps.heavyHitters's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
-    "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census")
+    "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
+    "agg_heavy_hitters")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {

@@ -261,6 +261,64 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_weighted_percentile: quantiles ordered, equal to the textbook " +
+    "window form, and the running weight is spread — not a 3-key window") {
+    val got = AggOps.weightedPercentile(spark, sf0001)
+    val rows = got.collect()
+    rows.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2) &&
+        r.getDouble(2) <= r.getDouble(3))
+    }
+    // independent window-form recompute
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val grouped = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        expr("CAST(l_quantity AS DECIMAL(18,2))").as("q"))
+      .groupBy("l_returnflag", "l_extendedprice").agg(sum("q").as("wt"))
+    val want = grouped
+      .withColumn("cum", sum("wt").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .withColumn("tw", sum("wt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+      .groupBy(col("l_returnflag"), col("tw"))
+      .agg(min(when(col("cum") * 2 >= col("tw"), col("l_extendedprice")))
+        .as("wp50"))
+      .select(col("l_returnflag"), col("wp50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(r.getDouble(2) == want(r.getString(0))))
+    // plan: the per-price running weight must ride the spread (__pid)
+    // pass, never a window partitioned by the bare 3-value flag
+    val plan = finalPlan(got)
+    assert(plan.contains("windowspecdefinition(__pid"), plan)
+  }
+
+  test("agg_heavy_hitters: exact — equals the direct count-and-filter, " +
+    "and the MG sketch never loses a true heavy hitter") {
+    val hh = AggOps.heavyHitters(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = Tables.events(spark, sf0001).count()
+    val want = Tables.events(spark, sf0001)
+      .groupBy("user_id").count()
+      .filter(col("count") * 1300 > total)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hh == want)
+    // aggregator-level superset guarantee on an adversarial skewed stream
+    // (order chosen so decrements hit the heavy key as often as possible)
+    val mg = graft.functions.HeavyHitters.MisraGriesAgg(4)
+    val stream = (1L to 200L).flatMap(i => Seq(0L, i)) // 0 has freq n/2
+    var buf = mg.zero
+    stream.foreach(x => buf = mg.reduce(buf, x))
+    assert(buf.counts.contains(0L))
+    // merge keeps the bound: two disjoint skewed summaries trim to k
+    val bufB = (1000L to 1200L).flatMap(i => Seq(7L, i))
+      .foldLeft(mg.zero)(mg.reduce)
+    val merged = mg.merge(buf, bufB)
+    assert(merged.counts.size <= 4)
+    assert(merged.counts.contains(0L) && merged.counts.contains(7L))
+  }
+
   test("subquery_exists: EXISTS plans a semi join and NOT EXISTS an anti " +
     "join — never a per-row re-execution") {
     val df = graft.operators.SubqueryOps.existsSubquery(spark, sf0001)
