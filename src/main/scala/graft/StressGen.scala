@@ -87,7 +87,33 @@ object StressGen {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"[stressgen] wrote $docCount docs + $vecCount vectors to $out")
+    // 10× events (1M rows / 15k users over 30 days, the sf0.1 shape ×10):
+    // gives the event-analytics module (sessionize, funnel, retention,
+    // SCD2, CDC diff, heavy hitters) a stress datapoint. `ts` is written
+    // as raw NANOS (LongType) — the same value `Tables.events` derives
+    // from the harness fixture's TIMESTAMP(NANOS) column, so the loader
+    // path is identical.
+    val evCount = args.lift(3).map(_.toInt).getOrElse(1000000)
+    val evUsers = evCount / 66 // fixture's ≈66 events/user density
+    val types = Array("signup", "purchase", "view", "click", "error")
+    val baseNs = 1704067200000000000L // 2024-01-01T00:00:00Z
+    val monthNs = 30L * 24 * 3600 * 1000000000L
+    val evs = new Array[(Long, Long, Long, String, Double, String)](evCount)
+    i = 0
+    while (i < evCount) {
+      val ts = baseNs + math.abs(rnd.nextLong()) % monthNs
+      evs(i) = (i.toLong, ts, rnd.nextInt(evUsers).toLong,
+        types(rnd.nextInt(types.length)),
+        rnd.nextDouble() * 560.0, s"""{"k": ${rnd.nextInt(100)}}""")
+      i += 1
+    }
+    spark.createDataset(evs.toIndexedSeq)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"[stressgen] wrote $docCount docs + $vecCount vectors + " +
+      s"$evCount events to $out")
     spark.stop()
   }
 }

@@ -287,7 +287,38 @@ object EventOps extends OpModule {
       .orderBy("user_id")
   }
 
+  /** Deadline-bounded conversion: per signup-day cohort, how many users
+    * made their first post-signup purchase WITHIN 7 days — the funnel
+    * with an SLA, which plain [[funnel]] (any-time conversion) cannot
+    * answer. Same aggregate-then-join shape: one row per user reaches
+    * each join, the deadline test is exact µs timestamp arithmetic, and
+    * the conversion rate divides two exact counts.
+    */
+  def funnelWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t_signup"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(signup, "user_id")
+      .filter(col("ts") > col("t_signup"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    signup.join(purchase, Seq("user_id"), "left")
+      .withColumn("converted_7d",
+        col("t_purchase").isNotNull &&
+          col("t_purchase") <= col("t_signup") + expr("INTERVAL 7 DAYS"))
+      .groupBy(date_trunc("day", col("t_signup")).as("cohort_day"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("converted_7d"), 1L).otherwise(0L))
+          .as("n_converted_7d"))
+      .withColumn("cvr_7d",
+        col("n_converted_7d").cast("double") /
+          col("n_signups").cast("double"))
+      .orderBy(col("cohort_day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_funnel_windowed" -> funnelWindowed,
     "event_sessionize" -> sessionize,
     "cdc_snapshot_diff" -> cdcDiff,
     "event_funnel" -> funnel,
@@ -300,6 +331,28 @@ object EventOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "event_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |p1 AS (
+        |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) > s1.t_signup
+        |  GROUP BY e.user_id),
+        |j AS (
+        |  SELECT s1.user_id, t_signup, t_purchase,
+        |         t_purchase IS NOT NULL
+        |           AND t_purchase <= t_signup + INTERVAL 7 DAY AS converted
+        |  FROM s1 LEFT JOIN p1 ON s1.user_id = p1.user_id)
+        |SELECT CAST(date_trunc('day', t_signup) AS TIMESTAMP) AS cohort_day,
+        |       count(*) AS n_signups,
+        |       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_converted_7d,
+        |       CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(count(*) AS DOUBLE) AS cvr_7d
+        |FROM j GROUP BY 1 ORDER BY cohort_day""".stripMargin,
     "event_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -271,7 +271,36 @@ object TextOps extends OpModule {
       .limit(50)
   }
 
+  /** Bigram language-model table: p(b|a) = n(a,b) / n(a·) for the top-30
+    * bigrams — the maximum-likelihood estimate a count-based LM (or a
+    * data-mixing diagnostic) reads off the corpus. Same narrow slice+zip
+    * pair build as [[bpePairs]]; the leading-token total rides a window
+    * over the AGGREGATED (a,b) frame partitioned by `a` — a key whose
+    * cardinality is the vocabulary, so it scales with the corpus (never a
+    * low-cardinality straggler), and the frame it runs over is the count
+    * table, not the token stream. p divides two exact longs — the same
+    * IEEE op on both engines.
+    */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val counts = Tables.documents(s, dir)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("a"),
+        slice(toks, lit(2), size(toks) - 1).as("b"))).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    counts
+      .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy(col("a"))))
+      .withColumn("p",
+        col("n_ab").cast("double") / col("n_a").cast("double"))
+      .orderBy(desc("n_ab"), col("a"), col("b"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bigram_lm" -> bigramLm,
     "llm_bpe_pairs" -> bpePairs,
     "llm_vocab_census" -> vocabCensus,
     "llm_text_stats" -> textStats,
@@ -288,6 +317,22 @@ object TextOps extends OpModule {
   private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
+    "llm_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |pz AS (
+        |  SELECT unnest(list_zip(toks[1:length(toks) - 1],
+        |                         toks[2:length(toks)])) AS pr
+        |  FROM t),
+        |c AS (
+        |  SELECT pr[1] AS a, pr[2] AS b, count(*) AS n_ab
+        |  FROM pz GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *, CAST(sum(n_ab) OVER (PARTITION BY a) AS BIGINT) AS n_a
+        |  FROM c)
+        |SELECT a, b, n_ab, n_a,
+        |       CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS p
+        |FROM u ORDER BY n_ab DESC, a, b LIMIT 30""".stripMargin,
     "llm_bpe_pairs" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents),

@@ -369,6 +369,58 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  test("event_sessionize plan: the gap window, session counter, and " +
+    "per-session rollup share ONE hash exchange") {
+    val plan = finalPlan(EventOps.sessionize(spark, sf0001))
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+
+  test("dq_referential plan: the tiny dimension edge broadcasts; top-k " +
+    "census plans stay bounded-heap") {
+    val plan = finalPlan(DataQualityOps.referential(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation-edge check should broadcast, plan:\n$plan")
+    val top = finalPlan(TextOps.bpePairs(spark, sf0001))
+    assert(top.contains("TakeOrderedAndProject"),
+      s"top-50 must be a bounded heap, plan:\n$top")
+  }
+
+  test("llm_bigram_lm: probabilities in (0,1], and each row's n_a equals " +
+    "an independent leading-token recount") {
+    val rows = TextOps.bigramLm(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 30)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p")
+      assert(p > 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("n_ab") <= r.getAs[Long]("n_a"))
+    }
+    // recount n_a for the top row's leading token: occurrences of `a` as
+    // a non-final token across the corpus
+    val a = rows.head.getAs[String]("a")
+    val want = Tables.documents(spark, sf0001)
+      .select(explode(expr("slice(split(text, ' '), 1, " +
+        "size(split(text, ' ')) - 1)")).as("tok"))
+      .filter(col("tok") === a).count()
+    assert(rows.head.getAs[Long]("n_a") == want)
+  }
+
+  test("event_funnel_windowed: conversions bounded by signups, cohorts " +
+    "cover every signup user exactly once") {
+    val f = EventOps.funnelWindowed(spark, sf0001).collect()
+    f.foreach { r =>
+      val n = r.getAs[Long]("n_signups")
+      val c = r.getAs[Long]("n_converted_7d")
+      assert(c >= 0 && c <= n)
+      assert(math.abs(r.getAs[Double]("cvr_7d") - c.toDouble / n) < 1e-12)
+    }
+    val signupUsers = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(f.map(_.getAs[Long]("n_signups")).sum == signupUsers)
+  }
+
   test("llm_bpe_pairs: top-50 descending, and pair volume conserves " +
     "(full census sums to sum(len(toks) - 1))") {
     val top = TextOps.bpePairs(spark, sf0001).collect()
