@@ -94,14 +94,17 @@ object StressGen {
     // from the harness fixture's TIMESTAMP(NANOS) column, so the loader
     // path is identical.
     val evCount = args.lift(3).map(_.toInt).getOrElse(1000000)
-    val evUsers = evCount / 66 // fixture's ≈66 events/user density
+    // fixture's ≈66 events/user density; floored so tiny explicit counts
+    // can't zero the user pool (rnd.nextInt(0) throws)
+    val evUsers = math.max(1, evCount / 66)
     val types = Array("signup", "purchase", "view", "click", "error")
     val baseNs = 1704067200000000000L // 2024-01-01T00:00:00Z
     val monthNs = 30L * 24 * 3600 * 1000000000L
     val evs = new Array[(Long, Long, Long, String, Double, String)](evCount)
     i = 0
     while (i < evCount) {
-      val ts = baseNs + math.abs(rnd.nextLong()) % monthNs
+      // floorMod, not abs-then-%: abs(Long.MinValue) is still negative
+      val ts = baseNs + math.floorMod(rnd.nextLong(), monthNs)
       evs(i) = (i.toLong, ts, rnd.nextInt(evUsers).toLong,
         types(rnd.nextInt(types.length)),
         rnd.nextDouble() * 560.0, s"""{"k": ${rnd.nextInt(100)}}""")

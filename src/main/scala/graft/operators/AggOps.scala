@@ -378,22 +378,22 @@ object AggOps extends OpModule {
         expr("CAST(l_quantity AS DECIMAL(18,2))").as("q"))
       .groupBy(col("l_returnflag"), col("l_extendedprice"))
       .agg(sum(col("q")).as("w"))
+    // per-flag total weight comes out of spreadRank's metadata pass
+    // (`__tw`) — no second aggregate or join over the data
     val spread = WindowOps.spreadRank(grouped, "l_returnflag",
       Seq(col("l_extendedprice")),
       s.sessionState.conf.numShufflePartitions, weight = Some("w"))
-    val totals = grouped.groupBy(col("l_returnflag"))
-      .agg(sum(col("w")).as("tw"))
-    spread.join(broadcast(totals), "l_returnflag")
-      .groupBy(col("l_returnflag"), col("tw"))
+    spread
+      .groupBy(col("l_returnflag"), col("__tw"))
       .agg(
-        min(when(col("__pre") * 4 >= col("tw"), col("l_extendedprice")))
+        min(when(col("__pre") * 4 >= col("__tw"), col("l_extendedprice")))
           .as("wp25"),
-        min(when(col("__pre") * 2 >= col("tw"), col("l_extendedprice")))
+        min(when(col("__pre") * 2 >= col("__tw"), col("l_extendedprice")))
           .as("wp50"),
-        min(when(col("__pre") * 4 >= col("tw") * 3, col("l_extendedprice")))
-          .as("wp75"))
+        min(when(col("__pre") * 4 >= col("__tw") * 3,
+          col("l_extendedprice"))).as("wp75"))
       .select(col("l_returnflag"), col("wp25"), col("wp50"), col("wp75"),
-        col("tw").cast("double").as("total_weight"))
+        col("__tw").cast("double").as("total_weight"))
       .orderBy(col("l_returnflag"))
   }
 

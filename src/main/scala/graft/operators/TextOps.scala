@@ -258,7 +258,12 @@ object TextOps extends OpModule {
     * bounded-heap `TakeOrderedAndProject`. Tie-break (n desc, a, b) is a
     * total order over distinct pairs, so the cutoff is deterministic.
     */
-  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+  /** Shared adjacent-pair census: distinct (a, b) token pairs with their
+    * corpus counts — the frame both [[bpePairs]] and [[bigramLm]] read,
+    * built once so a tokenization change cannot drift between them.
+    */
+  private def pairCounts(s: SparkSession, dir: String,
+      cntName: String): DataFrame = {
     val toks = split(col("text"), " ")
     Tables.documents(s, dir)
       .select(explode(arrays_zip(
@@ -266,10 +271,13 @@ object TextOps extends OpModule {
         slice(toks, lit(2), size(toks) - 1).as("b"))).as("pr"))
       .select(col("pr.a").as("a"), col("pr.b").as("b"))
       .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as(cntName))
+  }
+
+  def bpePairs(s: SparkSession, dir: String): DataFrame =
+    pairCounts(s, dir, "n")
       .orderBy(desc("n"), col("a"), col("b"))
       .limit(50)
-  }
 
   /** Bigram language-model table: p(b|a) = n(a,b) / n(a·) for the top-30
     * bigrams — the maximum-likelihood estimate a count-based LM (or a
@@ -283,15 +291,7 @@ object TextOps extends OpModule {
     */
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = split(col("text"), " ")
-    val counts = Tables.documents(s, dir)
-      .select(explode(arrays_zip(
-        slice(toks, lit(1), size(toks) - 1).as("a"),
-        slice(toks, lit(2), size(toks) - 1).as("b"))).as("pr"))
-      .select(col("pr.a").as("a"), col("pr.b").as("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_ab"))
-    counts
+    pairCounts(s, dir, "n_ab")
       .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy(col("a"))))
       .withColumn("p",
         col("n_ab").cast("double") / col("n_a").cast("double"))

@@ -59,7 +59,10 @@ object WindowOps extends OpModule {
     *
     * With `weight` set, also emits `__pre`: the inclusive running sum of
     * the weight column in the same order (same offsets machinery) — the
-    * prefix counts a tie-aware rank needs.
+    * prefix counts a tie-aware rank needs — and `__tw`: the per-key total
+    * weight, computed in the same metadata window as `__n` so callers
+    * needing a denominator (weighted percentiles) don't pay a second
+    * aggregate + join over the data.
     */
   private[graft] def spreadRank(df: DataFrame, partKey: String,
       orderCols: Seq[Column], parts: Int,
@@ -84,9 +87,10 @@ object WindowOps extends OpModule {
       .withColumn("__rn_off", coalesce(sum(col("__c")).over(before), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(whole))
     val off = weight.fold(off0)(_ =>
-      off0.withColumn("__w_off", coalesce(sum(col("__w")).over(before), lit(0L))))
+      off0.withColumn("__w_off", coalesce(sum(col("__w")).over(before), lit(0L)))
+        .withColumn("__tw", sum(col("__w")).over(whole)))
     val offCols = Seq("__pid", partKey, "__rn_off", "__n") ++
-      weight.map(_ => "__w_off")
+      weight.toSeq.flatMap(_ => Seq("__w_off", "__tw"))
     val joined = local
       .join(broadcast(off.select(offCols.map(col): _*)), Seq("__pid", partKey))
       .withColumn("__rn", col("__rn_off") + col("__lrn"))

@@ -203,13 +203,15 @@ class Round6OpsSpec extends SparkSpec {
     val users = ev.select("user_id").distinct().count()
     assert(d.count() == users)
     assert(d.select("user_id").distinct().count() == users)
-    val boundary = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
-    val preUsers = ev.filter(col("ts") < lit(boundary))
+    // session-TZ (UTC) boundary, same literal the operator casts — a JVM
+    // java.sql.Timestamp.valueOf here would shift on non-UTC machines
+    val boundary = lit("2024-01-15").cast("timestamp")
+    val preUsers = ev.filter(col("ts") < boundary)
       .select("user_id").distinct().count()
     assert(d.filter(col("status") === "insert").count() == users - preUsers)
     // unchanged <=> the user's last event overall is before the boundary
     val lastTs = ev.groupBy("user_id").agg(max("ts").as("last_ts"))
-    val expectUnchanged = lastTs.filter(col("last_ts") < lit(boundary)).count()
+    val expectUnchanged = lastTs.filter(col("last_ts") < boundary).count()
     assert(d.filter(col("status") === "unchanged").count() == expectUnchanged)
     assert(d.filter(col("status") === "delete").count() == 0L)
   }
