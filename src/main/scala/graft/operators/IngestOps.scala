@@ -46,7 +46,58 @@ object IngestOps extends OpModule {
       .orderBy(col("event_type"))
   }
 
+  /** Dead-letter-queue split: serialize each event to its CSV message
+    * body (the reference's wire format), deterministically corrupt a
+    * known subset — every 97th counter loses its trailing fields, every
+    * 101st carries a non-numeric reading — then parse with `from_csv`
+    * (PERMISSIVE) and classify each message off the PARSE RESULT into
+    * ok / dead-letter-truncated / dead-letter-bad-type. This is the
+    * malformed-message routing an ingestion pipeline must do before the
+    * HANA sink (the reference's Simulate Error operator motivates the
+    * failure path, README.md:10); the DuckDB oracle classifies the same
+    * rows purely from the counter arithmetic — two independent routes
+    * that must agree row-for-row, which proves the parser-based
+    * classification exact.
+    *
+    * Scale shape: fully narrow (serialize → corrupt → parse → classify
+    * in one codegen stage) up to a 3-group census aggregate.
+    */
+  def dlqSplit(s: SparkSession, dir: String): DataFrame = {
+    val good = concat_ws(",",
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val body = when(col("event_id") % 97 === 0,
+        concat_ws(",", col("event_id"), col("user_id")))
+      .when(col("event_id") % 101 === 0,
+        concat_ws(",", col("event_id"), col("user_id"), col("event_type"),
+          lit("not_a_number")))
+      .otherwise(good)
+    val schema = "counter BIGINT, device BIGINT, etype STRING, reading DOUBLE"
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_csv(body, org.apache.spark.sql.types.StructType.fromDDL(schema),
+          Map.empty[String, String]).as("m"))
+      .withColumn("disposition",
+        when(col("m.etype").isNull, "dead_letter_truncated")
+          .when(col("m.reading").isNull, "dead_letter_badtype")
+          .otherwise("ok"))
+      .groupBy(col("disposition"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("first_id"),
+        max(col("event_id")).as("last_id"))
+      .orderBy(col("disposition"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "ingest_dlq_split" ->
+      """WITH c AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 97 = 0 THEN 'dead_letter_truncated'
+        |              WHEN event_id % 101 = 0 THEN 'dead_letter_badtype'
+        |              ELSE 'ok' END AS disposition
+        |  FROM events)
+        |SELECT disposition, count(*) AS n,
+        |       min(event_id) AS first_id, max(event_id) AS last_id
+        |FROM c GROUP BY disposition ORDER BY disposition""".stripMargin,
     "exactly_once_upsert" ->
       """WITH dedup AS (
         |  SELECT * FROM (
@@ -60,6 +111,7 @@ object IngestOps extends OpModule {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "exactly_once_upsert" -> exactlyOnceUpsert
+    "exactly_once_upsert" -> exactlyOnceUpsert,
+    "ingest_dlq_split" -> dlqSplit
   )
 }

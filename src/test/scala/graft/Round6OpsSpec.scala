@@ -423,6 +423,20 @@ class Round6OpsSpec extends SparkSpec {
     assert(f.map(_.getAs[Long]("n_signups")).sum == signupUsers)
   }
 
+  test("ingest_dlq_split: parser-derived dispositions equal the " +
+    "arithmetic corruption plan") {
+    val got = graft.operators.IngestOps.dlqSplit(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf0001)
+    val trunc = ev.filter(col("event_id") % 97 === 0).count()
+    val bad = ev.filter(col("event_id") % 101 === 0 &&
+      col("event_id") % 97 =!= 0).count()
+    val total = ev.count()
+    assert(got.getOrElse("dead_letter_truncated", 0L) == trunc)
+    assert(got.getOrElse("dead_letter_badtype", 0L) == bad)
+    assert(got.getOrElse("ok", 0L) == total - trunc - bad)
+  }
+
   test("llm_bpe_pairs: top-50 descending, and pair volume conserves " +
     "(full census sums to sum(len(toks) - 1))") {
     val top = TextOps.bpePairs(spark, sf0001).collect()
