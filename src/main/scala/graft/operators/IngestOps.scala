@@ -60,7 +60,10 @@ object IngestOps extends OpModule {
     * classification exact.
     *
     * Scale shape: fully narrow (serialize → corrupt → parse → classify
-    * in one codegen stage) up to a 3-group census aggregate.
+    * in one codegen stage) up to a 3-group census aggregate. The parse +
+    * classification is [[graft.streaming.DeadLetter.classified]] — the
+    * SAME code the streaming router runs, so the batch oracle certifies
+    * the live path's routing decision too.
     */
   def dlqSplit(s: SparkSession, dir: String): DataFrame = {
     val good = concat_ws(",",
@@ -71,15 +74,8 @@ object IngestOps extends OpModule {
         concat_ws(",", col("event_id"), col("user_id"), col("event_type"),
           lit("not_a_number")))
       .otherwise(good)
-    val schema = "counter BIGINT, device BIGINT, etype STRING, reading DOUBLE"
-    Tables.events(s, dir)
-      .select(col("event_id"),
-        from_csv(body, org.apache.spark.sql.types.StructType.fromDDL(schema),
-          Map.empty[String, String]).as("m"))
-      .withColumn("disposition",
-        when(col("m.etype").isNull, "dead_letter_truncated")
-          .when(col("m.reading").isNull, "dead_letter_badtype")
-          .otherwise("ok"))
+    graft.streaming.DeadLetter.classified(
+        Tables.events(s, dir).select(col("event_id"), body.as("body")))
       .groupBy(col("disposition"))
       .agg(count(lit(1)).as("n"),
         min(col("event_id")).as("first_id"),

@@ -98,6 +98,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(DedupOps.dedupIncrementalQuery(spark, dir).count() === 0)
   }
 
+  test("round-6 wave ops on empty/single-token corpora: empty results, " +
+    "no exceptions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_r6edge").toString
+    // single-token and empty-text docs: no adjacent pairs exist at all
+    Seq((0L, "solo", "en", "s0", 4L), (1L, "", "en", "s0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(TextOps.bpePairs(spark, dir).count() === 0)
+    assert(TextOps.bigramLm(spark, dir).count() === 0)
+    // empty events, written with ts back in raw-nanos long form (the
+    // loader divides by 1000 — a re-written TIMESTAMP column would not
+    // analyze through that path)
+    Tables.events(spark, sf0001).filter(lit(false))
+      .withColumn("ts", unix_micros(col("ts")) * 1000)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(EventOps.sessionize(spark, dir).count() === 0)
+    assert(EventOps.cdcDiff(spark, dir).count() === 0)
+    assert(EventOps.funnelWindowed(spark, dir).count() === 0)
+    assert(AggOps.heavyHitters(spark, dir).count() === 0)
+  }
+
   // Degenerate statsMoments groups: a single-row group has no sample
   // variance and a constant-valued column has no correlation — both must
   // come back NULL (the guard both engines share), never NaN/inf/NULL
