@@ -65,16 +65,6 @@ object Tables {
     (s"$testdataRoot/sf0.1", "documents") -> 4999L,
     (s"$testdataRoot/sf0.1", "embeddings") -> 1999L)
 
-  /** Snapshot boundary for the incremental-dedup queries: the first 80% of
-    * the id space plays the prior snapshot's store. In production a
-    * snapshot boundary IS config — the previous crawl's high-water mark —
-    * never something derived from the data at query time, which would cost
-    * a driver-blocking max() action per run and (as an embedded one-row
-    * aggregate) would block the literal pushdown that prunes row groups in
-    * every store/batch subtree. The shipped fixtures' max ids are known
-    * constants; an unrecognized dir (a generated stress fixture) falls
-    * back to one tiny max() probe — the documented non-production path.
-    */
   /** Embedding-corpus row count, for sizing the coarse quantizer
     * ([[graft.operators.SimOps.scaledCells]]). Same config-not-derived
     * stance as [[snapshotBoundary]]: the shipped fixtures' ids are dense
@@ -89,6 +79,16 @@ object Tables {
       .getOrElse(t(s, dir, "embeddings").count())
   }
 
+  /** Snapshot boundary for the incremental-dedup queries: the first 80% of
+    * the id space plays the prior snapshot's store. In production a
+    * snapshot boundary IS config — the previous crawl's high-water mark —
+    * never something derived from the data at query time, which would cost
+    * a driver-blocking max() action per run and (as an embedded one-row
+    * aggregate) would block the literal pushdown that prunes row groups in
+    * every store/batch subtree. The shipped fixtures' max ids are known
+    * constants; an unrecognized dir (a generated stress fixture) falls
+    * back to one tiny max() probe — the documented non-production path.
+    */
   def snapshotBoundary(s: SparkSession, dir: String, table: String): Long = {
     val base = new java.io.File(dir).getCanonicalPath
     val maxId = fixtureMaxIds.getOrElse((base, table), {

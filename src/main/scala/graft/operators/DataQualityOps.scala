@@ -155,10 +155,16 @@ object DataQualityOps extends OpModule {
     val moments = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), expr(sx).as("sx"), expr(sx2).as("sx2"))
       .withColumn("mean", col("sx") / col("n"))
+      // variance must be strictly positive before sqrt: a constant-valued
+      // group can round sx2 - sx²/n one ulp NEGATIVE (Spark sqrt → NaN,
+      // which ranks greatest and flags the whole group; DuckDB sqrt →
+      // hard error), and a zero variance would divide z by 0 (±Inf on
+      // Spark, NULL on DuckDB) — NULL std on both engines makes every z
+      // NULL, counted as not-an-outlier, identically
+      .withColumn("var",
+        (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
       .withColumn("std",
-        when(col("n") > 1,
-          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) /
-            (col("n") - 1))))
+        when(col("n") > 1 && col("var") > 0, sqrt(col("var"))))
       .select(col("event_type"), col("mean"), col("std"))
     ev.join(broadcast(moments), "event_type")
       .withColumn("z", (col("value") - col("mean")) / col("std"))
@@ -253,7 +259,7 @@ object DataQualityOps extends OpModule {
         |  FROM events GROUP BY event_type),
         |m AS (
         |  SELECT event_type, sx / n AS mean,
-        |         CASE WHEN n > 1
+        |         CASE WHEN n > 1 AND (sx2 - sx * sx / n) / (n - 1) > 0
         |              THEN sqrt((sx2 - sx * sx / n) / (n - 1)) END AS std
         |  FROM s)
         |SELECT e.event_type, count(*) AS n,

@@ -189,13 +189,17 @@ object JoinOps extends OpModule {
     * why it scales). Customers with no orders drop out (inner lateral).
     */
   def lateralTopN(s: SparkSession, dir: String): DataFrame = {
-    Tables.customer(s, dir).createOrReplaceTempView("customer_lv")
-    Tables.orders(s, dir).createOrReplaceTempView("orders_lv")
+    // dir-scoped view names: the registrations are idempotent per
+    // fixture, so two builders racing on one session can never make this
+    // query read the OTHER call's tables (temp views are session-global)
+    val tag = math.abs(new java.io.File(dir).getCanonicalPath.hashCode)
+    Tables.customer(s, dir).createOrReplaceTempView(s"customer_lv_$tag")
+    Tables.orders(s, dir).createOrReplaceTempView(s"orders_lv_$tag")
     s.sql(
-      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
-        |FROM customer_lv c
+      s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_lv_$tag c
         |JOIN LATERAL (
-        |  SELECT o_orderkey, o_totalprice FROM orders_lv
+        |  SELECT o_orderkey, o_totalprice FROM orders_lv_$tag
         |  WHERE o_custkey = c.c_custkey
         |  ORDER BY o_totalprice DESC, o_orderkey
         |  LIMIT 2) t

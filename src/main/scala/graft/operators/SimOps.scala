@@ -593,24 +593,41 @@ object SimOps extends OpModule {
     */
   def semanticDedup(s: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {
+    val assigned = semanticAssigned(s, dir)
+    assigned
+      .join(semanticDominated(assigned, assigned, threshold),
+        Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Single-nearest-cell assignment under the frozen dedup quantizer —
+    * the frame both SemDeDup forms start from (one shared definition, so
+    * the full and incremental operators cannot drift).
+    */
+  private def semanticAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val seedsLit = typedlit(driverSeeds(s, dir, dedupCells))
-    val assigned = withNorm(Tables.embeddings(s, dir))
+    withNorm(Tables.embeddings(s, dir))
       .withColumn("cell",
         element_at(rankedSeeds(seedsLit), 1).getField("sid"))
       .select(col("vec_id"), col("cell"), col("embedding"), col("norm"))
-    val a = assigned.select(col("cell"), col("vec_id").as("va"),
+  }
+
+  /** Target ids dominated by a LOWER-id cell-mate from `cands` at
+    * cosine ≥ threshold — the SemDeDup drop rule, shared by both forms.
+    */
+  private def semanticDominated(cands: DataFrame, targets: DataFrame,
+      threshold: Double): DataFrame = {
+    val a = cands.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vb"),
+    val b = targets.select(col("cell"), col("vec_id").as("vb"),
       col("embedding").as("emb_b"), col("norm").as("norm_b"))
-    val dropped = a.join(b, Seq("cell")).filter(col("va") < col("vb"))
+    a.join(b, Seq("cell")).filter(col("va") < col("vb"))
       .withColumn("cosine",
         dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine") >= threshold)
       .select(col("vb").as("vec_id")).distinct()
-    assigned.join(dropped, Seq("vec_id"), "left_anti")
-      .select(col("vec_id"), col("cell"))
-      .orderBy(col("vec_id"))
   }
 
   /** Incremental SemDeDup: judge only the NEW crawl's vectors, against
@@ -628,30 +645,14 @@ object SimOps extends OpModule {
     */
   def semanticDedupIncremental(s: SparkSession, dir: String,
       threshold: Double = 0.3): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
     val boundary = Tables.snapshotBoundary(s, dir, "embeddings")
-    val seedsLit = typedlit(driverSeeds(s, dir, dedupCells))
-    val assigned = withNorm(Tables.embeddings(s, dir))
-      .withColumn("cell",
-        element_at(rankedSeeds(seedsLit), 1).getField("sid"))
-      .select(col("vec_id"), col("cell"), col("embedding"), col("norm"))
+    val assigned = semanticAssigned(s, dir)
     val store = assigned.filter(col("vec_id") < boundary)
     val batch = assigned.filter(col("vec_id") >= boundary)
-    def dominated(cands: DataFrame, targets: DataFrame): DataFrame = {
-      val a = cands.select(col("cell"), col("vec_id").as("va"),
-        col("embedding").as("emb_a"), col("norm").as("norm_a"))
-      val b = targets.select(col("cell"), col("vec_id").as("vb"),
-        col("embedding").as("emb_b"), col("norm").as("norm_b"))
-      a.join(b, Seq("cell")).filter(col("va") < col("vb"))
-        .withColumn("cosine",
-          dot(col("emb_a"), col("emb_b")) /
-            (col("norm_a") * col("norm_b")))
-        .filter(col("cosine") >= threshold)
-        .select(col("vb").as("vec_id")).distinct()
-    }
-    val storeSurvivors =
-      store.join(dominated(store, store), Seq("vec_id"), "left_anti")
-    val batchDropped = dominated(storeSurvivors.unionByName(batch), batch)
+    val storeSurvivors = store.join(
+      semanticDominated(store, store, threshold), Seq("vec_id"), "left_anti")
+    val batchDropped = semanticDominated(
+      storeSurvivors.unionByName(batch), batch, threshold)
     batch.join(batchDropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
       .orderBy(col("vec_id"))

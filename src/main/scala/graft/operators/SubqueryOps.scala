@@ -13,19 +13,25 @@ import graft.Tables
   */
 object SubqueryOps extends OpModule {
 
-  private def views(s: SparkSession, dir: String): Unit = {
-    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
-    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+  /** Register dir-scoped views and return the name suffix — idempotent
+    * per fixture, so concurrent builders on one session can't cross-read
+    * each other's tables through the session-global temp catalog.
+    */
+  private def views(s: SparkSession, dir: String): String = {
+    val tag = math.abs(new java.io.File(dir).getCanonicalPath.hashCode)
+    Tables.customer(s, dir).createOrReplaceTempView(s"customer_v_$tag")
+    Tables.orders(s, dir).createOrReplaceTempView(s"orders_v_$tag")
+    tag.toString
   }
 
   /** Customers above their own nation's average balance (correlated
     * scalar subquery → decorrelated join).
     */
   def correlatedScalar(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir)
+    val t = views(s, dir)
     s.sql(
-      """SELECT c_custkey, c_acctbal FROM customer_v c
-        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v c2
+      s"""SELECT c_custkey, c_acctbal FROM customer_v_$t c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_v_$t c2
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin)
   }
@@ -34,19 +40,20 @@ object SubqueryOps extends OpModule {
     * evaluated once, broadcast into the filter).
     */
   def uncorrelatedScalar(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir)
+    val t = views(s, dir)
     s.sql(
-      """SELECT o_orderkey, o_totalprice FROM orders_v
-        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_v)
+      s"""SELECT o_orderkey, o_totalprice FROM orders_v_$t
+        |WHERE o_totalprice > 1.5 *
+        |  (SELECT avg(o_totalprice) FROM orders_v_$t)
         |ORDER BY o_orderkey""".stripMargin)
   }
 
   /** IN-subquery → left-semi join. */
   def inSubquery(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir)
+    val t = views(s, dir)
     s.sql(
-      """SELECT o_orderkey, o_custkey FROM orders_v
-        |WHERE o_custkey IN (SELECT c_custkey FROM customer_v
+      s"""SELECT o_orderkey, o_custkey FROM orders_v_$t
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer_v_$t
         |                    WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin)
   }
@@ -59,13 +66,13 @@ object SubqueryOps extends OpModule {
     * never a per-row re-execution.
     */
   def existsSubquery(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir)
+    val t = views(s, dir)
     s.sql(
-      """SELECT c_custkey, c_name FROM customer_v c
-        |WHERE EXISTS (SELECT 1 FROM orders_v o
+      s"""SELECT c_custkey, c_name FROM customer_v_$t c
+        |WHERE EXISTS (SELECT 1 FROM orders_v_$t o
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_orderstatus = 'F')
-        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v_$t o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin)

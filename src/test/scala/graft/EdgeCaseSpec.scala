@@ -98,6 +98,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(DedupOps.dedupIncrementalQuery(spark, dir).count() === 0)
   }
 
+  // Regression for the dq_outliers variance guard: a constant-valued
+  // group's variance can round one ulp NEGATIVE (Spark sqrt → NaN, which
+  // ranks greatest and would flag the whole group; DuckDB sqrt → hard
+  // error) and a zero variance divides z by 0 (±Inf vs NULL across
+  // engines). With the var > 0 guard, std is NULL and no row of the
+  // group is an outlier — identically on both engines.
+  test("dq_outliers: constant-valued groups yield zero outliers and NULL " +
+    "max_abs_z, not NaN/error") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dqvar").toString
+    Tables.events(spark, sf0001).limit(6)
+      .withColumn("event_type", lit("const"))
+      .withColumn("value", lit(42.0))
+      .withColumn("ts", unix_micros(col("ts")) * 1000)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = DataQualityOps.outliers(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_outliers") === 0L)
+    assert(r.head.isNullAt(r.head.fieldIndex("max_abs_z")))
+  }
+
   test("round-6 wave ops on empty/single-token corpora: empty results, " +
     "no exceptions") {
     import spark.implicits._
