@@ -558,6 +558,67 @@ object DedupOps extends OpModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Production keep-policy over duplicate clusters: within every
+    * near-dup cluster keep the HIGHEST-QUALITY member (ties to the
+    * smallest id), not the smallest id unconditionally — the choice real
+    * curation pipelines make (drop the truncated mirror, keep the clean
+    * original). Emits, per cluster, the quality pick next to the naive
+    * min-id pick so the policies' divergence is measurable.
+    *
+    * Scale shape: the cluster labels are the dedup run's persisted
+    * artifact (recomputed inline here, the [[dupClustersIncrementalQuery]]
+    * scaffolding stance); the policy itself is ONE join of labels to the
+    * per-doc quality signal and ONE aggregate keyed on cluster_id — the
+    * pick rides `max_by` over the (quality, -doc_id) pair, no window, no
+    * second pass.
+    */
+  def clusterKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val quality = TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(col("cluster_size")).as("cluster_size"),
+        max_by(col("doc_id"),
+          struct(col("quality"), (-col("doc_id")).as("nid"))).as("best_doc"),
+        max(col("quality")).as("best_quality"),
+        min(col("doc_id")).as("min_id_doc"))
+      .withColumn("same_as_min_id", col("best_doc") === col("min_id_doc"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Leakage-safe train/val/test split: the assignment UNIT is the
+    * duplicate cluster, not the document — a near-dup pair straddling
+    * train and eval is eval contamination, the exact leak
+    * [[graft.operators.CurationOps]]' decontamination exists to catch
+    * after the fact. Every doc maps to its cluster id (itself when
+    * unclustered), and the split comes from an md5 hash of the UNIT id
+    * (deterministic, content-keyed, never `rand()` — the
+    * [[TextOps.sampleStratified]] portability contract): bucket 0 of 20
+    * → val, 1 → test, rest train (5/5/90). Cluster-mates share the unit
+    * id, so they land in the same split BY CONSTRUCTION.
+    *
+    * Scale shape: one left join of the corpus against the (persisted)
+    * cluster-label artifact, then a narrow hash projection.
+    */
+  def trainEvalSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("unit_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket", expr(
+        """CAST(conv(substring(md5(CAST(unit_id AS string)), 1, 8), 16, 10)
+          | AS bigint) % 20""".stripMargin.replaceAll("\n", "")))
+      .withColumn("split",
+        when(col("bucket") === 0, "val")
+          .when(col("bucket") === 1, "test")
+          .otherwise("train"))
+      .select(col("doc_id"), col("unit_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_near" -> dedupNear,
@@ -567,14 +628,16 @@ object DedupOps extends OpModule {
     "llm_simhash_portable" -> simhashPortable,
     "llm_dup_clusters" -> dupClusters,
     "llm_dup_clusters_incremental" -> dupClustersIncrementalQuery,
-    "llm_span_dedup" -> spanDedup
+    "llm_span_dedup" -> spanDedup,
+    "llm_cluster_keep_best" -> clusterKeepBest,
+    "llm_train_eval_split" -> trainEvalSplit
   )
 
-  /** Full-closure connected-components SQL, shared by `llm_dup_clusters`
-    * and `llm_dup_clusters_incremental` — the incremental label
-    * maintenance must reproduce the full recompute bit-for-bit.
+  /** The WITH body of the full-closure connected-components derivation,
+    * down to `c (doc_id, cluster_id)` — shared by every cluster-consuming
+    * oracle so the closure definition exists exactly once.
     */
-  private val dupClustersClosureSql: String =
+  private val closureCtes: String =
     """WITH RECURSIVE sh AS (
       |  SELECT doc_id,
       |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
@@ -598,7 +661,15 @@ object DedupOps extends OpModule {
       |  SELECT a AS doc_id, a AS reach FROM e
       |  UNION
       |  SELECT r.doc_id, e.b AS reach FROM r JOIN e ON r.reach = e.a),
-      |c AS (SELECT doc_id, min(reach) AS cluster_id FROM r GROUP BY doc_id),
+      |c AS (SELECT doc_id, min(reach) AS cluster_id FROM r GROUP BY doc_id)"""
+      .stripMargin
+
+  /** Full-closure connected-components SQL, shared by `llm_dup_clusters`
+    * and `llm_dup_clusters_incremental` — the incremental label
+    * maintenance must reproduce the full recompute bit-for-bit.
+    */
+  private val dupClustersClosureSql: String =
+    s"""$closureCtes,
       |cs AS (SELECT cluster_id, count(*) AS cluster_size
       |       FROM c GROUP BY cluster_id)
       |SELECT c.doc_id, c.cluster_id, cs.cluster_size,
@@ -744,6 +815,52 @@ object DedupOps extends OpModule {
     // maintenance must reproduce the full recompute bit-for-bit.
     "llm_dup_clusters" -> dupClustersClosureSql,
     "llm_dup_clusters_incremental" -> dupClustersClosureSql,
+    // keep-policy: the same closure + the llm_quality_score signal math,
+    // pick via a window (DuckDB's arg_max takes only scalar keys)
+    "llm_cluster_keep_best" ->
+      s"""$closureCtes,
+        |cs AS (SELECT cluster_id, count(*) AS cluster_size
+        |       FROM c GROUP BY cluster_id),
+        |qt AS (
+        |  SELECT doc_id, text, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
+        |         + CAST(len(list_filter(toks,
+        |             x -> list_contains(${TextOps.stopList}, x))) AS DOUBLE)
+        |             / len(toks) * 0.3
+        |         + least((CAST(length(text) - (len(toks) - 1) AS DOUBLE)
+        |                  / len(toks)) / 10.0, 1.0) * 0.2 AS quality
+        |  FROM qt),
+        |j AS (
+        |  SELECT c.cluster_id, cs.cluster_size, c.doc_id, q.quality,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |                            ORDER BY q.quality DESC, c.doc_id) AS rk,
+        |         min(c.doc_id) OVER (PARTITION BY c.cluster_id)
+        |           AS min_id_doc
+        |  FROM c JOIN cs USING (cluster_id) JOIN q USING (doc_id))
+        |SELECT cluster_id, cluster_size, doc_id AS best_doc,
+        |       quality AS best_quality, min_id_doc,
+        |       doc_id = min_id_doc AS same_as_min_id
+        |FROM j WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    // leakage-safe split: unit = cluster (self when unclustered), split
+    // from the md5 of the unit id — the sample_stratified bucket contract
+    "llm_train_eval_split" ->
+      s"""$closureCtes,
+        |u AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS unit_id
+        |  FROM documents d LEFT JOIN c cl ON d.doc_id = cl.doc_id),
+        |b AS (
+        |  SELECT doc_id, unit_id,
+        |         CAST(('0x' || substr(md5(CAST(unit_id AS VARCHAR)), 1, 8))
+        |              ::UBIGINT % 20 AS BIGINT) AS bucket
+        |  FROM u)
+        |SELECT doc_id, unit_id,
+        |       CASE WHEN bucket = 0 THEN 'val'
+        |            WHEN bucket = 1 THEN 'test'
+        |            ELSE 'train' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "llm_containment" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -314,7 +314,10 @@ object TextOps extends OpModule {
     "llm_tfidf" -> tfidf
   )
 
-  private val stopList = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  /** DuckDB list literal of [[stopwords]], shared with the cluster
+    * keep-policy oracle in [[DedupOps]]. */
+  private[operators] val stopList =
+    stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracle: Map[String, String] = Map(
     "llm_bigram_lm" ->

@@ -423,6 +423,44 @@ class Round6OpsSpec extends SparkSpec {
     assert(f.map(_.getAs[Long]("n_signups")).sum == signupUsers)
   }
 
+  test("llm_cluster_keep_best: the quality pick dominates the min-id " +
+    "pick and stays inside its own cluster") {
+    val clusters = graft.operators.DedupOps.dupClusters(spark, sf0001)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = TextOps.qualityScore(spark, sf0001)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val best = graft.operators.DedupOps.clusterKeepBest(spark, sf0001)
+      .collect()
+    assert(best.nonEmpty)
+    best.foreach { r =>
+      val (cid, bd, bq, mid) = (r.getLong(0), r.getLong(2),
+        r.getDouble(3), r.getLong(4))
+      assert(clusters(bd) == cid, "best doc must belong to its cluster")
+      assert(bq == quality(bd))
+      assert(bq >= quality(mid), "quality pick must dominate min-id pick")
+      assert(r.getBoolean(5) == (bd == mid))
+    }
+  }
+
+  test("llm_train_eval_split: cluster-mates never straddle splits, every " +
+    "doc assigned exactly once") {
+    val split = graft.operators.DedupOps.trainEvalSplit(spark, sf0001)
+    val total = Tables.documents(spark, sf0001).count()
+    assert(split.count() == total)
+    assert(split.select("doc_id").distinct().count() == total)
+    // leakage guard: one split per unit (= per dup cluster)
+    val straddling = split.groupBy("unit_id")
+      .agg(countDistinct("split").as("k")).filter(col("k") > 1).count()
+    assert(straddling == 0L)
+    // all three splits exist and train dominates
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") + bySplit("test"))
+  }
+
   test("ingest_dlq_split: parser-derived dispositions equal the " +
     "arithmetic corruption plan") {
     val got = graft.operators.IngestOps.dlqSplit(spark, sf0001).collect()
