@@ -30,6 +30,20 @@ object Tables {
   }
   private def expr(e: String) = org.apache.spark.sql.functions.expr(e)
 
+  /** Collision-resistant identifier-safe tag for a fixture dir — used to
+    * scope temp-view names per fixture. Hex md5 of the canonical path:
+    * never negative (unlike `math.abs(hashCode)`, whose Int.MinValue
+    * fixpoint would produce an invalid identifier) and 48 bits wide, so
+    * two dirs aliasing one view name needs a 2^-48 event, not a 32-bit
+    * birthday collision.
+    */
+  private[graft] def dirTag(dir: String): String = {
+    val path = new java.io.File(dir).getCanonicalPath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8"))
+      .take(6).map(b => f"${b & 0xff}%02x").mkString
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")

@@ -257,11 +257,14 @@ object DataQualityOps extends OpModule {
         |         CAST(SUM(CAST(value AS DECIMAL(18,2)) *
         |                  CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2
         |  FROM events GROUP BY event_type),
+        |v AS (
+        |  SELECT event_type, n, sx / n AS mean,
+        |         (sx2 - sx * sx / n) / (n - 1) AS var
+        |  FROM s),
         |m AS (
-        |  SELECT event_type, sx / n AS mean,
-        |         CASE WHEN n > 1 AND (sx2 - sx * sx / n) / (n - 1) > 0
-        |              THEN sqrt((sx2 - sx * sx / n) / (n - 1)) END AS std
-        |  FROM s)
+        |  SELECT event_type, mean,
+        |         CASE WHEN n > 1 AND var > 0 THEN sqrt(var) END AS std
+        |  FROM v)
         |SELECT e.event_type, count(*) AS n,
         |       CAST(sum(CASE WHEN abs((value - mean) / std) > 3.0
         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,

@@ -608,9 +608,7 @@ object DedupOps extends OpModule {
     Tables.documents(s, dir).select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("unit_id", coalesce(col("cluster_id"), col("doc_id")))
-      .withColumn("bucket", expr(
-        """CAST(conv(substring(md5(CAST(unit_id AS string)), 1, 8), 16, 10)
-          | AS bigint) % 20""".stripMargin.replaceAll("\n", "")))
+      .withColumn("bucket", TextOps.md5Bucket(col("unit_id"), 20))
       .withColumn("split",
         when(col("bucket") === 0, "val")
           .when(col("bucket") === 1, "test")
@@ -821,18 +819,10 @@ object DedupOps extends OpModule {
       s"""$closureCtes,
         |cs AS (SELECT cluster_id, count(*) AS cluster_size
         |       FROM c GROUP BY cluster_id),
-        |qt AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks
-        |  FROM documents),
+        |${TextOps.qualityComponentsSql},
         |q AS (
-        |  SELECT doc_id,
-        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) * 0.5
-        |         + CAST(len(list_filter(toks,
-        |             x -> list_contains(${TextOps.stopList}, x))) AS DOUBLE)
-        |             / len(toks) * 0.3
-        |         + least((CAST(length(text) - (len(toks) - 1) AS DOUBLE)
-        |                  / len(toks)) / 10.0, 1.0) * 0.2 AS quality
-        |  FROM qt),
+        |  SELECT doc_id, ${TextOps.qualityExprSql} AS quality
+        |  FROM qs),
         |j AS (
         |  SELECT c.cluster_id, cs.cluster_size, c.doc_id, q.quality,
         |         row_number() OVER (PARTITION BY c.cluster_id
@@ -853,8 +843,7 @@ object DedupOps extends OpModule {
         |  FROM documents d LEFT JOIN c cl ON d.doc_id = cl.doc_id),
         |b AS (
         |  SELECT doc_id, unit_id,
-        |         CAST(('0x' || substr(md5(CAST(unit_id AS VARCHAR)), 1, 8))
-        |              ::UBIGINT % 20 AS BIGINT) AS bucket
+        |         ${TextOps.md5BucketSql("unit_id", 20)} AS bucket
         |  FROM u)
         |SELECT doc_id, unit_id,
         |       CASE WHEN bucket = 0 THEN 'val'

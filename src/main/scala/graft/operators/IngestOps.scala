@@ -84,16 +84,34 @@ object IngestOps extends OpModule {
   }
 
   val oracle: Map[String, String] = Map(
+    // The NULL arms mirror concat_ws's skip-null serialization exactly:
+    // each NULL among (user_id, event_type, value) drops one body field,
+    // so a 3-field body reads as a misaligned-but-present etype with a
+    // missing reading (type fault) and a <=2-field body loses etype
+    // entirely (truncated). The fixtures carry no NULLs, but the two
+    // routes must agree even if a future one does.
     "ingest_dlq_split" ->
       """WITH c AS (
         |  SELECT event_id,
+        |         CASE WHEN user_id IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN event_type IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN value IS NULL THEN 0 ELSE 1 END AS nn,
+        |         user_id, event_type
+        |  FROM events),
+        |d AS (
+        |  SELECT event_id,
         |         CASE WHEN event_id % 97 = 0 THEN 'dead_letter_truncated'
-        |              WHEN event_id % 101 = 0 THEN 'dead_letter_badtype'
-        |              ELSE 'ok' END AS disposition
-        |  FROM events)
+        |              WHEN event_id % 101 = 0 THEN
+        |                CASE WHEN user_id IS NULL AND event_type IS NULL
+        |                     THEN 'dead_letter_truncated'
+        |                     ELSE 'dead_letter_badtype' END
+        |              WHEN nn = 3 THEN 'ok'
+        |              WHEN nn = 2 THEN 'dead_letter_badtype'
+        |              ELSE 'dead_letter_truncated' END AS disposition
+        |  FROM c)
         |SELECT disposition, count(*) AS n,
         |       min(event_id) AS first_id, max(event_id) AS last_id
-        |FROM c GROUP BY disposition ORDER BY disposition""".stripMargin,
+        |FROM d GROUP BY disposition ORDER BY disposition""".stripMargin,
     "exactly_once_upsert" ->
       """WITH dedup AS (
         |  SELECT * FROM (

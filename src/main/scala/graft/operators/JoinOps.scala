@@ -191,8 +191,9 @@ object JoinOps extends OpModule {
   def lateralTopN(s: SparkSession, dir: String): DataFrame = {
     // dir-scoped view names: the registrations are idempotent per
     // fixture, so two builders racing on one session can never make this
-    // query read the OTHER call's tables (temp views are session-global)
-    val tag = math.abs(new java.io.File(dir).getCanonicalPath.hashCode)
+    // query read the OTHER call's tables (temp views are session-global;
+    // Tables.dirTag is hex md5 — identifier-safe, collision-resistant)
+    val tag = Tables.dirTag(dir)
     Tables.customer(s, dir).createOrReplaceTempView(s"customer_lv_$tag")
     Tables.orders(s, dir).createOrReplaceTempView(s"orders_lv_$tag")
     s.sql(

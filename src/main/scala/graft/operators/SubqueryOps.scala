@@ -15,13 +15,14 @@ object SubqueryOps extends OpModule {
 
   /** Register dir-scoped views and return the name suffix — idempotent
     * per fixture, so concurrent builders on one session can't cross-read
-    * each other's tables through the session-global temp catalog.
+    * each other's tables through the session-global temp catalog
+    * ([[graft.Tables.dirTag]]: hex, never a negative/colliding hashCode).
     */
   private def views(s: SparkSession, dir: String): String = {
-    val tag = math.abs(new java.io.File(dir).getCanonicalPath.hashCode)
+    val tag = Tables.dirTag(dir)
     Tables.customer(s, dir).createOrReplaceTempView(s"customer_v_$tag")
     Tables.orders(s, dir).createOrReplaceTempView(s"orders_v_$tag")
-    tag.toString
+    tag
   }
 
   /** Customers above their own nation's average balance (correlated

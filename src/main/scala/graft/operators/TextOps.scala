@@ -147,9 +147,7 @@ object TextOps extends OpModule {
 
   def sampleStratified(s: SparkSession, dir: String): DataFrame =
     signals(s, dir)
-      .withColumn("bucket", expr(
-        """CAST(conv(substring(md5(CAST(doc_id AS string)), 1, 8), 16, 10)
-          | AS bigint) % 100""".stripMargin.replaceAll("\n", "")))
+      .withColumn("bucket", md5Bucket(col("doc_id"), 100))
       .filter(col("bucket") < expr(
         "CASE predicted_lang WHEN 'en' THEN 30 WHEN 'mixed' THEN 50 ELSE 10 END"))
       .select(col("doc_id"), col("predicted_lang"), col("bucket"))
@@ -319,6 +317,46 @@ object TextOps extends OpModule {
   private[operators] val stopList =
     stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** DuckDB CTE body (names qt/qs) computing the per-doc quality
+    * components from `documents` — the ONE definition of the signal
+    * math, shared by the llm_quality_score oracle and the cluster
+    * keep-policy oracle in [[DedupOps]] so the formula cannot drift.
+    */
+  private[operators] val qualityComponentsSql: String =
+    s"""qt AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |qs AS (
+      |  SELECT doc_id,
+      |         CAST(len(toks) AS INT) AS n_tokens,
+      |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      |           AS uniq_ratio,
+      |         CAST(len(list_filter(toks,
+      |              x -> list_contains($stopList, x))) AS DOUBLE)
+      |           / len(toks) AS stop_ratio,
+      |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
+      |           AS avg_tok_len
+      |  FROM qt)""".stripMargin
+
+  /** The linear quality combiner over the [[qualityComponentsSql]]
+    * column names — shared for the same no-drift reason. */
+  private[operators] val qualityExprSql: String =
+    "uniq_ratio * 0.5 + stop_ratio * 0.3 + " +
+      "least(avg_tok_len / 10.0, 1.0) * 0.2"
+
+  /** Deterministic md5 hash bucket in [0, n) — the reproducible-sampling
+    * portability contract ([[sampleStratified]]) also used by
+    * [[DedupOps.trainEvalSplit]]'s leakage-safe unit assignment.
+    */
+  private[operators] def md5Bucket(c: Column, n: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
+      .cast("long") % n
+
+  /** DuckDB twin of [[md5Bucket]]. */
+  private[operators] def md5BucketSql(x: String, n: Int): String =
+    s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 8))" +
+      s"::UBIGINT % $n AS BIGINT)"
+
   val oracle: Map[String, String] = Map(
     "llm_bigram_lm" ->
       """WITH t AS (
@@ -440,23 +478,10 @@ object TextOps extends OpModule {
         |         AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_quality_score" ->
-      s"""WITH t AS (
-        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
-        |s AS (
-        |  SELECT doc_id,
-        |         CAST(len(toks) AS INT) AS n_tokens,
-        |         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-        |           AS uniq_ratio,
-        |         CAST(len(list_filter(toks,
-        |              x -> list_contains($stopList, x))) AS DOUBLE)
-        |           / len(toks) AS stop_ratio,
-        |         CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks)
-        |           AS avg_tok_len
-        |  FROM t)
+      s"""WITH $qualityComponentsSql
         |SELECT doc_id, n_tokens, uniq_ratio, stop_ratio, avg_tok_len,
-        |       uniq_ratio * 0.5 + stop_ratio * 0.3 +
-        |         least(avg_tok_len / 10.0, 1.0) * 0.2 AS quality
-        |FROM s ORDER BY doc_id""".stripMargin,
+        |       $qualityExprSql AS quality
+        |FROM qs ORDER BY doc_id""".stripMargin,
     "llm_token_count" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
@@ -494,8 +519,7 @@ object TextOps extends OpModule {
         |         CASE WHEN stop_ratio >= 0.15 THEN 'en'
         |              WHEN stop_ratio >= 0.05 THEN 'mixed'
         |              ELSE 'other' END AS predicted_lang,
-        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |              ::UBIGINT % 100 AS BIGINT) AS bucket
+        |         ${md5BucketSql("doc_id", 100)} AS bucket
         |  FROM t)
         |SELECT doc_id, predicted_lang, bucket FROM l
         |WHERE bucket < CASE predicted_lang WHEN 'en' THEN 30
