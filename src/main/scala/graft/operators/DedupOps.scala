@@ -566,28 +566,17 @@ object DedupOps extends OpModule {
     * min-id pick so the policies' divergence is measurable.
     *
     * Scale shape: the cluster labels are the dedup run's persisted
-    * artifact (recomputed inline here, the [[dupClustersIncrementalQuery]]
-    * scaffolding stance); the policy itself is ONE join of labels to the
+    * artifact — this query form recomputes them inline (the
+    * [[dupClustersIncrementalQuery]] scaffolding stance) and delegates to
+    * [[clusterKeepBestFromStore]], the production form that READS the
+    * stored label table (parquet round-trip equivalence asserted in
+    * Round6OpsSpec). The policy itself is ONE join of labels to the
     * per-doc quality signal and ONE aggregate keyed on cluster_id — the
     * pick rides `max_by` over the (quality, -doc_id) pair, no window, no
     * second pass.
     */
-  def clusterKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val clusters = dupClusters(s, dir)
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    val quality = TextOps.qualityScore(s, dir)
-      .select(col("doc_id"), col("quality"))
-    clusters.join(quality, "doc_id")
-      .groupBy(col("cluster_id"))
-      .agg(
-        max(col("cluster_size")).as("cluster_size"),
-        max_by(col("doc_id"),
-          struct(col("quality"), (-col("doc_id")).as("nid"))).as("best_doc"),
-        max(col("quality")).as("best_quality"),
-        min(col("doc_id")).as("min_id_doc"))
-      .withColumn("same_as_min_id", col("best_doc") === col("min_id_doc"))
-      .orderBy(col("cluster_id"))
-  }
+  def clusterKeepBest(s: SparkSession, dir: String): DataFrame =
+    clusterKeepBestFromStore(s, dupClusters(s, dir), dir)
 
   /** Leakage-safe train/val/test split: the assignment UNIT is the
     * duplicate cluster, not the document — a near-dup pair straddling
@@ -601,12 +590,45 @@ object DedupOps extends OpModule {
     * id, so they land in the same split BY CONSTRUCTION.
     *
     * Scale shape: one left join of the corpus against the (persisted)
-    * cluster-label artifact, then a narrow hash projection.
+    * cluster-label artifact, then a narrow hash projection — the query
+    * form recomputes labels inline and delegates to
+    * [[trainEvalSplitFromStore]], the production form that reads them.
     */
-  def trainEvalSplit(s: SparkSession, dir: String): DataFrame = {
-    val clusters = dupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+  def trainEvalSplit(s: SparkSession, dir: String): DataFrame =
+    trainEvalSplitFromStore(s, dupClusters(s, dir), dir)
+
+  /** [[clusterKeepBest]] reading PERSISTED labels — the production form:
+    * the dedup run's (doc_id, cluster_id, cluster_size) output is a
+    * stored table, and the keep-policy is one join + one aggregate over
+    * it, never a cluster recompute. Round-trip equivalence with the
+    * inline form is asserted in Round6OpsSpec.
+    */
+  def clusterKeepBestFromStore(s: SparkSession, labels: DataFrame,
+      dir: String): DataFrame = {
+    val quality = TextOps.qualityScore(s, dir)
+      .select(col("doc_id"), col("quality"))
+    labels.select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(col("cluster_size")).as("cluster_size"),
+        max_by(col("doc_id"),
+          struct(col("quality"), (-col("doc_id")).as("nid"))).as("best_doc"),
+        max(col("quality")).as("best_quality"),
+        min(col("doc_id")).as("min_id_doc"))
+      .withColumn("same_as_min_id", col("best_doc") === col("min_id_doc"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** [[trainEvalSplit]] reading PERSISTED labels — one left join of the
+    * corpus against the stored label table plus a narrow hash
+    * projection; no cluster recompute per run.
+    */
+  def trainEvalSplitFromStore(s: SparkSession, labels: DataFrame,
+      dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"))
-      .join(clusters, Seq("doc_id"), "left")
+      .join(labels.select(col("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
       .withColumn("unit_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("bucket", TextOps.md5Bucket(col("unit_id"), 20))
       .withColumn("split",
@@ -615,7 +637,6 @@ object DedupOps extends OpModule {
           .otherwise("train"))
       .select(col("doc_id"), col("unit_id"), col("split"))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,

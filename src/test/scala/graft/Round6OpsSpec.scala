@@ -461,6 +461,24 @@ class Round6OpsSpec extends SparkSpec {
     assert(bySplit("train") > bySplit("val") + bySplit("test"))
   }
 
+  test("keep-best and train-split FromStore twins: persisted label " +
+    "artifacts round-trip to the exact inline results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_labels").toString
+    graft.operators.DedupOps.dupClusters(spark, sf0001)
+      .write.mode("overwrite").parquet(s"$dir/labels.parquet")
+    val stored = spark.read.parquet(s"$dir/labels.parquet")
+    val bestInline = graft.operators.DedupOps
+      .clusterKeepBest(spark, sf0001).collect().toSeq
+    val bestStored = graft.operators.DedupOps
+      .clusterKeepBestFromStore(spark, stored, sf0001).collect().toSeq
+    assert(bestInline == bestStored)
+    val splitInline = graft.operators.DedupOps
+      .trainEvalSplit(spark, sf0001).collect().toSeq
+    val splitStored = graft.operators.DedupOps
+      .trainEvalSplitFromStore(spark, stored, sf0001).collect().toSeq
+    assert(splitInline == splitStored)
+  }
+
   test("ingest_dlq_split: parser-derived dispositions equal the " +
     "arithmetic corruption plan") {
     val got = graft.operators.IngestOps.dlqSplit(spark, sf0001).collect()
