@@ -17,7 +17,14 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Per-query status lands in _status.json so a failed non-oracle query
     // is visible in the round artifacts instead of silently absent.
-    val status = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY_PREFIX (comma-separated, same contract as Bench)
+    // narrows the dump for local iteration; the driver sets no filter.
+    val prefixes = sys.env.get("SPARK_GRAFT_ONLY_PREFIX")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      prefixes.isEmpty || prefixes.exists(n.startsWith)
+    }
+    val status = selected.map { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -231,18 +231,8 @@ object EventOps extends OpModule {
     * exchange, one sort for the whole query. Durations are integer
     * microsecond arithmetic (`unix_micros`), bit-identical cross-engine.
     */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
-    val gapUs = 1800L * 1000000L // 30-minute inactivity boundary
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
-      .withColumn("new_sess",
-        (col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs).cast("long"))
-      .withColumn("session_id", sum(col("new_sess"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizedEvents(s, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(min("ts").as("session_start"), max("ts").as("session_end"),
         count(lit(1)).as("n_events"),
@@ -250,7 +240,6 @@ object EventOps extends OpModule {
       .withColumn("duration_us",
         unix_micros(col("session_end")) - unix_micros(col("session_start")))
       .orderBy("user_id", "session_id")
-  }
 
   /** CDC snapshot diff: the per-user current state (last event's type, by
     * (ts, event_id)) at a mid-month boundary versus at the end of the
@@ -317,7 +306,118 @@ object EventOps extends OpModule {
       .orderBy(col("cohort_day"))
   }
 
+  /** Daily-volume anomaly detection: per (event_type, day) event counts
+    * z-scored against the type's own across-days distribution — the
+    * monitoring query that catches a collector outage (count collapse)
+    * or a bot burst (count spike) in an ingest pipeline.
+    *
+    * Parity design (the [[AggOps]] `agg_stats_moments` trick): mean and
+    * variance are derived from EXACT integer sums (n_days, Σn, Σn²) with
+    * the two-pass textbook formula applied in DOUBLE at the end — the
+    * same named operations in the same order on both engines — instead
+    * of each engine's own streaming stddev kernel, whose accumulation
+    * order is engine- and partition-dependent. z is rounded to 4dp and
+    * the flag compares the ROUNDED value, so the verdict cannot flip on
+    * a last-ulp difference.
+    *
+    * Scale shape: the (type, day) census is one map-side-combined hash
+    * aggregate over the raw events; everything after runs on the tiny
+    * census frame (|types| × |days| rows), with the per-type moments
+    * joined back via broadcast. No window over the event stream, no
+    * low-cardinality partition key anywhere near the event volume.
+    */
+  def anomalyZscore(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("n")).as("sum_n"),
+        sum(col("n") * col("n")).as("sum_n2"))
+      .withColumn("mean",
+        col("sum_n").cast("double") / col("n_days").cast("double"))
+      .withColumn("variance",
+        (col("sum_n2").cast("double") -
+          col("sum_n").cast("double") * col("sum_n").cast("double") /
+            col("n_days").cast("double")) /
+          (col("n_days").cast("double") - lit(1.0)))
+      .select(col("event_type"), col("mean"), col("variance"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("z", round(
+        (col("n").cast("double") - col("mean")) / sqrt(col("variance")), 4))
+      .withColumn("flagged", abs(col("z")) > 2.0)
+      .select(col("event_type"), col("day"), col("n"), col("z"),
+        col("flagged"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Session-level event-type co-occurrence with PMI — the association
+    * signal ("users who view in a session also purchase in it") behind
+    * market-basket analysis, run on the [[sessionize]] boundaries.
+    * pmi(a,b) = ln(n_ab · N / (n_a · n_b)) over session incidence
+    * counts, where N is the total session count.
+    *
+    * Scale shape: the pair stream is built WITHOUT a self-join — each
+    * session's distinct type set (bounded by the type enum, ≤5 here;
+    * never event volume) is collected sorted and its ordered pairs are
+    * generated narrowly by an indexed `transform` over the array, so the
+    * only shuffles are the session aggregate (user_id-clustered, reusing
+    * the sessionize exchange) and two map-side-combined counts. The
+    * per-type incidence table and the one-row session total are
+    * broadcast back onto the ≤|types|² pair census. A session-keyed
+    * self-join would move the session table twice and fan out on
+    * long sessions; the array form is bounded and exchange-light.
+    */
+  def cooccurPmi(s: SparkSession, dir: String): DataFrame = {
+    val sessTypes = sessionizedEvents(s, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    val pairs = sessTypes.select(explode(expr(
+      """flatten(transform(types, (a, i) ->
+        |  transform(slice(types, i + 2, size(types)),
+        |            b -> struct(a AS a, b AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+    val typeCounts = sessTypes
+      .select(explode(col("types")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+    val total = sessTypes.agg(count(lit(1)).as("n_sessions"))
+    pairs
+      .join(broadcast(typeCounts.select(col("t").as("a"),
+        col("n_t").as("n_a"))), "a")
+      .join(broadcast(typeCounts.select(col("t").as("b"),
+        col("n_t").as("n_b"))), "b")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log(
+        col("n_ab").cast("double") * col("n_sessions").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))), 4))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("pmi"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** The per-event session labeling [[sessionize]] aggregates — factored
+    * so [[cooccurPmi]] reads the same boundaries (30-min gap, (ts,
+    * event_id) order) and cannot drift from the sessionize query.
+    */
+  private def sessionizedEvents(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        (col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs).cast("long"))
+      .withColumn("session_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_anomaly_zscore" -> anomalyZscore,
+    "event_cooccur_pmi" -> cooccurPmi,
     "event_funnel_windowed" -> funnelWindowed,
     "event_sessionize" -> sessionize,
     "cdc_snapshot_diff" -> cdcDiff,
@@ -331,6 +431,66 @@ object EventOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "event_anomaly_zscore" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |           AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type,
+        |         count(*) AS n_days,
+        |         CAST(sum(n) AS BIGINT) AS sum_n,
+        |         CAST(sum(n * n) AS BIGINT) AS sum_n2
+        |  FROM daily GROUP BY 1),
+        |m AS (
+        |  SELECT event_type,
+        |         CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+        |         (CAST(sum_n2 AS DOUBLE)
+        |            - CAST(sum_n AS DOUBLE) * CAST(sum_n AS DOUBLE)
+        |              / CAST(n_days AS DOUBLE))
+        |           / (CAST(n_days AS DOUBLE) - 1.0) AS variance
+        |  FROM st)
+        |SELECT daily.event_type, day, n,
+        |       round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 4) AS z,
+        |       abs(round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 4))
+        |         > 2.0 AS flagged
+        |FROM daily JOIN m ON daily.event_type = m.event_type
+        |ORDER BY daily.event_type, day""".stripMargin,
+    "event_cooccur_pmi" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, lag(epoch_us(ts)) OVER w AS prev_us FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_type,
+        |         CAST(sum(CASE WHEN prev_us IS NULL
+        |                         OR epoch_us(ts) - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM m),
+        |st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+        |pairs AS (
+        |  SELECT x.event_type AS a, y.event_type AS b, count(*) AS n_ab
+        |  FROM st x JOIN st y
+        |    ON x.user_id = y.user_id AND x.session_id = y.session_id
+        |  WHERE x.event_type < y.event_type
+        |  GROUP BY 1, 2),
+        |tc AS (SELECT event_type AS t, count(*) AS n_t FROM st GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_sessions
+        |        FROM (SELECT DISTINCT user_id, session_id FROM st))
+        |SELECT a, b, n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+        |       round(ln(CAST(n_ab AS DOUBLE) * CAST(n_sessions AS DOUBLE)
+        |             / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE))), 4)
+        |         AS pmi
+        |FROM pairs, tot, tc ta, tc tb
+        |WHERE ta.t = a AND tb.t = b
+        |ORDER BY a, b""".stripMargin,
     "event_funnel_windowed" ->
       """WITH s1 AS (
         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_signup

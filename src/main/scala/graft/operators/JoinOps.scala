@@ -207,7 +207,54 @@ object JoinOps extends OpModule {
         |ORDER BY c.c_custkey, t.o_orderkey""".stripMargin)
   }
 
+  /** Point-in-interval join via BIN BUCKETING — the scalable form of the
+    * range join behind IP→geo enrichment, time→campaign attribution, and
+    * interval-overlap matching. A naive `ts BETWEEN start AND end` join
+    * has no equi-key, so Spark can only BNLJ/cartesian it — quadratic at
+    * scale. The bucketed form makes it an EQUI-join: pick a bin width ≥
+    * the maximum interval length, replicate each interval to every bin
+    * it touches (≤ 2 copies by the width choice), key each point by its
+    * single bin, equi-join on the bin, and keep the exact range
+    * predicate as a post-join filter. Each (point, interval) match
+    * surfaces exactly once — the point's bin is unique, so no dedup pass
+    * is needed.
+    *
+    * The fixture joins the 30-day event log to 60 deterministic
+    * 100-minute "campaign windows" (one per 12 h) and reports per-window
+    * reach. All boundary math is integer microseconds (`unix_micros` /
+    * `div`) — no double quotients whose rounding could move a boundary
+    * bin. At 100 TB: the windows side here broadcasts, but the plan
+    * stays an equi-join when both sides are huge (shuffle hash on the
+    * bin key) — that generality is the point of the technique; the
+    * replication factor is bounded by ceil(len/width) + 1 ≤ 2, and bin
+    * skew is bounded by the event rate per 100-minute wall-clock slice,
+    * not by any enum.
+    */
+  def intervalBin(s: SparkSession, dir: String): DataFrame = {
+    val widthUs = 6000L * 1000000L       // bin = max interval length
+    val baseUs = 1704067200L * 1000000L  // 2024-01-01 00:00:00 UTC
+    val wins = s.range(60)
+      .select(col("id").as("window_id"),
+        (lit(baseUs) + col("id") * lit(43200L * 1000000L)).as("w_start_us"))
+      .withColumn("w_end_us", col("w_start_us") + lit(widthUs))
+      .withColumn("bin", explode(sequence(
+        expr(s"w_start_us div $widthUs"),
+        expr(s"(w_end_us - 1) div $widthUs"))))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("bin", expr(s"t_us div $widthUs"))
+      .join(wins, "bin")
+      .filter(col("t_us") >= col("w_start_us") &&
+        col("t_us") < col("w_end_us"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_bin" -> intervalBin,
     "join_inner_equi" -> innerEqui,
     "join_broadcast" -> broadcastDims,
     "join_left_outer" -> leftOuter,
@@ -222,6 +269,19 @@ object JoinOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_interval_bin" ->
+      """WITH w AS (
+        |  SELECT CAST(k AS BIGINT) AS window_id,
+        |         1704067200000000 + k * 43200000000 AS w_start_us
+        |  FROM (SELECT unnest(range(60)) AS k)),
+        |e AS (
+        |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+        |  FROM events)
+        |SELECT window_id, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM e JOIN w
+        |  ON t_us >= w_start_us AND t_us < w_start_us + 6000000000
+        |GROUP BY window_id ORDER BY window_id""".stripMargin,
     "join_inner_equi" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, o_custkey, o_totalprice
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -297,7 +297,63 @@ object TextOps extends OpModule {
       .limit(30)
   }
 
+  /** CCNet-style perplexity filtering: score every document by its
+    * average negative log-likelihood under the corpus-trained bigram LM
+    * (the [[bigramLm]] counts) and flag high-perplexity outliers — the
+    * standard model-based quality gate between heuristic filtering and
+    * dedup in a training-data pipeline.
+    *
+    * Parity design — FIXED-POINT log-probabilities: each distinct
+    * bigram's ln p(b|a) is quantized ONCE to integer micro-nats
+    * (`round(ln(p)·10⁶)` as BIGINT), so the per-doc score is an EXACT
+    * integer sum (Σ c·lq) that no engine- or partition-dependent
+    * float-accumulation order can perturb; the only doubles are one
+    * final division and the two `ln` calls per DISTINCT bigram, whose
+    * last-ulp wobble would have to land exactly on a 10⁻⁶ grid boundary
+    * to flip a bit. The flag itself compares integers
+    * (−Σ c·lq > 3.7·10⁶·n), so the verdict cannot float.
+    *
+    * Scale shape: the per-doc bigram census is a map-side-combined hash
+    * aggregate; the LM is the [[pairCounts]] frame (distinct-bigram
+    * cardinality, NOT corpus volume) with the leading-token total from a
+    * vocabulary-keyed window; the join back to doc bigrams is 1:1 on
+    * (a, b) — no fan-out. At 100 TB production prunes the LM to a top-V
+    * vocabulary with an OOV backoff bucket and broadcasts it; the exact
+    * join here keeps the oracle exact, and is itself one well-keyed
+    * shuffle. Docs with <2 tokens have no bigram evidence and drop out
+    * (a perplexity gate cannot judge them; the length gate in
+    * [[qualityScore]] owns that regime).
+    */
+  def perplexity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col("text"), " ")
+    val docPairs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("a"),
+        slice(toks, lit(2), size(toks) - 1).as("b"))).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val lm = pairCounts(s, dir, "n_ab")
+      .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy(col("a"))))
+      .withColumn("lq", round(log(
+        col("n_ab").cast("double") / col("n_a").cast("double")) *
+        lit(1000000.0), 0).cast("long"))
+      .select(col("a"), col("b"), col("lq"))
+    docPairs.join(lm, Seq("a", "b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("lq")).as("sum_lq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("sum_lq").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1000000.0)), 4)
+          .as("avg_nll"),
+        (-col("sum_lq") > lit(3700000L) * col("n_bigrams")).as("flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_perplexity" -> perplexity,
     "llm_bigram_lm" -> bigramLm,
     "llm_bpe_pairs" -> bpePairs,
     "llm_vocab_census" -> vocabCensus,
@@ -358,6 +414,32 @@ object TextOps extends OpModule {
       s"::UBIGINT % $n AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "llm_perplexity" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pz AS (
+        |  SELECT doc_id, unnest(list_zip(toks[1:length(toks) - 1],
+        |                                 toks[2:length(toks)])) AS pr
+        |  FROM t),
+        |p AS (SELECT doc_id, pr[1] AS a, pr[2] AS b FROM pz),
+        |lm AS (SELECT a, b, count(*) AS n_ab FROM p GROUP BY 1, 2),
+        |lq AS (
+        |  SELECT a, b,
+        |         CAST(round(ln(CAST(n_ab AS DOUBLE) /
+        |              CAST(sum(n_ab) OVER (PARTITION BY a) AS DOUBLE))
+        |              * 1000000.0) AS BIGINT) AS lq
+        |  FROM lm),
+        |dc AS (SELECT doc_id, a, b, count(*) AS c FROM p GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(c * lq) AS BIGINT) AS sum_lq
+        |  FROM dc JOIN lq USING (a, b) GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |       round(-CAST(sum_lq AS DOUBLE) /
+        |             (CAST(n_bigrams AS DOUBLE) * 1000000.0), 4) AS avg_nll,
+        |       -sum_lq > 3700000 * n_bigrams AS flagged
+        |FROM j ORDER BY doc_id""".stripMargin,
     "llm_bigram_lm" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents),

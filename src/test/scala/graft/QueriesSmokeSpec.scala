@@ -38,9 +38,13 @@ class QueriesSmokeSpec extends SparkSpec {
   // agg_heavy_hitters (round 6): the exact-threshold denominator is the
   // same broadcast ONE-ROW total, joined against the <= k-row candidate
   // recount (justified in AggOps.heavyHitters's doc).
+  // event_cooccur_pmi (round 6): the session-count denominator is the
+  // same broadcast ONE-ROW total, joined against the <= |types|² pair
+  // census — both sides bounded by the type enum, never event volume
+  // (justified in EventOps.cooccurPmi's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
-    "agg_heavy_hitters")
+    "agg_heavy_hitters", "event_cooccur_pmi")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {

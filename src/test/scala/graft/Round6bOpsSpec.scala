@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventOps, JoinOps, TextOps}
+
+/** Semantic + plan tests for the round-6 fourth-wave additions
+  * (event_anomaly_zscore, event_cooccur_pmi, join_interval_bin,
+  * llm_perplexity). The DuckDB value oracles are the correctness gate;
+  * these pin what the oracles can't see — the bucketed join's semantic
+  * equivalence to the naive non-equi form, conservation laws, and the
+  * plan shapes the 100 TB story depends on.
+  */
+class Round6bOpsSpec extends SparkSpec {
+
+  test("join_interval_bin: bucketed equi-join result EQUALS the naive " +
+    "non-equi range join, and the plan is BNLJ/cartesian-free") {
+    val widthUs = 6000L * 1000000L
+    val baseUs = 1704067200L * 1000000L
+    val wins = spark.range(60)
+      .select(col("id").as("window_id"),
+        (lit(baseUs) + col("id") * lit(43200L * 1000000L)).as("w_start_us"))
+    // The naive form the bucketing replaces: a raw range-predicate join
+    // (BNLJ — fine in a TEST on 1k rows, the thing to never ship).
+    val naive = Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"))
+      .join(wins, col("t_us") >= col("w_start_us") &&
+        col("t_us") < col("w_start_us") + lit(widthUs))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_id"))
+      .collect().toSeq
+    val bucketed = JoinOps.intervalBin(spark, sf0001).collect().toSeq
+    assert(bucketed == naive)
+    val plan = finalPlan(JoinOps.intervalBin(spark, sf0001))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("join_interval_bin: every interval replicates to at most 2 bins " +
+    "(width >= max interval length bounds the fan-out)") {
+    val widthUs = 6000L * 1000000L
+    val baseUs = 1704067200L * 1000000L
+    val nBins = spark.range(60)
+      .select((lit(baseUs) + col("id") * lit(43200L * 1000000L))
+        .as("w_start_us"))
+      .withColumn("w_end_us", col("w_start_us") + lit(widthUs))
+      .select(size(sequence(
+        expr(s"w_start_us div $widthUs"),
+        expr(s"(w_end_us - 1) div $widthUs"))).as("n"))
+      .collect().map(_.getAs[Int]("n"))
+    assert(nBins.forall(n => n >= 1 && n <= 2))
+    assert(nBins.exists(_ == 2), "fixture should exercise the 2-bin case")
+  }
+
+  test("event_anomaly_zscore: census conserves the event count, z is " +
+    "mean-centered per type, flag agrees with the rounded z") {
+    val rows = EventOps.anomalyZscore(spark, sf0001).collect()
+    val total = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      // Σ(n - mean) = 0 exactly, so Σz ≈ 0 up to the 4dp rounding.
+      val zsum = rs.map(_.getAs[Double]("z")).sum
+      assert(math.abs(zsum) < 5e-4 * rs.length)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("flagged") ==
+        (math.abs(r.getAs[Double]("z")) > 2.0))
+    }
+  }
+
+  test("event_cooccur_pmi: pairs ordered a<b, incidence bounded by the " +
+    "marginals, PMI bounded above by ln(N / max(n_a, n_b))") {
+    val rows = EventOps.cooccurPmi(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val nSessions = EventOps.sessionize(spark, sf0001).count()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("a"), r.getAs[String]("b"))
+      val nAb = r.getAs[Long]("n_ab")
+      val nA = r.getAs[Long]("n_a")
+      val nB = r.getAs[Long]("n_b")
+      assert(a < b)
+      assert(nAb >= 1 && nAb <= math.min(nA, nB))
+      assert(nA <= nSessions && nB <= nSessions)
+      val bound = math.log(nSessions.toDouble / math.max(nA, nB).toDouble)
+      assert(r.getAs[Double]("pmi") <= bound + 5e-4)
+    }
+  }
+
+  test("llm_perplexity: covers exactly the docs with a bigram, scores " +
+    "positive, flag consistent with the fixed-point threshold") {
+    val rows = TextOps.perplexity(spark, sf0001).collect()
+    val eligible = Tables.documents(spark, sf0001)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == eligible)
+    rows.foreach { r =>
+      val nll = r.getAs[Double]("avg_nll")
+      assert(nll > 0.0)
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+      val f = r.getAs[Boolean]("flagged")
+      // The flag compares exact integers at 3.7; away from the rounding
+      // boundary it must agree with the rounded score.
+      if (math.abs(nll - 3.7) > 1e-3) assert(f == (nll > 3.7))
+    }
+  }
+
+  test("llm_perplexity: driver-side Scala recomputation matches every " +
+    "doc's fixed-point score exactly (independent execution path)") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ", -1).toSeq)
+    val bigrams = docs.flatMap { case (_, ts) => ts.zip(ts.drop(1)) }
+    val nAb = bigrams.groupBy(identity).map { case (k, v) => k -> v.size }
+    val nA = bigrams.groupBy(_._1).map { case (k, v) => k -> v.size }
+    def lq(p: (String, String)): Long =
+      BigDecimal(math.log(nAb(p).toDouble / nA(p._1).toDouble) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expected = docs.flatMap { case (id, ts) =>
+      val ps = ts.zip(ts.drop(1))
+      if (ps.isEmpty) None else {
+        val sumLq = ps.map(lq).sum
+        val n = ps.size.toLong
+        val avg = BigDecimal(-sumLq.toDouble / (n.toDouble * 1e6))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some(id -> ((n, avg, -sumLq > 3700000L * n)))
+      }
+    }.toMap
+    val rows = TextOps.perplexity(spark, sf0001).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (n, avg, fl) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_bigrams") == n)
+      assert(r.getAs[Double]("avg_nll") == avg)
+      assert(r.getAs[Boolean]("flagged") == fl)
+    }
+  }
+}
