@@ -546,6 +546,85 @@ object SimOps extends OpModule {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Signed-random-projection LSH ANN — the OTHER standard bucketed
+    * similarity index next to IVF (builder prompt: "an IVF or
+    * LSH-bucketed variant as the scale path"): each vector's sign
+    * pattern against 16 frozen hyperplanes (the first 16 embeddings,
+    * unit-normalized — data-derived and deterministic, the
+    * [[driverSeeds]]/[[annFrozen]] move, so the whole pipeline
+    * value-oracles) is split into 4 bands of 4 bits; vectors sharing ANY
+    * band bucket become candidates; exact cosine + bounded-heap top-5
+    * decide. SRP's collision probability per bit is 1 − θ/π, so unlike
+    * IVF's fixed probe count the candidate volume ADAPTS to similarity —
+    * near-duplicates collide in every band, orthogonal pairs almost
+    * never.
+    *
+    * Plan shape: the signature is ONE narrow array expression over the
+    * broadcast plane literal (16 dots per vector, map-only — no join,
+    * no shuffle, no window on the corpus); the LSH table is a 4×
+    * explode keyed (band, bucket); candidates come from one equi-join
+    * on that key; the multi-band duplicate collapses in a
+    * map-side-combinable (q, neighbor) max before the top-k heap.
+    *
+    * At 100 TB: the table is 4 rows/vector bucketed by (band, bucket) —
+    * the serving layout — and the knobs are standard LSH sizing: more
+    * bits/band shrinks buckets (this fixture's 4 bits → 16 buckets/band
+    * is oracle-frozen, like [[dedupCells]]; production sizes bits ≈
+    * log₂(n/target_bucket) so per-bucket work stays bounded), more
+    * bands raises recall linearly in table size. The iid fixture is
+    * SRP's worst case (mean cosine ≈ 0 ⇒ per-bit collision ≈ ½);
+    * real near-dup corpora concentrate far above it.
+    */
+  def annSrp(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScore
+    graft.functions.GraftFunctions.register(s)
+    val topk = udaf(TopKByScore.TopKAgg(5),
+      Encoders.product[TopKByScore.ScoredId])
+    val corpus = srpAssigned(s, dir, withNorm(Tables.embeddings(s, dir)))
+    val qs = srpAssigned(s, dir,
+      withNorm(Tables.embeddings(s, dir).filter(col("vec_id") < 20)))
+      .select(col("band"), col("bucket"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    broadcast(qs).join(corpus, Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+      // A pair colliding in several bands yields identical cosines; the
+      // max collapses it to one candidate row (map-side combinable)
+      // BEFORE the heap, which must see each id once.
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("cosine")).as("cosine"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The SRP signature pass: 16 sign bits against the frozen plane
+    * literal, packed into 4 (band, bucket) keys and exploded — the LSH
+    * table build, shared by the corpus and query sides so the hashing
+    * cannot drift. Bits are positional: [[driverSeeds]] returns planes
+    * sorted by id 0..15, so plane_id = array position − 1.
+    */
+  private def srpAssigned(s: SparkSession, dir: String,
+      df: DataFrame): DataFrame = {
+    val planesLit = typedlit(driverSeeds(s, dir, 16))
+    df
+      .withColumn("bits", transform(planesLit, p =>
+        when(dot(col("embedding"), p.getField("_2")) >= lit(0.0), lit(1))
+          .otherwise(lit(0))))
+      .withColumn("bb", explode(transform(sequence(lit(0), lit(3)), k =>
+        struct(k.as("band"),
+          (element_at(col("bits"), k * 4 + 1) * 8 +
+            element_at(col("bits"), k * 4 + 2) * 4 +
+            element_at(col("bits"), k * 4 + 3) * 2 +
+            element_at(col("bits"), k * 4 + 4)).as("bucket")))))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("vec_id"), col("embedding"), col("norm"))
+  }
+
   /** Cluster assignment as a first-class query: each vector → nearest of
     * the 10 unit-normalized seed centroids (the IVF quantizer's assignment
     * step, exposed). `affinity` = dot(v, seed_unit) = cos·‖v‖; argmax ties
@@ -664,6 +743,7 @@ object SimOps extends OpModule {
     "llm_dedup_embed_incremental" -> dedupEmbedIncremental,
     "llm_ann_ivf" -> annIvf,
     "llm_ann_frozen" -> annFrozen,
+    "llm_ann_srp" -> annSrp,
     "llm_cluster_assign" -> clusterAssign,
     "llm_semantic_dedup" -> ((s, dir) => semanticDedup(s, dir)),
     "llm_semantic_dedup_incremental" ->
@@ -722,6 +802,52 @@ object SimOps extends OpModule {
         |  SELECT p.q_id, c.vec_id AS neighbor_id
         |  FROM probes p JOIN cells c USING (cell)
         |  WHERE c.vec_id != p.q_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.neighbor_id,
+        |         list_sum([q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE
+        |                   for i in range(1, 65)]) / (q.norm * n.norm)
+        |           AS cosine
+        |  FROM cand
+        |  JOIN e q ON q.vec_id = cand.q_id
+        |  JOIN e n ON n.vec_id = cand.neighbor_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // The SRP-LSH pipeline replayed in SQL: unit planes, sign bits,
+    // 4-bit band buckets, distinct band collisions, exact cosine,
+    // windowed top-5 — strict-ordered double sums throughout, same as
+    // the llm_ann_frozen replay above.
+    "llm_ann_srp" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |planes AS (
+        |  SELECT vec_id AS plane_id,
+        |         [embedding[i]::DOUBLE / norm for i in range(1, 65)]
+        |           AS unit
+        |  FROM e WHERE vec_id < 16),
+        |bits AS (
+        |  SELECT e.vec_id, p.plane_id,
+        |         CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.unit[i]
+        |                             for i in range(1, 65)]) >= 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM e CROSS JOIN planes p),
+        |bk AS (
+        |  SELECT vec_id, plane_id // 4 AS band,
+        |         sum(bit * CASE plane_id % 4
+        |                   WHEN 0 THEN 8 WHEN 1 THEN 4
+        |                   WHEN 2 THEN 2 ELSE 1 END) AS bucket
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+        |  FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id),
         |scored AS (
         |  SELECT cand.q_id, cand.neighbor_id,
         |         list_sum([q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE

@@ -105,6 +105,20 @@ class Round6bOpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_ann_srp: recall@5 >= 0.4 vs the brute-force baseline on the " +
+    "iid fixture (SRP's worst case), and each neighbor surfaces once") {
+    import graft.operators.SimOps
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val srp = pairs(SimOps.annSrp(spark, sf0001))
+    assert(srp.distinct.length == srp.length,
+      "a multi-band collision leaked duplicate candidate rows")
+    val exact = pairs(SimOps.simTopk(spark, sf0001)).toSet
+    val recall = srp.count(exact) .toDouble / exact.size
+    assert(recall >= 0.4, s"recall@5 = $recall (measured 0.55 on this " +
+      "fixture; near-orthogonal iid vectors are SRP's floor)")
+  }
+
   test("llm_perplexity: driver-side Scala recomputation matches every " +
     "doc's fixed-point score exactly (independent execution path)") {
     val docs = Tables.documents(spark, sf0001)
