@@ -208,7 +208,62 @@ object CurationOps extends OpModule {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** URL-canonicalization dedup — the FIRST dedup stage of a web-crawl
+    * pipeline (cheaper than any content hash: it kills re-crawls of the
+    * same page before the text is even read). The fixture's raw URLs are
+    * synthesized deterministically with the classic duplicate-inducing
+    * variants (scheme change, host case, trailing slash, utm_ tracking
+    * params, query-param order, fragment — the [[piiScrub]] injection
+    * precedent, reproduced identically by the oracle); the transform
+    * itself is exactly the production pass: [[canonicalUrl]] over any
+    * URL column, then one groupBy for the census. Fully narrow until the
+    * canonical-key aggregate — one shuffle, linear at any corpus size.
+    */
+  def urlDedup(s: SparkSession, dir: String): DataFrame = {
+    val page = pmod(col("doc_id"), lit(120L))
+    val m = pmod(col("doc_id"), lit(5L))
+    Tables.documents(s, dir)
+      .withColumn("url",
+        when(m === 0,
+          concat(lit("https://example.org/articles/"), page))
+        .when(m === 1,
+          concat(lit("http://example.org/articles/"), page, lit("/")))
+        .when(m === 2, concat(lit("https://EXAMPLE.org/articles/"), page,
+          lit("?utm_source=feed")))
+        .when(m === 3, concat(lit("https://example.org/articles/"), page,
+          lit("?b=2&a=1")))
+        .otherwise(concat(lit("https://example.org/articles/"), page,
+          lit("?a=1&b=2#frag"))))
+      .withColumn("canon", canonicalUrl(col("url")))
+      .groupBy(col("canon"))
+      .agg(count(lit(1)).as("n_variants"),
+        min(col("doc_id")).as("keeper_doc"),
+        countDistinct(col("url")).as("n_distinct_raw"))
+      .orderBy(col("canon"))
+  }
+
+  /** Canonical form of a URL column — lowercase, scheme- and
+    * fragment-stripped, trailing slash trimmed, utm_ tracking params
+    * dropped, surviving query params sorted. Pure narrow string/array
+    * expressions (regexp + split + array_sort), reusable over any frame;
+    * ASCII-lexicographic param sort matches the oracle's `list_sort`.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(
+      regexp_replace(lower(url), "^https?://", ""), "#.*$", "")
+    val path = regexp_replace(
+      substring_index(noFrag, "?", 1), "/+$", "")
+    val params = filter(split(substring_index(noFrag, "?", -1), "&"),
+      p => p =!= "" && !p.startsWith("utm_"))
+    val hasQ = instr(noFrag, "?") > 0
+    concat(path,
+      when(hasQ && size(params) > 0,
+        concat(lit("?"), array_join(array_sort(params), "&")))
+        .otherwise(lit("")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_url_dedup" -> urlDedup,
     "llm_decontaminate" -> decontaminate,
     "llm_pii_scrub" -> piiScrub,
     "llm_repetition" -> repetition,
@@ -217,6 +272,47 @@ object CurationOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_url_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 5
+        |           WHEN 0 THEN 'https://example.org/articles/'
+        |                       || (doc_id % 120)
+        |           WHEN 1 THEN 'http://example.org/articles/'
+        |                       || (doc_id % 120) || '/'
+        |           WHEN 2 THEN 'https://EXAMPLE.org/articles/'
+        |                       || (doc_id % 120) || '?utm_source=feed'
+        |           WHEN 3 THEN 'https://example.org/articles/'
+        |                       || (doc_id % 120) || '?b=2&a=1'
+        |           ELSE 'https://example.org/articles/'
+        |                || (doc_id % 120) || '?a=1&b=2#frag'
+        |         END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(lower(url),
+        |           '^https?://', ''), '#.*$', '') AS nf
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(
+        |           CASE WHEN instr(nf, '?') > 0
+        |                THEN nf[1:instr(nf, '?') - 1] ELSE nf END,
+        |           '/+$', '') AS path,
+        |         CASE WHEN instr(nf, '?') > 0
+        |              THEN list_filter(
+        |                string_split(nf[instr(nf, '?') + 1:len(nf)], '&'),
+        |                x -> x != '' AND NOT starts_with(x, 'utm_'))
+        |              ELSE [] END AS params
+        |  FROM c)
+        |SELECT path || CASE WHEN len(params) > 0
+        |                    THEN '?' || array_to_string(list_sort(params),
+        |                                                '&')
+        |                    ELSE '' END AS canon,
+        |       count(*) AS n_variants,
+        |       min(doc_id) AS keeper_doc,
+        |       count(DISTINCT url) AS n_distinct_raw
+        |FROM p GROUP BY 1 ORDER BY canon""".stripMargin,
     "llm_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

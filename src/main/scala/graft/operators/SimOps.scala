@@ -576,11 +576,34 @@ object SimOps extends OpModule {
     * real near-dup corpora concentrate far above it.
     */
   def annSrp(s: SparkSession, dir: String): DataFrame = {
+    // register BEFORE withNorm builds its eagerly-analyzed graft_dot call
+    graft.functions.GraftFunctions.register(s)
+    annSrpFromStore(s, dir,
+      srpAssigned(s, dir, withNorm(Tables.embeddings(s, dir))))
+  }
+
+  /** The persisted LSH table — (band, bucket, vec_id, embedding, norm),
+    * what a corpus snapshot writes ONCE (bucketed by (band, bucket) at
+    * scale, the serving layout) so query batches never re-hash the
+    * corpus. The [[annSrp]] query form builds it inline; round-trip
+    * equivalence is asserted in Round6bOpsSpec.
+    */
+  def srpTableArtifact(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    srpAssigned(s, dir, withNorm(Tables.embeddings(s, dir)))
+  }
+
+  /** [[annSrp]] reading a PERSISTED [[srpTableArtifact]] — the serving
+    * form: only the (tiny) query side is hashed at query time; the
+    * corpus contributes one artifact scan.
+    */
+  def annSrpFromStore(s: SparkSession, dir: String,
+      table: DataFrame): DataFrame = {
     import graft.functions.TopKByScore
     graft.functions.GraftFunctions.register(s)
     val topk = udaf(TopKByScore.TopKAgg(5),
       Encoders.product[TopKByScore.ScoredId])
-    val corpus = srpAssigned(s, dir, withNorm(Tables.embeddings(s, dir)))
+    val corpus = table
     val qs = srpAssigned(s, dir,
       withNorm(Tables.embeddings(s, dir).filter(col("vec_id") < 20)))
       .select(col("band"), col("bucket"), col("vec_id").as("q_id"),
@@ -610,6 +633,7 @@ object SimOps extends OpModule {
     */
   private def srpAssigned(s: SparkSession, dir: String,
       df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val planesLit = typedlit(driverSeeds(s, dir, 16))
     df
       .withColumn("bits", transform(planesLit, p =>

@@ -119,6 +119,46 @@ class Round6bOpsSpec extends SparkSpec {
       "fixture; near-orthogonal iid vectors are SRP's floor)")
   }
 
+  test("llm_ann_srp FromStore: the persisted LSH table round-trips to " +
+    "the exact inline result") {
+    import graft.operators.SimOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_srp").toString
+    SimOps.srpTableArtifact(spark, sf0001)
+      .write.mode("overwrite").parquet(s"$dir/srp_table.parquet")
+    val stored = spark.read.parquet(s"$dir/srp_table.parquet")
+    val inline = SimOps.annSrp(spark, sf0001).collect().toSeq
+    val served = SimOps.annSrpFromStore(spark, sf0001, stored)
+      .collect().toSeq
+    assert(inline == served)
+  }
+
+  test("llm_url_dedup: canonical groups partition the corpus, keeper is " +
+    "a member, and the classic variants collapse") {
+    import graft.operators.CurationOps
+    val rows = CurationOps.urlDedup(spark, sf0001).collect()
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_variants")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_raw") <= r.getAs[Long]("n_variants"))
+      assert(!r.getAs[String]("canon").contains("#"))
+      assert(!r.getAs[String]("canon").contains("utm_"))
+      assert(!r.getAs[String]("canon").startsWith("http"))
+    }
+    // scheme/case/slash/utm variants land together; param'd forms apart
+    val canons = rows.map(_.getAs[String]("canon")).toSet
+    assert(canons.contains("example.org/articles/0"))
+    assert(canons.contains("example.org/articles/3?a=1&b=2"))
+    // spot-check the reusable column on adversarial inputs
+    import spark.implicits._
+    val got = Seq(
+      "https://A.com/x/?utm_source=s&z=1&a=2#f",
+      "http://a.com/x?Z=1",
+      "https://a.com/x").toDF("url")
+      .select(CurationOps.canonicalUrl(col("url")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a.com/x?a=2&z=1", "a.com/x?z=1", "a.com/x"))
+  }
+
   test("llm_perplexity: driver-side Scala recomputation matches every " +
     "doc's fixed-point score exactly (independent execution path)") {
     val docs = Tables.documents(spark, sf0001)
