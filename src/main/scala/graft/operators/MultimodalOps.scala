@@ -197,10 +197,66 @@ object MultimodalOps extends OpModule {
           lit(256))).as("frame_bytes"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Perceptual-hash image dedup — the multimodal twin of
+    * `llm_dedup_simhash`: decode each payload to its 16-dim feature
+    * vector (the partition-local [[decodeStub]]/codec path, same
+    * mapPartitions batch shape as [[mmFeatures]]), derive a 16-bit
+    * perceptual hash (bit i = bin i above the 1/16 uniform-occupancy
+    * line — a pHash-style above-average threshold over the histogram),
+    * and census the hash buckets: images sharing a phash are
+    * near-identical at this feature granularity, and `keeper_doc` is
+    * the canonical representative.
+    *
+    * The threshold compares the stub's FLOAT32 ratio against the exact
+    * 2⁻⁴ constant in float32 — the same bit-reproducible arithmetic
+    * [[mmFeatures]]'s oracle proves out, so the whole verdict set
+    * value-oracles despite passing through a binary payload. The bucket
+    * key is (phash, width, height) — production pHash dedup conditions
+    * on geometry, because a hash collision across different dimensions
+    * is not the same image; on this SAME-DISTRIBUTION text fixture the
+    * histogram hash alone would collapse to one bucket (everything is a
+    * statistical near-dup of everything, which the unit test shows is a
+    * fixture property, not an operator one — distinct payload
+    * distributions separate cleanly).
+    *
+    * Scale shape: decode is narrow mapPartitions (one codec init per
+    * partition), the hash is 16 compares in the same pass, and the only
+    * shuffle is the map-side-combinable bucket count. Hamming-NEAR
+    * buckets (phash within k bits) would ride the [[SimOps.annSrp]]
+    * banding on these same bits; exact-bucket is the verdict form.
+    */
+  def mmDedupPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = mediaTable(s, dir).as[MediaRecord].mapPartitions { it =>
+      // real pipeline: val codec = Codec.open() — once per partition
+      it.map { r =>
+        (r.doc_id, phashOf(decodeStub(r.media)), r.width, r.height)
+      }
+    }.toDF("doc_id", "phash", "width", "height")
+    hashed.groupBy(col("phash"), col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc"))
+      .orderBy(col("phash"), col("width"), col("height"))
+  }
+
+  /** 16-bit perceptual hash over a 16-dim feature vector: bit i set iff
+    * bin i sits above the 1/16 uniform-occupancy line (exact 2⁻⁴, a
+    * float32-representable constant).
+    */
+  def phashOf(f: Array[Float]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < 16) {
+      if (f(i) > 0.0625f) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta" -> mmMeta,
     "mm_features" -> mmFeatures,
-    "mm_frame_sample" -> mmFrameSample
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_dedup_phash" -> mmDedupPhash
   )
 
   val oracle: Map[String, String] = Map(
@@ -228,6 +284,30 @@ object MultimodalOps extends OpModule {
         |           AS frame_idx
         |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the full 16-bin float32 histogram replayed per bin, thresholded at
+    // the exact 2^-4 constant — the same float32-reproducibility argument
+    // as mm_features below, extended to every bit of the hash
+    "mm_dedup_phash" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         [ascii(text[i]) // 16
+        |          for i in range(1, length(text) + 1)] AS nib,
+        |         greatest(octet_length(encode(text)), 1) AS n
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(
+        |           [CASE WHEN CAST(len(list_filter(nib, x -> x = k))
+        |                           AS FLOAT) / CAST(n AS FLOAT)
+        |                      > CAST(0.0625 AS FLOAT)
+        |                 THEN 2 ** k ELSE 0 END
+        |            for k in range(0, 16)]) AS BIGINT) AS phash,
+        |         CAST((doc_id % 4) * 160 + 320 AS INT) AS width,
+        |         CAST((doc_id % 3) * 120 + 240 AS INT) AS height
+        |  FROM b)
+        |SELECT phash, width, height, count(*) AS n_docs,
+        |       min(doc_id) AS keeper_doc
+        |FROM h GROUP BY 1, 2, 3 ORDER BY phash, width, height""".stripMargin,
     // the stub decoder is a 16-bin high-nibble byte histogram normalized
     // in FLOAT32; the text is pure ASCII (byte == codepoint), so the same
     // float division is reproducible in SQL — CAST AS FLOAT keeps the

@@ -159,6 +159,27 @@ class Round6bOpsSpec extends SparkSpec {
     assert(got == Seq("a.com/x?a=2&z=1", "a.com/x?z=1", "a.com/x"))
   }
 
+  test("mm_dedup_phash: distinct payload distributions separate, " +
+    "identical payloads collide, census conserves the corpus") {
+    import graft.operators.MultimodalOps
+    // discrimination: three byte distributions → three different hashes
+    val letters = "the quick brown fox".getBytes("UTF-8")
+    val digits = "0123456789012345678".getBytes("UTF-8")
+    val mixed = "abc 123 ABC !!! ???".getBytes("UTF-8")
+    val hashes = Seq(letters, digits, mixed)
+      .map(b => MultimodalOps.phashOf(MultimodalOps.decodeStub(b)))
+    assert(hashes.distinct.length == 3,
+      s"distinct distributions should separate, got $hashes")
+    // identity: same bytes, same hash
+    assert(MultimodalOps.phashOf(MultimodalOps.decodeStub(letters)) ==
+      hashes.head)
+    // census: bucket sizes sum to the corpus
+    val rows = MultimodalOps.mmDedupPhash(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf0001).count())
+    rows.foreach(r => assert(r.getAs[Long]("keeper_doc") >= 0))
+  }
+
   test("llm_perplexity: driver-side Scala recomputation matches every " +
     "doc's fixed-point score exactly (independent execution path)") {
     val docs = Tables.documents(spark, sf0001)
