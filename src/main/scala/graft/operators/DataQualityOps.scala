@@ -215,7 +215,39 @@ object DataQualityOps extends OpModule {
       .orderBy(col("check_name"))
   }
 
+  /** Ingest freshness monitoring: per event type, the last-seen
+    * timestamp, its lag against the monitoring instant, and the
+    * trailing-24h volume — the staleness dashboard a pipeline operator
+    * watches to catch a dead collector (lag grows) or a stuck partition
+    * (24h volume collapses while last_ts looks alive).
+    *
+    * The monitoring instant is CONFIG (in production: the scheduler's
+    * logical "now"), pinned here to the first instant past the fixture's
+    * 30-day window — the [[graft.Tables.snapshotBoundary]] stance: a
+    * literal composes into one narrow aggregate pass, where a
+    * data-derived `max(ts)` would cost a driver action or a global
+    * window. One map-side-combined aggregate over the raw events; all
+    * lag arithmetic is exact integer microseconds.
+    */
+  def freshness(s: SparkSession, dir: String): DataFrame = {
+    val refUs = 1706659200L * 1000000L // 2024-01-31 00:00:00 UTC, config
+    val dayUs = 86400L * 1000000L
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"),
+        sum(when(unix_micros(col("ts")) > refUs - dayUs, 1L).otherwise(0L))
+          .as("n_last_24h"))
+      .withColumn("lag_s",
+        expr(s"($refUs - unix_micros(last_ts)) div 1000000"))
+      .withColumn("stale", col("lag_s") > 3600L)
+      .select(col("event_type"), col("n_events"), col("last_ts"),
+        col("lag_s"), col("n_last_24h"), col("stale"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness" -> freshness,
     "dq_profile" -> profile,
     "dq_constraints" -> constraints,
     "dq_drift" -> drift,
@@ -225,6 +257,17 @@ object DataQualityOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_freshness" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT event_type, count(*) AS n_events, max(ts) AS last_ts,
+        |       (1706659200000000 - epoch_us(max(ts))) // 1000000 AS lag_s,
+        |       CAST(sum(CASE WHEN epoch_us(ts) >
+        |                          1706659200000000 - 86400000000
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h,
+        |       (1706659200000000 - epoch_us(max(ts))) // 1000000 > 3600
+        |         AS stale
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "dq_referential" ->
       """SELECT * FROM (
         |  SELECT 'lineitem_to_orders' AS check_name,

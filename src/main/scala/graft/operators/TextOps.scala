@@ -324,8 +324,29 @@ object TextOps extends OpModule {
     * (a perplexity gate cannot judge them; the length gate in
     * [[qualityScore]] owns that regime).
     */
-  def perplexity(s: SparkSession, dir: String): DataFrame = {
+  def perplexity(s: SparkSession, dir: String): DataFrame =
+    perplexityFromStore(s, dir, lmArtifact(s, dir))
+
+  /** The quantized bigram LM as a persistable MODEL TABLE (a, b, lq) —
+    * what a corpus snapshot trains once and ships; scoring runs read it,
+    * never the corpus that built it. The query form builds it inline;
+    * round-trip equivalence is asserted in Round6bOpsSpec.
+    */
+  def lmArtifact(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    pairCounts(s, dir, "n_ab")
+      .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy(col("a"))))
+      .withColumn("lq", round(log(
+        col("n_ab").cast("double") / col("n_a").cast("double")) *
+        lit(1000000.0), 0).cast("long"))
+      .select(col("a"), col("b"), col("lq"))
+  }
+
+  /** [[perplexity]] scoring a batch against a PERSISTED [[lmArtifact]] —
+    * the production form: the LM never retrains per scoring run.
+    */
+  def perplexityFromStore(s: SparkSession, dir: String,
+      lm: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val docPairs = Tables.documents(s, dir)
       .select(col("doc_id"), explode(arrays_zip(
@@ -334,12 +355,6 @@ object TextOps extends OpModule {
       .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
       .groupBy(col("doc_id"), col("a"), col("b"))
       .agg(count(lit(1)).as("c"))
-    val lm = pairCounts(s, dir, "n_ab")
-      .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy(col("a"))))
-      .withColumn("lq", round(log(
-        col("n_ab").cast("double") / col("n_a").cast("double")) *
-        lit(1000000.0), 0).cast("long"))
-      .select(col("a"), col("b"), col("lq"))
     docPairs.join(lm, Seq("a", "b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
@@ -352,7 +367,37 @@ object TextOps extends OpModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Out-of-vocabulary rate — the tokenizer-health metric a pipeline
+    * tracks when the corpus drifts from the vocabulary it was tokenized
+    * with: per document, the share of token OCCURRENCES outside the
+    * top-V corpus vocabulary (V = 20 here; production V is the tokenizer
+    * vocab). The vocabulary is deterministic (count desc, token asc —
+    * the [[vocabCensus]] tie-break) and BROADCASTS: at 100 TB the vocab
+    * is a model artifact of fixed size, so the scoring pass is one
+    * narrow explode + broadcast join + per-doc count, linear in the
+    * corpus. oov_rate divides two exact longs.
+    */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token")).limit(20)
+      .select(col("token"), lit(1).as("in_vocab"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", round(
+        col("n_oov").cast("double") / col("n_tokens").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_oov_rate" -> oovRate,
     "llm_perplexity" -> perplexity,
     "llm_bigram_lm" -> bigramLm,
     "llm_bpe_pairs" -> bpePairs,
@@ -414,6 +459,24 @@ object TextOps extends OpModule {
       s"::UBIGINT % $n AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "llm_oov_rate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, t AS token
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  WHERE len(t) > 0),
+        |v AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS n FROM tok GROUP BY 1)
+        |  ORDER BY n DESC, token LIMIT 20)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_oov,
+        |       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+        |         AS oov_rate
+        |FROM tok LEFT JOIN v ON tok.token = v.token
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_perplexity" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -159,6 +159,47 @@ class Round6bOpsSpec extends SparkSpec {
     assert(got == Seq("a.com/x?a=2&z=1", "a.com/x?z=1", "a.com/x"))
   }
 
+  test("llm_perplexity FromStore: the persisted LM round-trips to the " +
+    "exact inline result") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    TextOps.lmArtifact(spark, sf0001)
+      .write.mode("overwrite").parquet(s"$dir/lm.parquet")
+    val stored = spark.read.parquet(s"$dir/lm.parquet")
+    val inline = TextOps.perplexity(spark, sf0001).collect().toSeq
+    val served = TextOps.perplexityFromStore(spark, sf0001, stored)
+      .collect().toSeq
+    assert(inline == served)
+  }
+
+  test("dq_freshness: per-type counts conserve the log, lag is " +
+    "non-negative against the post-fixture instant, stale agrees") {
+    import graft.operators.DataQualityOps
+    val rows = DataQualityOps.freshness(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables.events(spark, sf0001).count())
+    rows.foreach { r =>
+      val lag = r.getAs[Long]("lag_s")
+      assert(lag >= 0, "monitoring instant precedes an event")
+      assert(r.getAs[Boolean]("stale") == (lag > 3600L))
+      assert(r.getAs[Long]("n_last_24h") <= r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("llm_oov_rate: token counts conserve, the vocabulary keeps rates " +
+    "strictly below 1, and a top-20-of-40 vocab leaves real OOV mass") {
+    val rows = TextOps.oovRate(spark, sf0001).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val oov = r.getAs[Long]("n_oov")
+      assert(oov >= 0 && oov <= n)
+      assert(r.getAs[Double]("oov_rate") <= 1.0)
+    }
+    val totalOov = rows.map(_.getAs[Long]("n_oov")).sum
+    assert(totalOov > 0, "a 20-of-40-word vocab must leave OOV tokens")
+    val totalTok = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(totalOov < totalTok, "the top-20 vocab must cover real mass")
+  }
+
   test("mm_dedup_phash: distinct payload distributions separate, " +
     "identical payloads collide, census conserves the corpus") {
     import graft.operators.MultimodalOps
