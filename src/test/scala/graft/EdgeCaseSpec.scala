@@ -141,6 +141,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(AggOps.heavyHitters(spark, dir).count() === 0)
   }
 
+  test("fifth-wave ops on empty/degenerate inputs: no exceptions, sane " +
+    "results") {
+    import spark.implicits._
+    import graft.operators.{CurationOps, DataQualityOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_r6bedge").toString
+    Seq((0L, "solo", "en", "src0", 4L), (1L, "", "en", "src1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // no bigrams exist → perplexity judges nothing (and doesn't throw)
+    assert(TextOps.perplexity(spark, dir).count() === 0)
+    // every doc still gets a canonical URL row (2 docs → ≤2 groups)
+    assert(CurationOps.urlDedup(spark, dir)
+      .agg(sum(col("n_variants"))).collect()(0).getLong(0) === 2L)
+    // the empty-text doc has no tokens → only the single-token doc scores
+    val oov = TextOps.oovRate(spark, dir).collect()
+    assert(oov.length === 1 && oov(0).getAs[Long]("n_oov") === 0L)
+    // empty events: freshness, co-occurrence, anomaly, interval join all
+    // return empty rather than erroring on the empty aggregate
+    Tables.events(spark, sf0001).filter(lit(false))
+      .withColumn("ts", unix_micros(col("ts")) * 1000)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(DataQualityOps.freshness(spark, dir).count() === 0)
+    assert(EventOps.cooccurPmi(spark, dir).count() === 0)
+    assert(EventOps.anomalyZscore(spark, dir).count() === 0)
+    assert(graft.operators.JoinOps.intervalBin(spark, dir).count() === 0)
+  }
+
   // Degenerate statsMoments groups: a single-row group has no sample
   // variance and a constant-valued column has no correlation — both must
   // come back NULL (the guard both engines share), never NaN/inf/NULL
