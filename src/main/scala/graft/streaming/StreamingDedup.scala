@@ -37,4 +37,21 @@ object StreamingDedup {
       .withColumn("digest", DedupOps.digestCol)
       .dropDuplicates("digest")
       .join(storeDigests.select(col("digest")), Seq("digest"), "left_anti")
+
+  /** The URL-canonicalization layer of the same shape — the crawl
+    * frontier's dedup, which fires BEFORE any text is fetched:
+    * [[graft.operators.CurationOps.canonicalUrl]] is stateless (pure
+    * narrow string/array expressions), so it runs unchanged on the
+    * stream; one canonical key survives per micro-batch run
+    * (checkpointed `dropDuplicates` state), and keys the store has
+    * already crawled are anti-joined away. `stream` must carry `url`;
+    * `storeCanon` a `canon` column (the prior crawl's persisted
+    * frontier artifact — a string per known page, not the page itself).
+    */
+  def novelUrls(stream: DataFrame, storeCanon: DataFrame): DataFrame =
+    stream
+      .withColumn("canon",
+        graft.operators.CurationOps.canonicalUrl(col("url")))
+      .dropDuplicates("canon")
+      .join(storeCanon.select(col("canon")), Seq("canon"), "left_anti")
 }

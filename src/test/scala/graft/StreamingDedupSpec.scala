@@ -112,4 +112,37 @@ class StreamingDedupSpec extends SparkSpec {
     assert(after.contains(22L))
     assert(!after.contains(20L) && !after.contains(21L))
   }
+
+  test("streaming URL frontier dedup: canonical-key variants collapse, " +
+    "crawled pages never re-enter, novel pages pass") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_surl").toString
+    // prior crawl's frontier artifact: one canonical key per known page
+    val storeCanon = Seq("example.org/a", "example.org/b").toDF("canon")
+    val src = s"$base/src"
+    Seq(
+      (1L, "https://EXAMPLE.org/a/"),        // store dup (case + slash)
+      (2L, "http://example.org/c?utm_source=x"), // novel page c
+      (3L, "https://example.org/c"),         // in-stream dup of 2
+      (4L, "https://example.org/d?b=2&a=1")) // novel page d (params kept)
+      .toDF("req_id", "url").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val out = s"$base/frontier"
+    val q = StreamingDedup.novelUrls(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src),
+      storeCanon)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val landed = spark.read.parquet(out)
+      .select("canon").collect().map(_.getString(0)).sorted.toSeq
+    assert(landed == Seq("example.org/c", "example.org/d?a=1&b=2"),
+      s"got $landed")
+  }
 }
