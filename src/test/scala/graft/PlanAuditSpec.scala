@@ -74,6 +74,29 @@ class PlanAuditSpec extends SparkSpec {
       "expect partial + final TopKByScore aggregation\n" + p)
   }
 
+  test("llm_ann_srp: signature pass is join/window-free; exactly one " +
+    "corpus join (the band-bucket equi-join); heap top-k, not a sort") {
+    val p = plan(SimOps.annSrp(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // one BroadcastHashJoin on (band, bucket) — the LSH candidate join —
+    // and nothing else touches the corpus with a join
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1, p)
+    assert("SortMergeJoin".r.findAllIn(p).length == 0, p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expect partial + final TopKByScore aggregation\n" + p)
+  }
+
+  test("llm_oov_rate: the top-V vocabulary broadcasts; the corpus is " +
+    "never shuffled for the membership join") {
+    val p = plan(graft.operators.TextOps.oovRate(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 vocab should be a bounded-heap take, not a global sort\n" + p)
+  }
+
   test("embed FromStore: artifacts only — no store re-rank, raw scan is batch-filtered") {
     val dir = java.nio.file.Files.createTempDirectory("graft_embplan").toString
     val k = Tables.snapshotBoundary(spark, sf0001, "embeddings")
