@@ -135,6 +135,40 @@ class StorageLayoutSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  // The LSH serving layout claimed in SimOps.srpTableArtifact's doc: the
+  // persisted SRP table bucketed on (band, bucket) serves query batches
+  // too big to broadcast with NO store-side shuffle — only the query
+  // batch repartitions to the table's layout.
+  test("band-bucket-bucketed SRP table serves large query batches with " +
+    "no store-side shuffle") {
+    import graft.operators.SimOps
+    spark.sql("DROP TABLE IF EXISTS srp_store_b")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(wh, "srp_store_b"))
+    SimOps.srpTableArtifact(spark, sf0001)
+      .write.bucketBy(4, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable("srp_store_b")
+    // a query batch that must NOT broadcast (threshold disabled below)
+    val qs = SimOps.srpTableArtifact(spark, sf0001)
+      .filter(col("vec_id") < 20)
+      .select(col("band"), col("bucket"), col("vec_id").as("q_id"))
+    val joined = qs.join(spark.table("srp_store_b")
+      .select(col("band"), col("bucket"), col("vec_id")),
+      Seq("band", "bucket"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+        s"only the query batch may shuffle:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("date-partitioned writes enable partition pruning at the scan") {
     val dir = Files.createTempDirectory("graft_part").toString + "/events"
     Tables.events(spark, sf0001)
