@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -121,6 +121,104 @@ object EventOps extends OpModule {
           expr("INTERVAL 1 HOUR"))).as("hr"),
         col("v_obs").as("value_locf"))
       .orderBy("user_id", "hr")
+  }
+
+  /** Linear-interpolation resample — the sibling of [[gapfillLocf]] for
+    * continuous metrics (a LOCF-held sensor reading is wrong between two
+    * observations a ramp apart; interpolation isn't): the same hourly
+    * rollup + `lead` + `sequence` FORWARD EXPANSION (join-free, one hash
+    * exchange), with the interpolated value computed in INTEGER
+    * FIXED-POINT: the 2-decimal readings become exact cents, the grid
+    * weights are exact microsecond spans, and the 4-decimal output is
+    * one integer division — (cents·(gap−d) + next_cents·d)·100 div gap.
+    * A float `v + (next−v)·frac` followed by `round(…, 4)` is NOT
+    * portable here: products of 2-decimal readings with dyadic grid
+    * fractions land exactly on 5-decimal rounding TIES (e.g. 23.79875),
+    * where Spark's decimal-string HALF_UP and DuckDB's binary rounding
+    * disagree — the fixed-point form has no round() to disagree on. The
+    * trailing point of each series holds its last observation.
+    */
+  def resampleLinear(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      .select(col("user_id"), col("ts"), col("value"))
+      .repartition(col("user_id"))
+    val hourly = ev
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(max_by(col("value"), col("ts")).as("v_obs"))
+    val nxt = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+    hourly
+      .withColumn("next_hr", lead(col("hr"), 1).over(nxt))
+      .withColumn("next_v", lead(col("v_obs"), 1).over(nxt))
+      .withColumn("hr_out", explode(sequence(col("hr"),
+        coalesce(col("next_hr") - expr("INTERVAL 1 HOUR"), col("hr")),
+        expr("INTERVAL 1 HOUR"))))
+      .withColumn("cents", round(col("v_obs") * 100, 0).cast("long"))
+      .withColumn("next_cents",
+        round(coalesce(col("next_v"), col("v_obs")) * 100, 0).cast("long"))
+      .withColumn("d_us", unix_micros(col("hr_out")) - unix_micros(col("hr")))
+      .withColumn("gap_us", unix_micros(col("next_hr")) - unix_micros(col("hr")))
+      .withColumn("interp4", when(col("next_hr").isNotNull,
+        expr("(cents * (gap_us - d_us) + next_cents * d_us) * 100" +
+          " div gap_us"))
+        .otherwise(col("cents") * lit(100L)))
+      .select(col("user_id"), col("hr_out").as("hr"),
+        (col("interp4").cast("double") / lit(10000.0)).as("value_interp"))
+      .orderBy("user_id", "hr")
+  }
+
+  /** A/B experiment readout with a two-proportion z-test — the decision
+    * query an experimentation platform runs over the event log: variant
+    * assignment is the deterministic user_id parity (in production, the
+    * bucketing hash), conversion is "any purchase", and lift/z derive
+    * from FOUR exact longs through the same textbook formula on both
+    * engines (the `agg_stats_moments` parity stance), with the
+    * significance verdict compared on the ROUNDED z so it cannot flip on
+    * a last-ulp difference.
+    *
+    * Scale shape: one user-keyed aggregate (map-side-combined) collapses
+    * the event volume to |users| rows; the four variant counters then
+    * reduce to ONE row — an aggregate tree, no window, no join anywhere.
+    */
+  def abLift(s: SparkSession, dir: String): DataFrame = {
+    // conversion must have VARIANCE on the fixture (every user makes
+    // some purchase over a month, so "any purchase" degenerates to
+    // cvr = 1 in both arms and the pooled z divides by zero): the
+    // fixture conversion is "a heavy buyer" (>= 14 purchases, the
+    // fixture median); production plugs in its own predicate
+    val per = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("np"))
+      .withColumn("converted", when(col("np") >= 14L, 1L).otherwise(0L))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    val d = (c: Column) => c.cast("double")
+    per.agg(
+        sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("variant") === 0L, col("converted")).otherwise(0L))
+          .as("conv_control"),
+        sum(when(col("variant") === 1L, col("converted")).otherwise(0L))
+          .as("conv_treat"))
+      .withColumn("cvr_control", d(col("conv_control")) / d(col("n_control")))
+      .withColumn("cvr_treat", d(col("conv_treat")) / d(col("n_treat")))
+      .withColumn("p_pool",
+        d(col("conv_control") + col("conv_treat")) /
+          d(col("n_control") + col("n_treat")))
+      // degenerate pool (cvr 0 or 1 in BOTH arms) has no variance to
+      // test against — z is NULL, not a division error
+      .withColumn("z", when(col("p_pool") > 0.0 && col("p_pool") < 1.0,
+        round((col("cvr_treat") - col("cvr_control")) /
+          sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+            (lit(1.0) / d(col("n_control")) + lit(1.0) / d(col("n_treat")))),
+          4)))
+      .select(col("n_control"), col("n_treat"),
+        col("conv_control"), col("conv_treat"),
+        round(col("cvr_control"), 4).as("cvr_control"),
+        round(col("cvr_treat"), 4).as("cvr_treat"),
+        round(col("cvr_treat") - col("cvr_control"), 4).as("lift"),
+        col("z"),
+        coalesce(abs(col("z")) > 1.96, lit(false)).as("significant"))
   }
 
   /** Cohort retention: users grouped by the week of their first signup,
@@ -418,6 +516,8 @@ object EventOps extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_anomaly_zscore" -> anomalyZscore,
     "event_cooccur_pmi" -> cooccurPmi,
+    "event_ab_lift" -> abLift,
+    "ts_resample_linear" -> resampleLinear,
     "event_funnel_windowed" -> funnelWindowed,
     "event_sessionize" -> sessionize,
     "cdc_snapshot_diff" -> cdcDiff,
@@ -431,6 +531,84 @@ object EventOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "event_ab_lift" ->
+      """WITH np AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |           AS np
+        |  FROM events GROUP BY user_id),
+        |per AS (
+        |  SELECT user_id,
+        |         CASE WHEN np >= 14 THEN 1 ELSE 0 END AS converted,
+        |         user_id % 2 AS variant
+        |  FROM np),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_control,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_treat,
+        |    CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+        |         AS BIGINT) AS conv_control,
+        |    CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+        |         AS BIGINT) AS conv_treat
+        |  FROM per),
+        |m AS (
+        |  SELECT *,
+        |         CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)
+        |           AS cvr_c,
+        |         CAST(conv_treat AS DOUBLE) / CAST(n_treat AS DOUBLE)
+        |           AS cvr_t,
+        |         CAST(conv_control + conv_treat AS DOUBLE)
+        |           / CAST(n_control + n_treat AS DOUBLE) AS p_pool
+        |  FROM c),
+        |z AS (
+        |  SELECT *,
+        |         CASE WHEN p_pool > 0.0 AND p_pool < 1.0
+        |              THEN round((cvr_t - cvr_c) /
+        |                   sqrt(p_pool * (1.0 - p_pool) *
+        |                        (1.0 / CAST(n_control AS DOUBLE)
+        |                         + 1.0 / CAST(n_treat AS DOUBLE))), 4)
+        |              ELSE NULL END AS z
+        |  FROM m)
+        |SELECT n_control, n_treat, conv_control, conv_treat,
+        |       round(cvr_c, 4) AS cvr_control,
+        |       round(cvr_t, 4) AS cvr_treat,
+        |       round(cvr_t - cvr_c, 4) AS lift,
+        |       z, coalesce(abs(z) > 1.96, false) AS significant
+        |FROM z""".stripMargin,
+    "ts_resample_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        |  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08'),
+        |h AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+        |         arg_max(value, ts) AS v_obs
+        |  FROM ev GROUP BY 1, 2),
+        |n AS (
+        |  SELECT *, lead(hr) OVER w AS next_hr, lead(v_obs) OVER w AS next_v
+        |  FROM h WINDOW w AS (PARTITION BY user_id ORDER BY hr)),
+        |g AS (
+        |  SELECT user_id, hr, v_obs, next_hr, next_v,
+        |         unnest(range(hr, coalesce(next_hr, hr + INTERVAL 1 HOUR),
+        |                      INTERVAL 1 HOUR)) AS hr_out
+        |  FROM n),
+        |f AS (
+        |  SELECT user_id, hr_out,
+        |         CAST(round(v_obs * 100) AS BIGINT) AS cents,
+        |         CAST(round(coalesce(next_v, v_obs) * 100) AS BIGINT)
+        |           AS next_cents,
+        |         epoch_us(hr_out) - epoch_us(hr) AS d_us,
+        |         CASE WHEN next_hr IS NULL THEN NULL
+        |              ELSE epoch_us(next_hr) - epoch_us(hr) END AS gap_us
+        |  FROM g)
+        |SELECT user_id, hr_out AS hr,
+        |       CAST(CASE WHEN gap_us IS NULL THEN cents * 100
+        |                 ELSE (cents * (gap_us - d_us)
+        |                       + next_cents * d_us) * 100 // gap_us
+        |            END AS DOUBLE) / 10000.0 AS value_interp
+        |FROM f ORDER BY user_id, hr""".stripMargin,
     "event_anomaly_zscore" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -200,6 +200,61 @@ class Round6bOpsSpec extends SparkSpec {
     assert(totalOov < totalTok, "the top-20 vocab must cover real mass")
   }
 
+  test("ts_resample_linear: contiguous hourly grid per user, observed " +
+    "hours reproduce their readings, interpolants stay inside the span") {
+    val rows = EventOps.resampleLinear(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("hr"),
+        r.getAs[Double]("value_interp")))
+    // grid contiguity: consecutive rows per user are exactly 1h apart
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val hrs = rs.map(_._2.getTime).sorted
+      hrs.sliding(2).foreach {
+        case Array(a, b) => assert(b - a == 3600000L)
+        case _ =>
+      }
+    }
+    // observed hours carry their own reading; interpolants bounded by
+    // the surrounding observations
+    val hourly = Tables.events(spark, sf0001)
+      .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(max_by(col("value"), col("ts")).as("v_obs"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("hr").getTime,
+        r.getAs[Double]("v_obs"))).toSeq
+    val obsMap = hourly.map(t => (t._1, t._2) -> t._3).toMap
+    rows.foreach { case (u, hr, v) =>
+      obsMap.get((u, hr.getTime)).foreach { exact =>
+        assert(math.abs(v - math.round(exact * 100) / 100.0) < 1e-9,
+          s"observed hour must reproduce its reading: $u $hr $v vs $exact")
+      }
+    }
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val span = hourly.filter(_._1 == u)
+      val (lo, hi) = (span.map(_._3).min, span.map(_._3).max)
+      rs.foreach { case (_, _, v) =>
+        assert(v >= lo - 0.01 && v <= hi + 0.01) }
+    }
+  }
+
+  test("event_ab_lift: arms partition the users, derived columns agree " +
+    "with the exact counters") {
+    val r = EventOps.abLift(spark, sf0001).collect()(0)
+    val nUsers = Tables.events(spark, sf0001)
+      .select("user_id").distinct().count()
+    val (nc, nt) = (r.getAs[Long]("n_control"), r.getAs[Long]("n_treat"))
+    assert(nc + nt == nUsers)
+    assert(r.getAs[Long]("conv_control") <= nc)
+    assert(r.getAs[Long]("conv_treat") <= nt)
+    val lift = r.getAs[Double]("lift")
+    assert(math.abs(lift - (r.getAs[Double]("cvr_treat") -
+      r.getAs[Double]("cvr_control"))) < 2e-4)
+    if (!r.isNullAt(r.fieldIndex("z")))
+      assert(r.getAs[Boolean]("significant") ==
+        (math.abs(r.getAs[Double]("z")) > 1.96))
+  }
+
   test("mm_dedup_phash: distinct payload distributions separate, " +
     "identical payloads collide, census conserves the corpus") {
     import graft.operators.MultimodalOps
