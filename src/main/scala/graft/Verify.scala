@@ -46,7 +46,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json narrows with the same prefix filter as the dumps —
+    // otherwise a filtered run could never pass check.py (every
+    // unselected oracle would report a missing dump, or worse, compare
+    // a stale one from an earlier full run into the same outDir)
+    val selectedNames = selected.map(_._1).toSet
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selectedNames(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val statusJson = status

@@ -242,20 +242,28 @@ object CurationOps extends OpModule {
       .orderBy(col("canon"))
   }
 
-  /** Canonical form of a URL column — lowercase, scheme- and
-    * fragment-stripped, trailing slash trimmed, utm_ tracking params
-    * dropped, surviving query params sorted. Pure narrow string/array
-    * expressions (regexp + split + array_sort), reusable over any frame;
-    * ASCII-lexicographic param sort matches the oracle's `list_sort`.
+  /** Canonical form of a URL column — scheme- and fragment-stripped,
+    * HOST lowercased (ONLY the host: path and query values are
+    * case-sensitive resources per RFC 3986, and a frontier that
+    * case-folds them would skip real pages), trailing slash trimmed,
+    * utm_ tracking params dropped, surviving query params sorted. The
+    * query starts at the FIRST '?' — '?' is legal unencoded inside a
+    * query, so an after-the-LAST-'?' parse would silently drop leading
+    * params. Pure narrow string/array expressions (regexp + split +
+    * array_sort), reusable over any frame; ASCII-lexicographic param
+    * sort matches the oracle's `list_sort`.
     */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(
-      regexp_replace(lower(url), "^https?://", ""), "#.*$", "")
+      regexp_replace(url, "(?i)^https?://", ""), "#.*$", "")
+    val nf = concat(lower(regexp_extract(noFrag, "^[^/?]*", 0)),
+      regexp_replace(noFrag, "^[^/?]*", ""))
     val path = regexp_replace(
-      substring_index(noFrag, "?", 1), "/+$", "")
-    val params = filter(split(substring_index(noFrag, "?", -1), "&"),
+      substring_index(nf, "?", 1), "/+$", "")
+    val params = filter(split(
+      regexp_replace(nf, "^[^?]*\\?", ""), "&"),
       p => p =!= "" && !p.startsWith("utm_"))
-    val hasQ = instr(noFrag, "?") > 0
+    val hasQ = instr(nf, "?") > 0
     concat(path,
       when(hasQ && size(params) > 0,
         concat(lit("?"), array_join(array_sort(params), "&")))
@@ -288,11 +296,16 @@ object CurationOps extends OpModule {
         |                || (doc_id % 120) || '?a=1&b=2#frag'
         |         END AS url
         |  FROM documents),
+        |c0 AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(regexp_replace(url,
+        |           '(?i)^https?://', ''), '#.*$', '') AS nf0
+        |  FROM d),
         |c AS (
         |  SELECT doc_id, url,
-        |         regexp_replace(regexp_replace(lower(url),
-        |           '^https?://', ''), '#.*$', '') AS nf
-        |  FROM d),
+        |         lower(regexp_extract(nf0, '^[^/?]*', 0)) ||
+        |           regexp_replace(nf0, '^[^/?]*', '') AS nf
+        |  FROM c0),
         |p AS (
         |  SELECT doc_id, url,
         |         regexp_replace(

@@ -153,14 +153,20 @@ object EventOps extends OpModule {
       .withColumn("hr_out", explode(sequence(col("hr"),
         coalesce(col("next_hr") - expr("INTERVAL 1 HOUR"), col("hr")),
         expr("INTERVAL 1 HOUR"))))
+      // weights in exact HOURS, not microseconds: the grid is hourly,
+      // so the division is lossless, and the numerator's magnitude is
+      // cents·gap_hours·100 (≈10¹⁰ at extreme values) instead of
+      // cents·gap_µs·100, which overflows Long for readings ≥ ~1525
+      // against a 7-day gap
       .withColumn("cents", round(col("v_obs") * 100, 0).cast("long"))
       .withColumn("next_cents",
         round(coalesce(col("next_v"), col("v_obs")) * 100, 0).cast("long"))
-      .withColumn("d_us", unix_micros(col("hr_out")) - unix_micros(col("hr")))
-      .withColumn("gap_us", unix_micros(col("next_hr")) - unix_micros(col("hr")))
+      .withColumn("d_h",
+        expr("(unix_micros(hr_out) - unix_micros(hr)) div 3600000000"))
+      .withColumn("gap_h",
+        expr("(unix_micros(next_hr) - unix_micros(hr)) div 3600000000"))
       .withColumn("interp4", when(col("next_hr").isNotNull,
-        expr("(cents * (gap_us - d_us) + next_cents * d_us) * 100" +
-          " div gap_us"))
+        expr("(cents * (gap_h - d_h) + next_cents * d_h) * 100 div gap_h"))
         .otherwise(col("cents") * lit(100L)))
       .select(col("user_id"), col("hr_out").as("hr"),
         (col("interp4").cast("double") / lit(10000.0)).as("value_interp"))
@@ -212,11 +218,17 @@ object EventOps extends OpModule {
           sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
             (lit(1.0) / d(col("n_control")) + lit(1.0) / d(col("n_treat")))),
           4)))
+      // cvr/lift are exact rationals — presented in fixed-point 4dp
+      // (integer div, no decimal-rounding tie); z's sqrt denominator is
+      // irrational, so its round(…, 4) has no tie class to hit
+      .withColumn("cvr_c4", expr("conv_control * 10000 div n_control"))
+      .withColumn("cvr_t4", expr("conv_treat * 10000 div n_treat"))
       .select(col("n_control"), col("n_treat"),
         col("conv_control"), col("conv_treat"),
-        round(col("cvr_control"), 4).as("cvr_control"),
-        round(col("cvr_treat"), 4).as("cvr_treat"),
-        round(col("cvr_treat") - col("cvr_control"), 4).as("lift"),
+        (col("cvr_c4").cast("double") / lit(10000.0)).as("cvr_control"),
+        (col("cvr_t4").cast("double") / lit(10000.0)).as("cvr_treat"),
+        ((col("cvr_t4") - col("cvr_c4")).cast("double") / lit(10000.0))
+          .as("lift"),
         col("z"),
         coalesce(abs(col("z")) > 1.96, lit(false)).as("significant"))
   }
@@ -435,16 +447,21 @@ object EventOps extends OpModule {
         sum(col("n") * col("n")).as("sum_n2"))
       .withColumn("mean",
         col("sum_n").cast("double") / col("n_days").cast("double"))
-      .withColumn("variance",
+      // a single-day type has no sample variance (divisor n_days−1 = 0)
+      // — NULL, not an ANSI division error
+      .withColumn("variance", when(col("n_days") > 1,
         (col("sum_n2").cast("double") -
           col("sum_n").cast("double") * col("sum_n").cast("double") /
             col("n_days").cast("double")) /
-          (col("n_days").cast("double") - lit(1.0)))
+          (col("n_days").cast("double") - lit(1.0))))
       .select(col("event_type"), col("mean"), col("variance"))
     daily.join(broadcast(stats), "event_type")
-      .withColumn("z", round(
-        (col("n").cast("double") - col("mean")) / sqrt(col("variance")), 4))
-      .withColumn("flagged", abs(col("z")) > 2.0)
+      // zero/NULL variance carries no anomaly evidence: a perfectly
+      // steady type must read unflagged, never z = x/0
+      .withColumn("z", when(col("variance") > 0.0, round(
+        (col("n").cast("double") - col("mean")) / sqrt(col("variance")),
+        4)))
+      .withColumn("flagged", coalesce(abs(col("z")) > 2.0, lit(false)))
       .select(col("event_type"), col("day"), col("n"), col("z"),
         col("flagged"))
       .orderBy(col("event_type"), col("day"))
@@ -572,9 +589,13 @@ object EventOps extends OpModule {
         |              ELSE NULL END AS z
         |  FROM m)
         |SELECT n_control, n_treat, conv_control, conv_treat,
-        |       round(cvr_c, 4) AS cvr_control,
-        |       round(cvr_t, 4) AS cvr_treat,
-        |       round(cvr_t - cvr_c, 4) AS lift,
+        |       CAST(conv_control * 10000 // n_control AS DOUBLE) / 10000.0
+        |         AS cvr_control,
+        |       CAST(conv_treat * 10000 // n_treat AS DOUBLE) / 10000.0
+        |         AS cvr_treat,
+        |       CAST(conv_treat * 10000 // n_treat
+        |            - conv_control * 10000 // n_control AS DOUBLE)
+        |         / 10000.0 AS lift,
         |       z, coalesce(abs(z) > 1.96, false) AS significant
         |FROM z""".stripMargin,
     "ts_resample_linear" ->
@@ -599,14 +620,15 @@ object EventOps extends OpModule {
         |         CAST(round(v_obs * 100) AS BIGINT) AS cents,
         |         CAST(round(coalesce(next_v, v_obs) * 100) AS BIGINT)
         |           AS next_cents,
-        |         epoch_us(hr_out) - epoch_us(hr) AS d_us,
+        |         (epoch_us(hr_out) - epoch_us(hr)) // 3600000000 AS d_h,
         |         CASE WHEN next_hr IS NULL THEN NULL
-        |              ELSE epoch_us(next_hr) - epoch_us(hr) END AS gap_us
+        |              ELSE (epoch_us(next_hr) - epoch_us(hr)) // 3600000000
+        |              END AS gap_h
         |  FROM g)
         |SELECT user_id, hr_out AS hr,
-        |       CAST(CASE WHEN gap_us IS NULL THEN cents * 100
-        |                 ELSE (cents * (gap_us - d_us)
-        |                       + next_cents * d_us) * 100 // gap_us
+        |       CAST(CASE WHEN gap_h IS NULL THEN cents * 100
+        |                 ELSE (cents * (gap_h - d_h)
+        |                       + next_cents * d_h) * 100 // gap_h
         |            END AS DOUBLE) / 10000.0 AS value_interp
         |FROM f ORDER BY user_id, hr""".stripMargin,
     "event_anomaly_zscore" ->
@@ -625,17 +647,23 @@ object EventOps extends OpModule {
         |m AS (
         |  SELECT event_type,
         |         CAST(sum_n AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
-        |         (CAST(sum_n2 AS DOUBLE)
-        |            - CAST(sum_n AS DOUBLE) * CAST(sum_n AS DOUBLE)
-        |              / CAST(n_days AS DOUBLE))
-        |           / (CAST(n_days AS DOUBLE) - 1.0) AS variance
-        |  FROM st)
-        |SELECT daily.event_type, day, n,
-        |       round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 4) AS z,
-        |       abs(round((CAST(n AS DOUBLE) - mean) / sqrt(variance), 4))
-        |         > 2.0 AS flagged
-        |FROM daily JOIN m ON daily.event_type = m.event_type
-        |ORDER BY daily.event_type, day""".stripMargin,
+        |         CASE WHEN n_days > 1 THEN
+        |           (CAST(sum_n2 AS DOUBLE)
+        |              - CAST(sum_n AS DOUBLE) * CAST(sum_n AS DOUBLE)
+        |                / CAST(n_days AS DOUBLE))
+        |             / (CAST(n_days AS DOUBLE) - 1.0)
+        |         ELSE NULL END AS variance
+        |  FROM st),
+        |zz AS (
+        |  SELECT daily.event_type, day, n,
+        |         CASE WHEN variance > 0.0
+        |              THEN round((CAST(n AS DOUBLE) - mean)
+        |                         / sqrt(variance), 4)
+        |              ELSE NULL END AS z
+        |  FROM daily JOIN m ON daily.event_type = m.event_type)
+        |SELECT event_type, day, n, z,
+        |       coalesce(abs(z) > 2.0, false) AS flagged
+        |FROM zz ORDER BY event_type, day""".stripMargin,
     "event_cooccur_pmi" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

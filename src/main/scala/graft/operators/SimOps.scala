@@ -578,8 +578,9 @@ object SimOps extends OpModule {
   def annSrp(s: SparkSession, dir: String): DataFrame = {
     // register BEFORE withNorm builds its eagerly-analyzed graft_dot call
     graft.functions.GraftFunctions.register(s)
-    annSrpFromStore(s, dir,
-      srpAssigned(s, dir, withNorm(Tables.embeddings(s, dir))))
+    val planes = driverSeeds(s, dir, 16)
+    srpSearch(s, dir, planes,
+      srpAssigned(s, planes, withNorm(Tables.embeddings(s, dir))))
   }
 
   /** The persisted LSH table — (band, bucket, vec_id, embedding, norm),
@@ -590,7 +591,8 @@ object SimOps extends OpModule {
     */
   def srpTableArtifact(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    srpAssigned(s, dir, withNorm(Tables.embeddings(s, dir)))
+    srpAssigned(s, driverSeeds(s, dir, 16),
+      withNorm(Tables.embeddings(s, dir)))
   }
 
   /** [[annSrp]] reading a PERSISTED [[srpTableArtifact]] — the serving
@@ -599,12 +601,20 @@ object SimOps extends OpModule {
     */
   def annSrpFromStore(s: SparkSession, dir: String,
       table: DataFrame): DataFrame = {
-    import graft.functions.TopKByScore
     graft.functions.GraftFunctions.register(s)
+    srpSearch(s, dir, driverSeeds(s, dir, 16), table)
+  }
+
+  /** The SRP query-time search: hash the query batch against the SAME
+    * frozen planes, band-bucket equi-join into the LSH table, collapse
+    * multi-band collisions, exact cosine + bounded-heap top-5.
+    */
+  private def srpSearch(s: SparkSession, dir: String,
+      planes: Seq[(Long, Seq[Double])], corpus: DataFrame): DataFrame = {
+    import graft.functions.TopKByScore
     val topk = udaf(TopKByScore.TopKAgg(5),
       Encoders.product[TopKByScore.ScoredId])
-    val corpus = table
-    val qs = srpAssigned(s, dir,
+    val qs = srpAssigned(s, planes,
       withNorm(Tables.embeddings(s, dir).filter(col("vec_id") < 20)))
       .select(col("band"), col("bucket"), col("vec_id").as("q_id"),
         col("embedding").as("q_emb"), col("norm").as("q_norm"))
@@ -631,10 +641,10 @@ object SimOps extends OpModule {
     * cannot drift. Bits are positional: [[driverSeeds]] returns planes
     * sorted by id 0..15, so plane_id = array position − 1.
     */
-  private def srpAssigned(s: SparkSession, dir: String,
+  private def srpAssigned(s: SparkSession, planes: Seq[(Long, Seq[Double])],
       df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val planesLit = typedlit(driverSeeds(s, dir, 16))
+    val planesLit = typedlit(planes)
     df
       .withColumn("bits", transform(planesLit, p =>
         when(dot(col("embedding"), p.getField("_2")) >= lit(0.0), lit(1))

@@ -359,9 +359,13 @@ object TextOps extends OpModule {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         sum(col("c") * col("lq")).as("sum_lq"))
+      // avg_nll stays fixed-point to the very end: integer micro-nats
+      // per bigram (truncating div of exact longs), then ONE exact-int
+      // double division — a round(rational, 4) here would reintroduce
+      // the decimal-tie divergence the lq quantization exists to avoid
+      .withColumn("avg_nll_micro", expr("(-sum_lq) div n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(-col("sum_lq").cast("double") /
-          (col("n_bigrams").cast("double") * lit(1000000.0)), 4)
+        (col("avg_nll_micro").cast("double") / lit(1000000.0))
           .as("avg_nll"),
         (-col("sum_lq") > lit(3700000L) * col("n_bigrams")).as("flagged"))
       .orderBy(col("doc_id"))
@@ -391,8 +395,11 @@ object TextOps extends OpModule {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
-      .withColumn("oov_rate", round(
-        col("n_oov").cast("double") / col("n_tokens").cast("double"), 4))
+      // fixed-point 4dp: round(n_oov/n_tokens, 4) is an exact-rational
+      // rounding whose decimal ties (1/160 = 0.00625) Spark and DuckDB
+      // resolve differently; the integer div has no tie to disagree on
+      .withColumn("oov_rate",
+        expr("n_oov * 10000 div n_tokens").cast("double") / lit(10000.0))
       .orderBy(col("doc_id"))
   }
 
@@ -472,9 +479,9 @@ object TextOps extends OpModule {
         |SELECT doc_id, count(*) AS n_tokens,
         |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
         |            AS BIGINT) AS n_oov,
-        |       round(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
-        |                  AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
-        |         AS oov_rate
+        |       CAST(CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |                 AS BIGINT) * 10000 // count(*) AS DOUBLE)
+        |         / 10000.0 AS oov_rate
         |FROM tok LEFT JOIN v ON tok.token = v.token
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_perplexity" ->
@@ -499,8 +506,8 @@ object TextOps extends OpModule {
         |         CAST(sum(c * lq) AS BIGINT) AS sum_lq
         |  FROM dc JOIN lq USING (a, b) GROUP BY 1)
         |SELECT doc_id, n_bigrams,
-        |       round(-CAST(sum_lq AS DOUBLE) /
-        |             (CAST(n_bigrams AS DOUBLE) * 1000000.0), 4) AS avg_nll,
+        |       CAST((-sum_lq) // n_bigrams AS DOUBLE) / 1000000.0
+        |         AS avg_nll,
         |       -sum_lq > 3700000 * n_bigrams AS flagged
         |FROM j ORDER BY doc_id""".stripMargin,
     "llm_bigram_lm" ->

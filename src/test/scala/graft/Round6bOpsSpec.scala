@@ -148,15 +148,19 @@ class Round6bOpsSpec extends SparkSpec {
     val canons = rows.map(_.getAs[String]("canon")).toSet
     assert(canons.contains("example.org/articles/0"))
     assert(canons.contains("example.org/articles/3?a=1&b=2"))
-    // spot-check the reusable column on adversarial inputs
+    // spot-check the reusable column on adversarial inputs: host case
+    // folds, path/query case is PRESERVED (case-sensitive resources),
+    // '?' inside a query keeps the leading param (first-? parse)
     import spark.implicits._
     val got = Seq(
       "https://A.com/x/?utm_source=s&z=1&a=2#f",
-      "http://a.com/x?Z=1",
-      "https://a.com/x").toDF("url")
+      "http://a.com/Path?Z=1",
+      "https://a.com/x",
+      "HTTPS://A.COM/x?a=1?b=2").toDF("url")
       .select(CurationOps.canonicalUrl(col("url")).as("c"))
       .collect().map(_.getString(0)).toSeq
-    assert(got == Seq("a.com/x?a=2&z=1", "a.com/x?z=1", "a.com/x"))
+    assert(got == Seq("a.com/x?a=2&z=1", "a.com/Path?Z=1", "a.com/x",
+      "a.com/x?a=1?b=2"), got.toString)
   }
 
   test("llm_perplexity FromStore: the persisted LM round-trips to the " +
@@ -293,8 +297,9 @@ class Round6bOpsSpec extends SparkSpec {
       if (ps.isEmpty) None else {
         val sumLq = ps.map(lq).sum
         val n = ps.size.toLong
-        val avg = BigDecimal(-sumLq.toDouble / (n.toDouble * 1e6))
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // fixed-point: integer micro-nats per bigram, then one exact
+        // division — mirrors the operator, no decimal rounding anywhere
+        val avg = ((-sumLq) / n).toDouble / 1e6
         Some(id -> ((n, avg, -sumLq > 3700000L * n)))
       }
     }.toMap
