@@ -512,6 +512,87 @@ object EventOps extends OpModule {
       .orderBy(col("a"), col("b"))
   }
 
+  /** First-order Markov transition matrix over in-session event
+    * sequences: for every within-session step a→b (consecutive events of
+    * one session in (ts, event_id) order), the transition count and the
+    * conditional probability p(b|a) = n_ab / n_a — the behavioral model
+    * behind next-action prediction and funnel-shape mining, estimated the
+    * way [[cooccurPmi]] estimates association but over ORDERED steps.
+    *
+    * Parity design: p(b|a) is an exact rational, so it is presented in
+    * fixed-point 4dp (`n_ab * 10000 div n_a`) — integer division has no
+    * decimal-rounding tie for Spark and the oracle to disagree on.
+    *
+    * Scale shape: the step stream is a `lead` over the SAME
+    * (user_id)-partitioned (ts, event_id)-ordered window the session
+    * labeling itself uses, so Catalyst reuses one exchange and one sort
+    * for both; the census is a map-side-combined count whose output is
+    * ≤ |types|² rows, and the per-source totals ride a window over that
+    * tiny aggregated frame (the [[TextOps]] bigram-LM convention) —
+    * never over the event stream. No join touches event volume.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = sessionizedEvents(s, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next_sess", lead(col("session_id"), 1).over(w))
+      .filter(col("next_type").isNotNull &&
+        col("next_sess") === col("session_id"))
+    val census = steps
+      .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    census
+      .withColumn("n_a", sum(col("n_ab")).over(Window.partitionBy(col("a"))))
+      .withColumn("p4", expr("n_ab * 10000 div n_a"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"),
+        (col("p4").cast("double") / lit(10000.0)).as("p"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Bounded-window EWMA over each user's metric sequence: a trailing
+    * 8-sample exponentially-weighted average with per-step decay ½ —
+    * the smoothing a monitoring/trend pipeline applies before
+    * thresholding. The 8-sample truncation makes the recurrence a FIXED
+    * linear form (weights 2⁷…2⁰ over the last 8 observations), which is
+    * what lets it run as window lags instead of a sequential scan.
+    *
+    * Parity design ([[resampleLinear]]'s stance): the average of
+    * cent-quantized values under power-of-two integer weights is an
+    * exact rational — numerator and denominator are exact Longs, and the
+    * 4dp presentation is one integer division (`num * 100 div den`), so
+    * no accumulation order or decimal-rounding tie can split engines.
+    * Warm-up rows (fewer than 8 predecessors) renormalize over the
+    * weights actually present, the standard adjusted-EWMA form.
+    *
+    * Scale shape: one user_id-keyed window pass; all 8 lags share the
+    * single exchange + sort (asserted in EventOpsSpec), state per row is
+    * 8 Longs, and the partition key's cardinality grows with the data.
+    */
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val base = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("cents", round(col("value") * 100, 0).cast("long"))
+    val withLags = (1 to 7).foldLeft(base) { (df, k) =>
+      df.withColumn(s"c$k", lag(col("cents"), k).over(w))
+    }
+    val lagCol = (k: Int) => if (k == 0) col("cents") else col(s"c$k")
+    val num = (0 to 7).map(k =>
+      coalesce(lagCol(k) * lit(1L << (7 - k)), lit(0L))).reduce(_ + _)
+    val den = (0 to 7).map(k =>
+      when(lagCol(k).isNotNull, lit(1L << (7 - k))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    withLags
+      .withColumn("num", num)
+      .withColumn("den", den)
+      .withColumn("e4", expr("num * 100 div den"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        (col("e4").cast("double") / lit(10000.0)).as("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** The per-event session labeling [[sessionize]] aggregates — factored
     * so [[cooccurPmi]] reads the same boundaries (30-min gap, (ts,
     * event_id) order) and cannot drift from the sessionize query.
@@ -533,6 +614,8 @@ object EventOps extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_anomaly_zscore" -> anomalyZscore,
     "event_cooccur_pmi" -> cooccurPmi,
+    "event_markov" -> markovTransitions,
+    "ts_ewma" -> ewma,
     "event_ab_lift" -> abLift,
     "ts_resample_linear" -> resampleLinear,
     "event_funnel_windowed" -> funnelWindowed,
@@ -548,6 +631,67 @@ object EventOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "event_markov" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, lag(epoch_us(ts)) OVER w AS prev_us FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         CAST(sum(CASE WHEN prev_us IS NULL
+        |                         OR epoch_us(ts) - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM m),
+        |st AS (
+        |  SELECT session_id, event_type,
+        |         lead(event_type) OVER w2 AS next_type,
+        |         lead(session_id) OVER w2 AS next_sess
+        |  FROM sess WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pairs AS (
+        |  SELECT event_type AS a, next_type AS b, count(*) AS n_ab
+        |  FROM st WHERE next_type IS NOT NULL AND next_sess = session_id
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT a, b, n_ab,
+        |         CAST(sum(n_ab) OVER (PARTITION BY a) AS BIGINT) AS n_a
+        |  FROM pairs)
+        |SELECT a, b, n_ab, n_a,
+        |       CAST(n_ab * 10000 // n_a AS DOUBLE) / 10000.0 AS p
+        |FROM tot ORDER BY a, b""".stripMargin,
+    "ts_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, event_id, ts, value, cents,
+        |         lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+        |         lag(cents, 3) OVER w AS c3, lag(cents, 4) OVER w AS c4,
+        |         lag(cents, 5) OVER w AS c5, lag(cents, 6) OVER w AS c6,
+        |         lag(cents, 7) OVER w AS c7
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         cents * 128 + coalesce(c1, 0) * 64 + coalesce(c2, 0) * 32
+        |           + coalesce(c3, 0) * 16 + coalesce(c4, 0) * 8
+        |           + coalesce(c5, 0) * 4 + coalesce(c6, 0) * 2
+        |           + coalesce(c7, 0) AS num,
+        |         128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+        |             + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+        |             + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+        |             + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+        |             + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+        |             + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+        |             + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS den
+        |  FROM l)
+        |SELECT user_id, event_id, ts, value,
+        |       CAST(num * 100 // den AS DOUBLE) / 10000.0 AS ewma
+        |FROM f ORDER BY user_id, event_id""".stripMargin,
     "event_ab_lift" ->
       """WITH np AS (
         |  SELECT user_id,

@@ -403,7 +403,98 @@ object TextOps extends OpModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-level Shannon entropy per document — the gibberish/
+    * boilerplate detector quality filters run beside the token-level
+    * signals ([[qualityScore]]): natural prose sits near the language's
+    * character entropy (~2.5–4 nats), while repeated padding, encoded
+    * blobs, or single-char spam fall far below/above. H = Σ (c/len) ·
+    * ln(len/c) over the per-doc character histogram.
+    *
+    * Parity design (the [[perplexity]] micro-nat stance): each distinct
+    * (len, cnt) log term is quantized ONCE to integer micro-nats
+    * (`round(1e6 · ln(len/cnt))`), the per-doc total is an EXACT integer
+    * sum no accumulation order can perturb, and the low-entropy verdict
+    * compares integers (`hsum < 2.0 · len · 1e6`), so the flag cannot
+    * flip on a last-ulp. The presented double is one final division.
+    *
+    * Scale shape: the histogram is `explode` + one hash aggregate keyed
+    * (doc_id, ch) — map-side combine bounds the shuffle at
+    * |docs| · |alphabet| rows, NOT corpus characters; the per-doc
+    * reduction reuses the same doc_id clustering. Both keys grow with
+    * the data; nothing is driver-side.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("len"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lq",
+        round(log(col("len").cast("double") / col("cnt").cast("double"))
+          * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"), col("len"))
+      .agg(sum(col("cnt") * col("lq")).as("hsum"),
+        count(lit(1)).as("n_distinct_chars"))
+      .withColumn("entropy_nats",
+        col("hsum").cast("double") / (col("len").cast("double") * lit(1e6)))
+      .withColumn("low_entropy", col("hsum") < lit(2000000L) * col("len"))
+      .select(col("doc_id"), col("len"), col("n_distinct_chars"),
+        col("entropy_nats"), col("low_entropy"))
+      .orderBy(col("doc_id"))
+
+  /** Temperature-based source rebalancing (the mT5/XLM-R recipe,
+    * arXiv:1910.10683 §3.4.2 / arXiv:1911.02116 §3): per-language budgets
+    * ∝ (n_lang/N)^α with α = 0.5, so low-resource languages are
+    * up-weighted relative to their raw share (en falls from ~42% of this
+    * corpus to ~33% of the sample), then the budget is filled in
+    * deterministic md5-key order — [[mixWeighted]]'s rank machinery with
+    * TEMPERATURE-DERIVED quotas instead of given ones.
+    *
+    * Parity design: each language's weight `sqrt(n_lang/N)` is quantized
+    * ONCE to integer micro-units (IEEE sqrt is correctly rounded, so the
+    * double is engine-identical; the quantization is the [[perplexity]]
+    * move), the normalizer is the EXACT integer sum of those quanta —
+    * never a float sum whose order could differ — and each target is one
+    * integer `budget · wq div w_sum`. Selection is rank ≤ target under
+    * the content-keyed md5 order ([[sampleStratified]]'s contract), so
+    * the same docs fall out of every run, engine, and partition layout.
+    *
+    * Scale shape: the language census is one map-side-combined count;
+    * weights/targets ride unpartitioned windows over that ≤|langs|-row
+    * METADATA frame (the dq_histogram precedent — data volume never
+    * meets an unpartitioned window); ranking is [[WindowOps.spreadRank]]
+    * (range-partitioned two-pass), so parallelism is the shuffle width,
+    * not the language count; targets broadcast back onto the ranked docs.
+    */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = 200L
+    val w = Window.partitionBy()
+    val targets = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .withColumn("n_total", sum(col("n_lang")).over(w))
+      .withColumn("wq",
+        round(sqrt(col("n_lang").cast("double") /
+          col("n_total").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("w_sum", sum(col("wq")).over(w))
+      .withColumn("target", expr(s"$budget * wq div w_sum"))
+      .select(col("lang"), col("target"))
+    val ranked = WindowOps.spreadRank(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("samp_key")),
+      "lang", Seq(col("samp_key"), col("doc_id")),
+      s.sessionState.conf.numShufflePartitions)
+    ranked.join(broadcast(targets), "lang")
+      .filter(col("__rn") <= col("target"))
+      .select(col("doc_id"), col("lang"), col("__rn").as("sample_rank"),
+        col("target"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_char_entropy" -> charEntropy,
+    "llm_sample_temperature" -> sampleTemperature,
     "llm_oov_rate" -> oovRate,
     "llm_perplexity" -> perplexity,
     "llm_bigram_lm" -> bigramLm,
@@ -466,6 +557,54 @@ object TextOps extends OpModule {
       s"::UBIGINT % $n AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "llm_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |         unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len, ch, count(*) AS cnt FROM c GROUP BY 1, 2, 3),
+        |q AS (
+        |  SELECT doc_id, len, cnt,
+        |         CAST(round(ln(CAST(len AS DOUBLE) / CAST(cnt AS DOUBLE))
+        |                    * 1000000) AS BIGINT) AS lq
+        |  FROM g),
+        |h AS (
+        |  SELECT doc_id, len,
+        |         CAST(sum(cnt * lq) AS BIGINT) AS hsum,
+        |         count(*) AS n_distinct_chars
+        |  FROM q GROUP BY 1, 2)
+        |SELECT doc_id, len, n_distinct_chars,
+        |       CAST(hsum AS DOUBLE) / (CAST(len AS DOUBLE) * 1000000.0)
+        |         AS entropy_nats,
+        |       hsum < 2000000 * len AS low_entropy
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "llm_sample_temperature" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |t AS (
+        |  SELECT lang, n_lang,
+        |         CAST(round(sqrt(CAST(n_lang AS DOUBLE) /
+        |           CAST((SELECT CAST(sum(n_lang) AS BIGINT) FROM c)
+        |                AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+        |  FROM c),
+        |tg AS (
+        |  SELECT lang,
+        |         CAST(200 * wq //
+        |           (SELECT CAST(sum(wq) AS BIGINT) FROM t) AS BIGINT)
+        |           AS target
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |         CAST(row_number() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS BIGINT) AS sample_rank
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.sample_rank, tg.target
+        |FROM r JOIN tg ON r.lang = tg.lang
+        |WHERE r.sample_rank <= tg.target
+        |ORDER BY r.doc_id""".stripMargin,
     "llm_oov_rate" ->
       """WITH tok AS (
         |  SELECT doc_id, t AS token
