@@ -366,6 +366,67 @@ object DedupOps extends OpModule {
       batch: DataFrame): DataFrame =
     incrementalCore(s, storeArtifacts, snapshotArtifacts(s, batch))
 
+  /** N-gram NOVELTY of a crawl batch against the store — the freshness
+    * signal continued-pretraining curation ranks new data by ("how much
+    * of this batch is text we do not already have?"): per batch doc, the
+    * fraction of its distinct 3-gram shingles unseen in the snapshot.
+    * The dedup family's complement — [[dedupIncremental]] asks "which
+    * docs are COPIES of the store", this asks "how much of each doc is
+    * NEW" — and the mostly-novel verdict is the keep-signal a
+    * recency-weighted mixture feeds on.
+    *
+    * Parity design: novelty = n_novel/n_shingles is an exact rational →
+    * fixed-point 4dp integer division; the verdict compares integers
+    * (`2·n_novel ≥ n_shingles`). Docs too short to shingle (< 3 tokens)
+    * have no novelty row on either engine (the [[snapshotArtifacts]]
+    * null-sketch stance).
+    *
+    * Scale shape: only 16-byte md5 shingle hashes ever shuffle — never
+    * shingle strings, never text. The store set distinct-reduces with
+    * map-side partial aggregation before the join; the batch explodes
+    * once and joins on the hash (cardinality grows with the corpus);
+    * the per-doc reduction is the second and last exchange. Via
+    * [[noveltyFromStore]] the store side reads PERSISTED
+    * [[snapshotArtifacts]] shingles — no store text rescan, the same
+    * contract as [[dedupIncrementalFromStore]].
+    */
+  def noveltyRate(s: SparkSession, dir: String): DataFrame = {
+    val k = Tables.snapshotBoundary(s, dir, "documents")
+    val docs = Tables.documents(s, dir)
+    noveltyCore(
+      shinglesOf(docs.filter(col("doc_id") < k)),
+      shinglesOf(docs.filter(col("doc_id") >= k)))
+  }
+
+  /** [[noveltyRate]] fed from a PERSISTED artifact store — the store
+    * contributes only its `shingles` column; its raw text is never read.
+    */
+  def noveltyFromStore(s: SparkSession, storeArtifacts: DataFrame,
+      batch: DataFrame): DataFrame =
+    noveltyCore(storeArtifacts.select(col("doc_id"), col("shingles")),
+      shinglesOf(batch))
+
+  private def noveltyCore(storeShingles: DataFrame,
+      batchShingles: DataFrame): DataFrame = {
+    val store = storeShingles
+      .select(explode(col("shingles")).as("s"))
+      .select(md5(col("s")).as("hs"))
+      .distinct()
+    batchShingles
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("hs", md5(col("s")))
+      .join(store.withColumn("seen", lit(1)), Seq("hs"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        expr("n_novel * 10000 div n_shingles").cast("double") / lit(10000.0))
+      .withColumn("mostly_novel", col("n_novel") * 2 >= col("n_shingles"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        col("novelty"), col("mostly_novel"))
+      .orderBy(col("doc_id"))
+  }
+
   private def incrementalCore(s: SparkSession, artStore: DataFrame,
       artBatch: DataFrame): DataFrame = {
     // Join shape is store-vs-batch (plus a batch self-join for
@@ -648,6 +709,7 @@ object DedupOps extends OpModule {
     "llm_dup_clusters" -> dupClusters,
     "llm_dup_clusters_incremental" -> dupClustersIncrementalQuery,
     "llm_span_dedup" -> spanDedup,
+    "llm_novelty_rate" -> noveltyRate,
     "llm_cluster_keep_best" -> clusterKeepBest,
     "llm_train_eval_split" -> trainEvalSplit
   )
@@ -800,6 +862,30 @@ object DedupOps extends OpModule {
         |FROM b WHERE doc_id NOT IN (SELECT doc_id FROM ex)
         |         AND doc_id NOT IN (SELECT doc_id FROM nr)
         |ORDER BY doc_id""".stripMargin,
+    "llm_novelty_rate" ->
+      """WITH k AS (SELECT max(doc_id) * 4 // 5 AS kv FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' ||
+        |                toks[i+2] for i in range(1, greatest(len(toks)-1, 1))]))
+        |           AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |h AS (SELECT doc_id, md5(s) AS hs FROM sh),
+        |store AS (
+        |  SELECT DISTINCT hs FROM h, k WHERE doc_id < kv),
+        |hb AS (SELECT h.* FROM h, k WHERE doc_id >= kv),
+        |b AS (
+        |  SELECT hb.doc_id, count(*) AS n_shingles,
+        |         CAST(sum(CASE WHEN store.hs IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_novel
+        |  FROM hb LEFT JOIN store ON hb.hs = store.hs
+        |  GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_novel,
+        |       CAST(n_novel * 10000 // n_shingles AS DOUBLE) / 10000.0
+        |         AS novelty,
+        |       n_novel * 2 >= n_shingles AS mostly_novel
+        |FROM b ORDER BY doc_id""".stripMargin,
     // Same 16-token windows, same md5 span keys, recomputed wholesale:
     // census by distinct-doc count, per-position shared verdicts, per-doc
     // rollup with zero-filled short docs.

@@ -225,17 +225,82 @@ object MultimodalOps extends OpModule {
     * buckets (phash within k bits) would ride the [[SimOps.annSrp]]
     * banding on these same bits; exact-bucket is the verdict form.
     */
-  def mmDedupPhash(s: SparkSession, dir: String): DataFrame = {
+  def mmDedupPhash(s: SparkSession, dir: String): DataFrame =
+    phashed(s, dir)
+      .groupBy(col("phash"), col("width"), col("height"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc"))
+      .orderBy(col("phash"), col("width"), col("height"))
+
+  /** The decoded (doc_id, phash, width, height) frame [[mmDedupPhash]]
+    * censuses and [[mmPhashHamming]] indexes — one definition of the
+    * decode + hash pass (per-partition codec init, [[phashOf]] bits).
+    */
+  private def phashed(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashed = mediaTable(s, dir).as[MediaRecord].mapPartitions { it =>
+    mediaTable(s, dir).as[MediaRecord].mapPartitions { it =>
       // real pipeline: val codec = Codec.open() — once per partition
       it.map { r =>
         (r.doc_id, phashOf(decodeStub(r.media)), r.width, r.height)
       }
     }.toDF("doc_id", "phash", "width", "height")
-    hashed.groupBy(col("phash"), col("width"), col("height"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc"))
-      .orderBy(col("phash"), col("width"), col("height"))
+  }
+
+  /** Hamming-radius perceptual-hash search via MULTI-INDEX HASHING
+    * (Norouzi et al., "Fast Search in Hamming Space with Multi-Index
+    * Hashing", CVPR 2012): the 16-bit phash splits into 4 bands of 4
+    * bits, and by pigeonhole any pair within Hamming distance ≤ 3 agrees
+    * EXACTLY on at least one band — so candidates come from 4 band-bucket
+    * equi-joins (conditioned on geometry, [[mmDedupPhash]]'s stance) and
+    * the exact `bit_count(xor)` test verifies them. This is the
+    * NEAR-match extension exact-bucket dedup cannot answer, in its
+    * serving shape: a small probe set (every 25th doc — in production,
+    * the new crawl batch) against the banded index, the same
+    * query-vs-store asymmetry as [[SimOps]]' `annSrpFromStore`.
+    *
+    * Scale shape: the index side is 4 narrow rows per corpus doc; each
+    * probe meets only its band-bucket mates (candidate volume ADAPTS to
+    * similarity — the [[SimOps]] SRP stance; this same-distribution text
+    * fixture is the documented worst case, where a geometry bucket is
+    * near-uniform in phash), duplicates across bands collapse in one
+    * distinct keyed on (probe, nbr), and the winner is picked by an
+    * ENCODED integer min (`ham · 2³² + nbr_id` under a bounded-heap-less
+    * single min aggregate) — no window over candidates, no pair ever
+    * leaves its bucket's partition unaggregated.
+    */
+  def mmPhashHamming(s: SparkSession, dir: String): DataFrame = {
+    val hashed = phashed(s, dir)
+    val idx = hashed.select(col("doc_id").as("nbr_id"),
+      col("phash").as("nbr_phash"), col("width"), col("height"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (phash >> (b * 4)) & 15)"))
+        .as(Seq("band", "band_val")))
+    val probes = hashed.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("probe_id"), col("phash").as("p_phash"),
+        col("width"), col("height"),
+        posexplode(expr(
+          "transform(sequence(0, 3), b -> (phash >> (b * 4)) & 15)"))
+          .as(Seq("band", "band_val")))
+    val cand = probes
+      .join(idx, Seq("band", "band_val", "width", "height"))
+      .filter(col("probe_id") =!= col("nbr_id"))
+      .select(col("probe_id"), col("p_phash"), col("nbr_id"),
+        col("nbr_phash"))
+      .distinct()
+      .withColumn("ham", expr("bit_count(p_phash ^ nbr_phash)"))
+      .filter(col("ham") <= 3)
+    val best = cand
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_near"),
+        min(col("ham").cast("long") * lit(4294967296L) + col("nbr_id"))
+          .as("best_key"))
+      .withColumn("best_nbr", expr("best_key % 4294967296"))
+      .withColumn("best_ham", expr("best_key div 4294967296"))
+    hashed.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("probe_id"))
+      .join(best, Seq("probe_id"), "left")
+      .select(col("probe_id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("best_nbr"), col("best_ham"))
+      .orderBy(col("probe_id"))
   }
 
   /** 16-bit perceptual hash over a 16-dim feature vector: bit i set iff
@@ -256,7 +321,8 @@ object MultimodalOps extends OpModule {
     "mm_meta" -> mmMeta,
     "mm_features" -> mmFeatures,
     "mm_frame_sample" -> mmFrameSample,
-    "mm_dedup_phash" -> mmDedupPhash
+    "mm_dedup_phash" -> mmDedupPhash,
+    "mm_phash_hamming" -> mmPhashHamming
   )
 
   val oracle: Map[String, String] = Map(
@@ -308,6 +374,49 @@ object MultimodalOps extends OpModule {
         |SELECT phash, width, height, count(*) AS n_docs,
         |       min(doc_id) AS keeper_doc
         |FROM h GROUP BY 1, 2, 3 ORDER BY phash, width, height""".stripMargin,
+    // the same per-bit phash replay as mm_dedup_phash, then the
+    // multi-index search re-derived from first principles: DuckDB skips
+    // the banding entirely and scans all same-geometry pairs with the
+    // exact xor/bit_count test — an INDEPENDENT route that certifies the
+    // pigeonhole candidate generation lost nothing
+    "mm_phash_hamming" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         [ascii(text[i]) // 16
+        |          for i in range(1, length(text) + 1)] AS nib,
+        |         greatest(octet_length(encode(text)), 1) AS n
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |         CAST(list_sum(
+        |           [CASE WHEN CAST(len(list_filter(nib, x -> x = k))
+        |                           AS FLOAT) / CAST(n AS FLOAT)
+        |                      > CAST(0.0625 AS FLOAT)
+        |                 THEN 2 ** k ELSE 0 END
+        |            for k in range(0, 16)]) AS BIGINT) AS phash,
+        |         CAST((doc_id % 4) * 160 + 320 AS INT) AS width,
+        |         CAST((doc_id % 3) * 120 + 240 AS INT) AS height
+        |  FROM b),
+        |cand AS (
+        |  SELECT p.doc_id AS probe_id,
+        |         x.doc_id AS nbr_id,
+        |         bit_count(xor(p.phash, x.phash)) AS ham
+        |  FROM h p JOIN h x
+        |    ON p.width = x.width AND p.height = x.height
+        |   AND p.doc_id != x.doc_id
+        |  WHERE p.doc_id % 25 = 0
+        |    AND bit_count(xor(p.phash, x.phash)) <= 3),
+        |best AS (
+        |  SELECT probe_id, count(*) AS n_near,
+        |         min(CAST(ham AS BIGINT) * 4294967296 + nbr_id) AS bk
+        |  FROM cand GROUP BY 1)
+        |SELECT h.doc_id AS probe_id,
+        |       coalesce(best.n_near, 0) AS n_near,
+        |       bk % 4294967296 AS best_nbr,
+        |       bk // 4294967296 AS best_ham
+        |FROM h LEFT JOIN best ON h.doc_id = best.probe_id
+        |WHERE h.doc_id % 25 = 0
+        |ORDER BY probe_id""".stripMargin,
     // the stub decoder is a 16-bin high-nibble byte histogram normalized
     // in FLOAT32; the text is pure ASCII (byte == codepoint), so the same
     // float division is reproducible in SQL — CAST AS FLOAT keeps the
