@@ -427,7 +427,50 @@ object AggOps extends OpModule {
       .orderBy(desc("n"), col("user_id"))
   }
 
+  /** Count-min frequency sketch (Cormode & Muthukrishnan 2005) with
+    * PORTABLE md5-derived hash rows — the third leg of the mergeable-
+    * summary family next to [[kmvDistinct]] (cardinality) and
+    * [[heavyHitters]] (top-k): d = 4 rows × w = 32 counters answer point
+    * frequency queries over an unbounded key space in fixed memory, and
+    * two sketches MERGE by cell-wise addition (the property that lets
+    * every executor sketch its partition and the driver never see keys).
+    * Like the KMV sketch, the hash rows derive from md5, so DuckDB
+    * recomputes every counter and every estimate value-for-value — the
+    * no-undercount guarantee (est ≥ true count, by construction) is a
+    * VALUE column both engines must agree on, not a unit assertion.
+    *
+    * Scale shape: the counter build is one map-side-combined aggregate
+    * over the keys × 4 hash rows (the shuffle carries ≤ d·w = 128 groups
+    * per partition, regardless of volume); the 128-row counter table
+    * broadcasts onto the probe set; the per-probe min folds 4 rows. No
+    * driver-side state, no data-volume join.
+    */
+  def countminPortable(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val wBuckets = 32
+    def bucketOf(r: String, key: String) = expr(
+      s"CAST(conv(substring(md5(concat(CAST($r AS STRING), ':', " +
+        s"CAST($key AS STRING))), 1, 8), 16, 10) AS BIGINT) % $wBuckets")
+    val keys = Tables.events(s, dir).select(col("user_id"))
+    val counters = keys
+      .select(col("user_id"), explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+      .withColumn("bucket", bucketOf("r", "user_id"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val probes = keys.filter(col("user_id") % 5 === 0)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_true"))
+      .select(col("user_id"), col("n_true"),
+        explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+      .withColumn("bucket", bucketOf("r", "user_id"))
+    probes.join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("user_id"), col("n_true"))
+      .agg(min(col("n")).as("cm_est"))
+      .withColumn("no_undercount", col("cm_est") >= col("n_true"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_countmin_portable" -> countminPortable,
     "agg_weighted_percentile" -> weightedPercentile,
     "agg_heavy_hitters" -> heavyHitters,
     "agg_mode" -> modeAgg,
@@ -447,6 +490,31 @@ object AggOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_countmin_portable" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |x AS (SELECT user_id, r FROM ev CROSS JOIN range(4) t(r)),
+        |c AS (
+        |  SELECT r,
+        |         CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |              CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT % 32
+        |              AS BIGINT) AS bucket,
+        |         count(*) AS n
+        |  FROM x GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, count(*) AS n_true FROM ev
+        |  WHERE user_id % 5 = 0 GROUP BY 1),
+        |px AS (
+        |  SELECT p.user_id, p.n_true, t.r,
+        |         CAST(('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' ||
+        |              CAST(p.user_id AS VARCHAR)), 1, 8))::UBIGINT % 32
+        |              AS BIGINT) AS bucket
+        |  FROM p CROSS JOIN range(4) t(r)),
+        |e AS (
+        |  SELECT px.user_id, px.n_true, CAST(min(c.n) AS BIGINT) AS cm_est
+        |  FROM px JOIN c ON c.r = px.r AND c.bucket = px.bucket
+        |  GROUP BY 1, 2)
+        |SELECT user_id, n_true, cm_est, cm_est >= n_true AS no_undercount
+        |FROM e ORDER BY user_id""".stripMargin,
     "agg_weighted_percentile" ->
       """WITH g AS (
         |  SELECT l_returnflag, l_extendedprice,
