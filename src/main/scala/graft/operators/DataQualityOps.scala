@@ -246,7 +246,45 @@ object DataQualityOps extends OpModule {
       .orderBy(col("event_type"))
   }
 
+  /** Robust outlier census — the median/MAD twin of [[outliers]]' 3σ
+    * gate: mean/stddev are themselves dragged by the outliers they hunt,
+    * while the median absolute deviation stays put (breakdown point ½),
+    * so heavy-tailed metric columns (exactly where anomaly gates matter)
+    * get a stable threshold. Flag: |x − median| > 3 · 1.4826 · MAD (the
+    * Gaussian-consistency constant).
+    *
+    * Parity design: median and MAD are `percentile` ≡ DuckDB
+    * `quantile_cont` (the [[AggOps]] agg_percentile-proven equivalence);
+    * the deviation and threshold are the same fixed IEEE op sequence on
+    * both engines, so every per-row verdict lands identically.
+    *
+    * Scale shape: two sort-based aggregates to |types|-row frames (the
+    * second pass needs the first's median — MAD is inherently two-pass),
+    * each broadcast back over the stream; the final census is one
+    * map-side-combined aggregate. Three scans of one column, no
+    * data-volume shuffle, no window over the stream.
+    */
+  def anomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("med"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(abs(col("value") - col("med")) >
+          lit(3.0) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        max(abs(col("value") - col("med"))).as("max_abs_dev"))
+      .select(col("event_type"), col("n"), col("med"), col("mad"),
+        col("n_outliers"), col("max_abs_dev"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_anomaly_mad" -> anomalyMad,
     "dq_freshness" -> freshness,
     "dq_profile" -> profile,
     "dq_constraints" -> constraints,
@@ -257,6 +295,22 @@ object DataQualityOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_anomaly_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, m.med,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN med m ON e.event_type = m.event_type
+        |  GROUP BY 1, 2)
+        |SELECT e.event_type, count(*) AS n, d.med, d.mad,
+        |       CAST(sum(CASE WHEN abs(e.value - d.med)
+        |                          > 3.0 * 1.4826 * d.mad
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       max(abs(e.value - d.med)) AS max_abs_dev
+        |FROM events e JOIN mad d ON e.event_type = d.event_type
+        |GROUP BY 1, 3, 4 ORDER BY e.event_type""".stripMargin,
     "dq_freshness" ->
       """WITH e AS (
         |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)

@@ -512,6 +512,44 @@ object EventOps extends OpModule {
       .orderBy(col("a"), col("b"))
   }
 
+  /** RFM customer segmentation — the marketing-analytics staple over the
+    * purchase log: per user, Recency (days since last purchase against a
+    * CONFIG reference instant — the [[graft.operators.DataQualityOps]]
+    * freshness stance, no data-derived "now"), Frequency (purchase
+    * count), Monetary (exact DECIMAL-free cent sum), and a segment from
+    * FIXED config thresholds — never data-derived quantiles, so the
+    * segmentation is comparable across runs and engines by construction
+    * (the dq_histogram bucketing argument).
+    *
+    * Parity design: recency is exact integer µs→day division, monetary
+    * sums cent-quantized Longs (order-independent), and every segment
+    * predicate compares integers.
+    *
+    * Scale shape: one map-side-combined user-keyed aggregate over the
+    * purchase subset (filter pushed to the scan), then narrow CASE
+    * projections. Nothing else.
+    */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val refUs = 1706659200L * 1000000L // 2024-01-31 00:00:00 UTC, config
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+      .withColumn("recency_days",
+        expr(s"($refUs - last_us) div 86400000000"))
+      .withColumn("monetary", col("cents").cast("double") / lit(100.0))
+      .withColumn("segment",
+        when(col("recency_days") <= 3 && col("frequency") >= 14, "champion")
+          .when(col("recency_days") <= 3, "recent")
+          .when(col("frequency") >= 14, "loyal")
+          .otherwise("dormant"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("segment"))
+      .orderBy(col("user_id"))
+  }
+
   /** First-order Markov transition matrix over in-session event
     * sequences: for every within-session step a→b (consecutive events of
     * one session in (ts, event_id) order), the transition count and the
@@ -615,6 +653,7 @@ object EventOps extends OpModule {
     "event_anomaly_zscore" -> anomalyZscore,
     "event_cooccur_pmi" -> cooccurPmi,
     "event_markov" -> markovTransitions,
+    "event_rfm" -> rfm,
     "ts_ewma" -> ewma,
     "event_ab_lift" -> abLift,
     "ts_resample_linear" -> resampleLinear,
@@ -631,6 +670,28 @@ object EventOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "event_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id,
+        |         max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+        |         count(*) AS frequency,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (
+        |  SELECT user_id,
+        |         (1706659200000000 - last_us) // 86400000000
+        |           AS recency_days,
+        |         frequency,
+        |         CAST(cents AS DOUBLE) / 100.0 AS monetary
+        |  FROM p)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |       CASE WHEN recency_days <= 3 AND frequency >= 14
+        |              THEN 'champion'
+        |            WHEN recency_days <= 3 THEN 'recent'
+        |            WHEN frequency >= 14 THEN 'loyal'
+        |            ELSE 'dormant' END AS segment
+        |FROM m ORDER BY user_id""".stripMargin,
     "event_markov" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -72,6 +72,27 @@ object SortSetOps extends OpModule {
         .select(col("s_nationkey").as("nkey")))
       .orderBy(col("nkey"))
 
+  /** BAG-semantics difference (`EXCEPT ALL`): each nation key keeps its
+    * customer multiplicity MINUS its supplier multiplicity — the form
+    * reconciliation queries need ("how many more entities on side A per
+    * key?"), which the distinct [[exceptKeys]] collapses to existence.
+    * Spark plans both ALL variants as hash joins over (row, multiplicity)
+    * counts — map-side partial aggregation bounds the shuffle at the
+    * distinct-row count, never the bag size.
+    */
+  def exceptAllKeys(s: SparkSession, dir: String): DataFrame =
+    custSide(s, dir).select(col("nkey"))
+      .exceptAll(suppSide(s, dir).select(col("nkey")))
+      .orderBy(col("nkey"))
+
+  /** BAG-semantics intersection (`INTERSECT ALL`): each nation key
+    * survives min(customer multiplicity, supplier multiplicity) times.
+    */
+  def intersectAllKeys(s: SparkSession, dir: String): DataFrame =
+    custSide(s, dir).select(col("nkey"))
+      .intersectAll(suppSide(s, dir).select(col("nkey")))
+      .orderBy(col("nkey"))
+
   /** Exact row dedup on a projection (deterministic, unlike
     * dropDuplicates-keep-first which is order-dependent).
     */
@@ -88,6 +109,8 @@ object SortSetOps extends OpModule {
     "set_union_distinct" -> unionDistinct,
     "set_intersect" -> intersectKeys,
     "set_except" -> exceptKeys,
+    "set_except_all" -> exceptAllKeys,
+    "set_intersect_all" -> intersectAllKeys,
     "dedup_distinct" -> dedupDistinct
   )
 
@@ -124,6 +147,16 @@ object SortSetOps extends OpModule {
         |ORDER BY nkey""".stripMargin,
     "dedup_distinct" ->
       """SELECT DISTINCT event_type, user_id FROM events
-        |ORDER BY event_type, user_id""".stripMargin
+        |ORDER BY event_type, user_id""".stripMargin,
+    "set_except_all" ->
+      """SELECT c_nationkey AS nkey FROM customer
+        |EXCEPT ALL
+        |SELECT s_nationkey AS nkey FROM supplier
+        |ORDER BY nkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT c_nationkey AS nkey FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey AS nkey FROM supplier
+        |ORDER BY nkey""".stripMargin
   )
 }

@@ -148,6 +148,60 @@ class Wave7OpsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("set_except_all / set_intersect_all: bag multiplicity laws hold") {
+    import graft.operators.SortSetOps
+    def keyOf(r: org.apache.spark.sql.Row) =
+      r.getAs[Number](0).longValue()
+    val cust = Tables.customer(spark, sf0001)
+      .groupBy(col("c_nationkey")).count().collect()
+      .map(r => keyOf(r) -> r.getLong(1)).toMap
+    val supp = Tables.supplier(spark, sf0001)
+      .groupBy(col("s_nationkey")).count().collect()
+      .map(r => keyOf(r) -> r.getLong(1)).toMap
+    val exceptCounts = SortSetOps.exceptAllKeys(spark, sf0001).collect()
+      .groupBy(keyOf).map { case (k, rs) => k -> rs.length.toLong }
+    val intersectCounts = SortSetOps.intersectAllKeys(spark, sf0001)
+      .collect()
+      .groupBy(keyOf).map { case (k, rs) => k -> rs.length.toLong }
+    (cust.keySet ++ supp.keySet).foreach { k =>
+      val c = cust.getOrElse(k, 0L)
+      val s = supp.getOrElse(k, 0L)
+      assert(exceptCounts.getOrElse(k, 0L) == math.max(0L, c - s), s"k=$k")
+      assert(intersectCounts.getOrElse(k, 0L) == math.min(c, s), s"k=$k")
+    }
+  }
+
+  test("event_rfm: segment agrees with its own fields; metrics sane") {
+    val rows = EventOps.rfm(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rec = r.getAs[Long]("recency_days")
+      val f = r.getAs[Long]("frequency")
+      val seg = r.getAs[String]("segment")
+      assert(rec >= 0L && f >= 1L && r.getAs[Double]("monetary") > 0.0)
+      val want =
+        if (rec <= 3 && f >= 14) "champion"
+        else if (rec <= 3) "recent"
+        else if (f >= 14) "loyal"
+        else "dormant"
+      assert(seg == want)
+    }
+  }
+
+  test("dq_anomaly_mad: robust-stat invariants") {
+    val rows = graft.operators.DataQualityOps.anomalyMad(spark, sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mad = r.getAs[Double]("mad")
+      assert(mad >= 0.0)
+      assert(r.getAs[Double]("max_abs_dev") >= mad)
+      // the census counts a strict minority as outliers by construction
+      // of the MAD threshold (breakdown point 1/2)
+      assert(r.getAs[Long]("n_outliers") * 2 < r.getAs[Long]("n"))
+    }
+  }
+
   test("llm_novelty_rate from a persisted artifact store == from text") {
     val dir = java.nio.file.Files.createTempDirectory("graft_nov").toString
     val docs = Tables.documents(spark, sf0001)
