@@ -10,7 +10,7 @@ object SparkEntry {
     IngestOps, RelationalOps, JoinOps, AggOps, WindowOps, SortSetOps,
     ScalarFnOps, StreamTwinOps, UdfOps, TextOps, DedupOps, SimOps,
     MultimodalOps, ComposedOps, SubqueryOps, ReshapeOps, DataQualityOps,
-    PipelineOps, CurationOps, EventOps)
+    PipelineOps, CurationOps, EventOps, GraphOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

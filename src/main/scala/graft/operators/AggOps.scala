@@ -469,7 +469,125 @@ object AggOps extends OpModule {
       .orderBy(col("user_id"))
   }
 
+  /** HyperLogLog cardinality sketch (Flajolet et al. 2007) with PORTABLE
+    * md5-derived hashes — the fourth leg of the mergeable-summary family
+    * (KMV = cardinality by order statistics, count-min = frequency,
+    * Misra–Gries = top-k): m = 32 registers per group each hold the max
+    * leading-zero rank seen in their hash slice, and two sketches MERGE by
+    * register-wise max. Unlike `agg_approx_sketch` (Spark's built-in HLL,
+    * engine-specific bytes → no oracle), every register and the estimate
+    * itself replay value-for-value in DuckDB: the 32-bit hash is the first
+    * 8 md5 hex digits, rho = 28 − bitlength(h DIV 32) comes from the
+    * length of the minimal binary string (`bin` in both engines — exact,
+    * no float log2 at power-of-two boundaries), the harmonic denominator
+    * is the exact integer S = Σ 2^(32−M_j), and the raw estimate is one
+    * integer division `α·m²·2³² DIV S` with α quantized once to 0.697·10⁶
+    * (no small-range correction — its ln() would float; the raw estimate
+    * is the invariant both engines must agree on).
+    *
+    * Scale shape: one map-side-combined aggregate over (group, bucket) —
+    * the shuffle carries ≤ |groups|·32 register rows per partition
+    * regardless of input volume; the 32-row-per-group grid join runs on
+    * the aggregated frame. The exact count (the accuracy column) is the
+    * only |keys|-bounded shuffle, and it's the thing the sketch replaces
+    * at 100 TB.
+    */
+  def hllPortable(s: SparkSession, dir: String): DataFrame = {
+    val m = 32 // registers; p = 5 bucket bits, 27-bit rank slice
+    // α·m²·2³² in micro-units (α = 0.697 for m = 32, quantized to 697000)
+    val alphaM2TwoP32 = 697000L * (m.toLong * m) * 4294967296L
+    val hashed = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), expr(
+        "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 8), 16, 10)" +
+          " AS BIGINT)").as("hv"))
+      .select(col("l_returnflag"), (col("hv") % m).as("bucket"),
+        expr(s"hv DIV $m").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0, lit(28))
+          .otherwise(lit(28) - length(expr("bin(w)"))))
+    val regs = hashed.groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    val grid = hashed.select(col("l_returnflag")).distinct()
+      .select(col("l_returnflag"),
+        explode(expr(s"sequence(0, ${m - 1})")).as("bucket"))
+    val agg = grid.join(regs, Seq("l_returnflag", "bucket"), "left")
+      .withColumn("m0", coalesce(col("mj"), lit(0)))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - m0 AS INT))"))
+        .as("harmonic_s"),
+        sum(when(col("m0") === 0, 1L).otherwise(0L)).as("zero_registers"))
+    val exact = Tables.lineitem(s, dir).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"))
+    exact.join(agg, "l_returnflag")
+      .select(col("l_returnflag"), col("n_exact"), col("zero_registers"),
+        col("harmonic_s"),
+        expr(s"$alphaM2TwoP32 DIV harmonic_s DIV 1000000").as("hll_est"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Bloom-filter membership sketch with PORTABLE md5-derived bit
+    * positions — the runtime-filter primitive (a semi-join that costs 32
+    * bytes instead of a shuffle): m = 256 bits as 8×32-bit words, k = 4
+    * probes per key. The words build by `bit_or` aggregation (mergeable —
+    * executors OR their partials, the classic broadcast runtime filter),
+    * masks stay < 2³² so no sign-bit divergence between engines. Probing
+    * every customer against the filter built from 'F'-status order keys
+    * yields three VALUE columns DuckDB must reproduce bit-for-bit: the
+    * hit verdict, the false-positive audit (hit ∧ ¬present — the rate a
+    * filter designer sizes m·k against), and the no-false-negative
+    * guarantee (hit ∨ ¬present — Bloom's defining invariant, an oracle
+    * column rather than a unit assertion).
+    *
+    * Scale shape: build = one map-side-combined aggregate collapsing to 8
+    * words (broadcast); probe = 4 narrow rows per probe key folded by one
+    * aggregate; the only |keys|-bounded shuffle is the exact-membership
+    * audit column — which is the join the filter exists to avoid at
+    * 100 TB.
+    */
+  def bloomPortable(s: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val mBits = 256
+    def posOf(r: String, key: String) = expr(
+      s"CAST(conv(substring(md5(concat(CAST($r AS STRING), ':', " +
+        s"CAST($key AS STRING))), 1, 8), 16, 10) AS BIGINT) % $mBits")
+    val build = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+    val words = build
+      .select(col("o_custkey"), explode(expr(s"sequence(0, ${k - 1})")).as("i"))
+      .withColumn("pos", posOf("i", "o_custkey"))
+      .select(expr("pos DIV 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val truly = build.withColumn("truly_present", lit(true))
+      .withColumnRenamed("o_custkey", "b_custkey")
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), explode(expr(s"sequence(0, ${k - 1})")).as("i"))
+      .withColumn("pos", posOf("i", "c_custkey"))
+      .withColumn("word", expr("pos DIV 32"))
+      .withColumn("mask",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+      .join(broadcast(words), Seq("word"), "left")
+      .withColumn("set",
+        when(expr("bits & mask") =!= 0, 1L).otherwise(0L))
+      .groupBy(col("c_custkey"))
+      .agg(sum(col("set")).as("k_hits"))
+      // deliberately NOT broadcast-hinted: the exact-membership audit is
+      // |customers|-bounded — the join the filter replaces in production;
+      // AQE picks broadcast at test SFs on its own
+      .join(truly, col("c_custkey") === col("b_custkey"), "left")
+      .select(col("c_custkey"), (col("k_hits") === k).as("bloom_hit"),
+        coalesce(col("truly_present"), lit(false)).as("truly_present"))
+      .withColumn("is_false_positive",
+        col("bloom_hit") && !col("truly_present"))
+      .withColumn("no_false_negative",
+        col("bloom_hit") || !col("truly_present"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_hll_portable" -> hllPortable,
+    "agg_bloom_portable" -> bloomPortable,
     "agg_countmin_portable" -> countminPortable,
     "agg_weighted_percentile" -> weightedPercentile,
     "agg_heavy_hitters" -> heavyHitters,
@@ -490,6 +608,75 @@ object AggOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_hll_portable" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |         CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8))
+        |              ::UBIGINT AS BIGINT) AS hv
+        |  FROM lineitem),
+        |b AS (SELECT l_returnflag, hv % 32 AS bucket, hv // 32 AS w FROM h),
+        |r AS (
+        |  SELECT l_returnflag, bucket,
+        |         max(CASE WHEN w = 0 THEN 28
+        |                  ELSE 28 - length(bin(w)) END) AS mj
+        |  FROM b GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT l_returnflag, i AS bucket
+        |  FROM (SELECT DISTINCT l_returnflag FROM h) CROSS JOIN range(32) t(i)),
+        |regs AS (
+        |  SELECT grid.l_returnflag, grid.bucket, COALESCE(r.mj, 0) AS m0
+        |  FROM grid LEFT JOIN r ON r.l_returnflag = grid.l_returnflag
+        |                       AND r.bucket = grid.bucket),
+        |agg AS (
+        |  SELECT l_returnflag,
+        |         CAST(sum(1::BIGINT << CAST(32 - m0 AS INT)) AS BIGINT)
+        |           AS harmonic_s,
+        |         CAST(sum(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS zero_registers
+        |  FROM regs GROUP BY 1),
+        |ex AS (
+        |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT)
+        |    AS n_exact
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ex.l_returnflag, ex.n_exact, agg.zero_registers,
+        |       agg.harmonic_s,
+        |       CAST(697000::BIGINT * 1024 * 4294967296
+        |            // harmonic_s // 1000000 AS BIGINT) AS hll_est
+        |FROM ex JOIN agg USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_bloom_portable" ->
+      """WITH build AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |bw AS (
+        |  SELECT o_custkey, i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+        |              CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT % 256
+        |              AS BIGINT) AS pos
+        |  FROM build CROSS JOIN range(4) t(i)),
+        |words AS (
+        |  SELECT pos // 32 AS word,
+        |         CAST(bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS BIGINT)
+        |           AS bits
+        |  FROM bw GROUP BY 1),
+        |pw AS (
+        |  SELECT c_custkey, i,
+        |         CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+        |              CAST(c_custkey AS VARCHAR)), 1, 8))::UBIGINT % 256
+        |              AS BIGINT) AS pos
+        |  FROM customer CROSS JOIN range(4) t(i)),
+        |hits AS (
+        |  SELECT pw.c_custkey,
+        |         CAST(sum(CASE WHEN (words.bits & (1::BIGINT <<
+        |              CAST(pw.pos % 32 AS INT))) <> 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS k_hits
+        |  FROM pw LEFT JOIN words ON words.word = pw.pos // 32
+        |  GROUP BY 1)
+        |SELECT h.c_custkey, h.k_hits = 4 AS bloom_hit,
+        |       b.o_custkey IS NOT NULL AS truly_present,
+        |       h.k_hits = 4 AND b.o_custkey IS NULL AS is_false_positive,
+        |       h.k_hits = 4 OR b.o_custkey IS NULL AS no_false_negative
+        |FROM hits h LEFT JOIN build b ON b.o_custkey = h.c_custkey
+        |ORDER BY h.c_custkey""".stripMargin,
     "agg_countmin_portable" ->
       """WITH ev AS (SELECT user_id FROM events),
         |x AS (SELECT user_id, r FROM ev CROSS JOIN range(4) t(r)),
