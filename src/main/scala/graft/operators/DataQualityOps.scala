@@ -283,7 +283,42 @@ object DataQualityOps extends OpModule {
       .orderBy(col("event_type"))
   }
 
+  /** Benford first-significant-digit audit on the money column — the
+    * classic fabricated-data / unit-mixup detector: natural multi-scale
+    * amounts follow P(d) = log₁₀(1 + 1/d), so a digit census far off that
+    * curve flags synthetic or corrupted feeds.
+    *
+    * Parity design: the digit comes from the STRING head of exact integer
+    * cents (no float log10 — `round(x·100)` is never a .5 tie because the
+    * source is 2-decimal money), the observed share is fixed-point
+    * `n·10⁶ DIV total`, and the expected shares are integer micro
+    * CONSTANTS quantized once from log₁₀(1+1/d) — both engines compare
+    * integers end to end. The census is ≤ 9 rows, so the
+    * empty-partition window computing `total` is a 9-row single task
+    * (the dq_profile-sanctioned aggregated-frame pattern), never a
+    * data-volume straggler.
+    */
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val expMicro = typedlit(Map(1 -> 301030L, 2 -> 176091L, 3 -> 124939L,
+      4 -> 96910L, 5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L,
+      9 -> 45757L))
+    Tables.lineitem(s, dir)
+      .select(substring(
+        expr("CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING)"),
+        1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("obs_micro", expr("n * 1000000 DIV total"))
+      .withColumn("exp_micro", element_at(expMicro, col("digit")))
+      .withColumn("dev_micro", abs(col("obs_micro") - col("exp_micro")))
+      .select(col("digit"), col("n"), col("obs_micro"), col("exp_micro"),
+        col("dev_micro"))
+      .orderBy(col("digit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford" -> benford,
     "dq_anomaly_mad" -> anomalyMad,
     "dq_freshness" -> freshness,
     "dq_profile" -> profile,
@@ -295,6 +330,23 @@ object DataQualityOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+        |         AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM lineitem),
+        |c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT c.*, CAST(sum(n) OVER () AS BIGINT) AS total FROM c),
+        |e AS (
+        |  SELECT t.*, n * 1000000 // total AS obs_micro,
+        |         CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+        |              WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |              WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+        |              WHEN 9 THEN 45757 END AS BIGINT) AS exp_micro
+        |  FROM t)
+        |SELECT digit, n, obs_micro, exp_micro,
+        |       abs(obs_micro - exp_micro) AS dev_micro
+        |FROM e ORDER BY digit""".stripMargin,
     "dq_anomaly_mad" ->
       """WITH med AS (
         |  SELECT event_type, quantile_cont(value, 0.5) AS med

@@ -253,7 +253,31 @@ object JoinOps extends OpModule {
       .orderBy(col("window_id"))
   }
 
+  /** The salted skew join surfaced as a query: lineitem⋈part through
+    * [[SkewOps.saltedJoin]] (8 salts — probe rows spread by deterministic
+    * hash, build side replicated 8×), aggregated per brand. The oracle is
+    * the PLAIN join — result equality IS the salting correctness claim
+    * (every probe row meets exactly one replica of each matching build
+    * row), checked value-for-value rather than only in SkewOpsSpec.
+    * Quantities sum as exact integer cents (order-free).
+    *
+    * Scale shape: salting trades 8× build-side replication for the hot
+    * key's rows spreading over 8 tasks — the explicit mitigation when AQE
+    * skew-split can't apply (broadcast-replicable build, known-skewed
+    * probe).
+    */
+  def skewSalted(s: SparkSession, dir: String): DataFrame =
+    SkewOps.saltedJoin(
+      Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity")),
+      Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+      "l_partkey", "p_partkey", 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_cents"))
+      .orderBy(col("p_brand"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> skewSalted,
     "join_interval_bin" -> intervalBin,
     "join_inner_equi" -> innerEqui,
     "join_broadcast" -> broadcastDims,
@@ -269,6 +293,12 @@ object JoinOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_skew_salted" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |         AS qty_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
     "join_interval_bin" ->
       """WITH w AS (
         |  SELECT CAST(k AS BIGINT) AS window_id,

@@ -317,7 +317,40 @@ object MultimodalOps extends OpModule {
     h
   }
 
+  /** Size-capped training-shard assignment (the WebDataset/tar-shard
+    * layout step): within each source, media records pack into contiguous
+    * shards by running byte total — a record starts a new shard when the
+    * bytes before it cross a cap multiple (offset binning: a shard may
+    * overrun the cap by at most one record, the standard tar-writer
+    * behavior). Emits the per-shard manifest (count, bytes, id range) a
+    * downstream loader consumes.
+    *
+    * Scale shape: the running byte total rides [[WindowOps.spreadRank]]'s
+    * weighted two-pass — the per-source prefix sums are spread across the
+    * session's shuffle width regardless of how few sources exist (a
+    * plain `Window.partitionBy(source)` would serialize each source
+    * through one task — the straggler the r4 verdict flagged on
+    * low-cardinality window keys). The manifest aggregate collapses to
+    * |shards| rows with map-side combine.
+    */
+  def shardPack(s: SparkSession, dir: String): DataFrame = {
+    val cap = 2000L // bytes per shard; fixture-sized — a config in prod
+    val sized = mediaTable(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "doc_id")
+      .select(col("source"), col("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"))
+    WindowOps.spreadRank(sized, "source", Seq(col("doc_id")),
+      s.sessionState.conf.numShufflePartitions, weight = Some("n_bytes"))
+      .withColumn("shard_id", expr(s"(__pre - n_bytes) DIV $cap"))
+      .groupBy(col("source"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("shard_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_pack" -> shardPack,
     "mm_meta" -> mmMeta,
     "mm_features" -> mmFeatures,
     "mm_frame_sample" -> mmFrameSample,
@@ -326,6 +359,19 @@ object MultimodalOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_shard_pack" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(sum(n_bytes) OVER (PARTITION BY source
+        |         ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM d)
+        |SELECT source, (cum - n_bytes) // 2000 AS shard_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2 ORDER BY source, shard_id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image/png'

@@ -492,7 +492,68 @@ object TextOps extends OpModule {
       .orderBy(col("doc_id"))
   }
 
+  /** One full BPE training step: find the most frequent adjacent token
+    * pair, apply the merge GREEDILY left-to-right (the tokenizer-training
+    * semantics: in `a a a`, positions 1–2 merge and position 2–3 cannot —
+    * its left token was consumed), and recount pairs on the merged
+    * stream — the loop body `llm_bpe_pairs` only scores once.
+    *
+    * Greedy-without-sequential-state: a merge conflict only exists where
+    * consecutive positions BOTH match, which requires a self-pair
+    * (`t_{i+1} = b = a`); runs of consecutive matches therefore merge at
+    * odd run-offsets only. That is the gaps-and-islands pattern —
+    * `pos − row_number()` groups each run, `rn % 2 = 1` keeps the greedy
+    * winners — expressible identically in both engines' window functions,
+    * so the oracle replays the merge without any reliance on string-
+    * replace traversal order.
+    *
+    * Scale shape: every window partitions by `doc_id` (cardinality =
+    * corpus size — never a straggler key); the chosen pair is a 1-row
+    * broadcast (the tfidf-sanctioned pattern); the recount is a map-side-
+    * combined aggregate bounded by the pair vocabulary. No self-join of
+    * the token stream, no quadratic term.
+    */
+  def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withNext = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+    val top = withNext.filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("a"), col("b")).limit(1)
+      .select(col("a"), col("b"))
+    val tagged = withNext.crossJoin(broadcast(top))
+      .withColumn("m", col("tok") === col("a") && col("nxt") === col("b"))
+    val kept = tagged.filter(col("m"))
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("doc_id"), col("grp")).orderBy(col("pos"))))
+      .filter(col("rn") % 2 === 1)
+      .select(col("doc_id"), col("pos"), lit(true).as("kept"))
+    val merged = tagged.join(kept, Seq("doc_id", "pos"), "left")
+      .withColumn("kprev", lag(col("kept"), 1).over(wDoc))
+      .filter(!coalesce(col("kprev"), lit(false)))
+      .withColumn("otok",
+        when(coalesce(col("kept"), lit(false)), concat(col("a"), col("b")))
+          .otherwise(col("tok")))
+    merged
+      .withColumn("nxt2", lead(col("otok"), 1).over(wDoc))
+      .filter(col("nxt2").isNotNull)
+      .groupBy(col("a"), col("b"),
+        col("otok").as("pair_left"), col("nxt2").as("pair_right"))
+      .agg(count(lit(1)).as("n"))
+      .select(concat(col("a"), col("b")).as("merge_token"),
+        col("pair_left"), col("pair_right"), col("n"))
+      .orderBy(desc("n"), col("pair_left"), col("pair_right")).limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bpe_merge_step" -> bpeMergeStep,
     "llm_char_entropy" -> charEntropy,
     "llm_sample_temperature" -> sampleTemperature,
     "llm_oov_rate" -> oovRate,
@@ -557,6 +618,56 @@ object TextOps extends OpModule {
       s"::UBIGINT % $n AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "llm_bpe_merge_step" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |tp AS (
+        |  SELECT doc_id, unnest(ts) AS tok,
+        |         CAST(unnest(range(1, len(ts) + 1)) AS BIGINT) AS pos
+        |  FROM toks),
+        |wn AS (
+        |  SELECT doc_id, pos, tok,
+        |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |  FROM tp),
+        |top AS (
+        |  SELECT tok AS a, nxt AS b FROM wn WHERE nxt IS NOT NULL
+        |  GROUP BY 1, 2 ORDER BY count(*) DESC, a, b LIMIT 1),
+        |tagged AS (
+        |  SELECT wn.*, top.a, top.b,
+        |         (wn.tok = top.a AND wn.nxt = top.b) AS m
+        |  FROM wn CROSS JOIN top),
+        |mt AS (
+        |  SELECT doc_id, pos,
+        |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS grp
+        |  FROM tagged WHERE m),
+        |kept AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |           row_number() OVER (PARTITION BY doc_id, grp ORDER BY pos)
+        |             AS rn
+        |    FROM mt) WHERE rn % 2 = 1),
+        |lagged AS (
+        |  SELECT t.doc_id, t.pos, t.tok, t.a, t.b,
+        |         k.pos IS NOT NULL AS kept,
+        |         lag(k.pos IS NOT NULL) OVER
+        |           (PARTITION BY t.doc_id ORDER BY t.pos) AS kprev
+        |  FROM tagged t LEFT JOIN kept k
+        |    ON k.doc_id = t.doc_id AND k.pos = t.pos),
+        |m2 AS (
+        |  SELECT doc_id, pos, a, b,
+        |         CASE WHEN kept THEN a || b ELSE tok END AS otok
+        |  FROM lagged WHERE NOT COALESCE(kprev, false)),
+        |p2 AS (
+        |  SELECT a, b, otok AS pair_left,
+        |         lead(otok) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           AS pair_right
+        |  FROM m2)
+        |SELECT a || b AS merge_token, pair_left, pair_right,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM p2 WHERE pair_right IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, pair_left, pair_right LIMIT 10""".stripMargin,
     "llm_char_entropy" ->
       """WITH c AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,

@@ -42,9 +42,13 @@ class QueriesSmokeSpec extends SparkSpec {
   // same broadcast ONE-ROW total, joined against the <= |types|² pair
   // census — both sides bounded by the type enum, never event volume
   // (justified in EventOps.cooccurPmi's doc).
+  // llm_bpe_merge_step (round 6): the chosen merge pair is a broadcast
+  // ONE-ROW frame (top-1 of the pair census) tagged onto the token
+  // stream — the tfidf pattern with a 1-row build side, never a
+  // data×data product (justified in TextOps.bpeMergeStep's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
-    "agg_heavy_hitters", "event_cooccur_pmi")
+    "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {
