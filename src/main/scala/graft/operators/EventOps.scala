@@ -87,6 +87,64 @@ object EventOps extends OpModule {
       .orderBy("user_id", "event_id")
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: each purchase
+    * credits the touches (clicks/views) since the user's previous
+    * purchase — 40% to the first touch, 40% to the last, the remaining
+    * 20% split over the middles; a single touch takes 100%, a pair splits
+    * 50/50. Credit is EXACT integer basis points: the middle share is
+    * `2000 DIV (n−2)` with the division remainder assigned to the first
+    * middle touch, so every converted purchase's credits sum to exactly
+    * 10000 (unit-asserted) and both engines agree bit for bit.
+    *
+    * Scale shape: one user_id window pass stamps each event with its
+    * purchase-segment number (running count of PRIOR purchases — touches
+    * after the last purchase get a segment no purchase carries and fall
+    * out of the inner join); the touch↔purchase join and the per-purchase
+    * rank/count windows all key on user_id supersets, so the first
+    * shuffle's partitioning is reused end to end. Per-purchase touch
+    * counts are bounded by human activity, so no window partition
+    * explodes.
+    */
+  def attributionPosition(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val isTouch = col("event_type").isin(touchTypes.map(x => x: Any): _*)
+    val isPurchase = col("event_type") === "purchase"
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("seg", coalesce(
+        sum(when(isPurchase, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val touches = ev.filter(isTouch)
+      .select(col("user_id"), col("seg"), col("event_id"),
+        col("event_type"), col("ts"))
+    val purchases = ev.filter(isPurchase)
+      .select(col("user_id"), col("seg"), col("event_id").as("purchase_id"))
+    val wp = Window.partitionBy(col("user_id"), col("purchase_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = touches
+      .join(purchases, Seq("user_id", "seg"))
+      .withColumn("pos", row_number().over(wp).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("user_id"), col("purchase_id"))))
+    ranked
+      .withColumn("credit_bps",
+        when(col("n") === 1, lit(10000L))
+          .when(col("n") === 2, lit(5000L))
+          .when(col("pos") === 1 || col("pos") === col("n"), lit(4000L))
+          .when(col("pos") === 2, expr(
+            "CAST(2000 AS BIGINT) DIV (n - 2) + CAST(2000 AS BIGINT) % (n - 2)"))
+          .otherwise(expr("CAST(2000 AS BIGINT) DIV (n - 2)")))
+      .select(col("event_type").as("channel"), col("purchase_id"),
+        col("credit_bps"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_conversions"),
+        sum(col("credit_bps")).as("credit_bps"))
+      .orderBy(col("channel"))
+  }
+
   /** Time-grid gap-fill: resample each user's first-week metric to an
     * hourly grid (first to last active hour) with
     * last-observation-carried-forward. The observation an hour keeps is
@@ -313,10 +371,17 @@ object EventOps extends OpModule {
     * the filter between them preserves ordering and partitioning, and
     * per-user history is bounded by human activity rates.
     */
-  def scd2(s: SparkSession, dir: String): DataFrame = {
+  def scd2(s: SparkSession, dir: String): DataFrame =
+    scd2Rows(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("version"))
+
+  /** [[scd2]]'s body over an arbitrary change-log slice (shared with the
+    * incremental merge, which runs it only over the pre-boundary slice).
+    */
+  private[graft] def scd2Rows(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    Tables.events(s, dir)
+    ev
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
       .withColumn("prev_state", lag(col("event_type"), 1).over(w))
       .filter(col("prev_state").isNull ||
@@ -326,6 +391,89 @@ object EventOps extends OpModule {
       .select(col("user_id"), col("event_type").as("state"),
         col("ts").as("valid_from"), col("valid_to"), col("version"),
         col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Incremental SCD2 maintenance: merge a batch of NEW change-log events
+    * (ts ≥ the snapshot boundary — cdcDiff's mid-month instant) into the
+    * SCD2 dimension built from the prior snapshot, WITHOUT re-windowing
+    * the historical events. The store contributes exactly two shapes: its
+    * closed rows pass through untouched, and its one open row per user
+    * joins the batch to (a) seed the run-collapse (a batch event repeating
+    * the open state is not a change) and (b) receive its `valid_to` from
+    * the user's first genuine batch change. Output is BIT-IDENTICAL to the
+    * full-log [[scd2]] recompute — the query shares dim_scd2's oracle SQL
+    * verbatim, so the driver certifies the merge ≡ rebuild equivalence
+    * value-for-value.
+    *
+    * Scale shape: the historical volume enters only as the already-built
+    * dimension (one row per state run, NOT per event); the window passes
+    * run over the batch alone; every join/window keys on user_id, so after
+    * the batch's first shuffle the partitioning is reused. At 100 TB this
+    * is the difference between re-sorting years of log and touching one
+    * day's delta plus |users| open rows. The FromStore twin
+    * ([[scd2MergeFromStore]]) reads the store from persisted parquet —
+    * round-trip equivalence is test-asserted (Wave9OpsSpec).
+    */
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val boundary = lit("2024-01-15").cast("timestamp")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val store = scd2Rows(ev.filter(col("ts") < boundary))
+    val batch = ev.filter(col("ts") >= boundary)
+    scd2MergeFrom(store, batch)
+  }
+
+  /** [[scd2Merge]] with the store read from a persisted SCD2 dimension
+    * table instead of rebuilt from the historical log — the production
+    * shape (the dimension IS the stored artifact; raw history is never
+    * rescanned).
+    */
+  def scd2MergeFromStore(s: SparkSession, dir: String,
+      storePath: String): DataFrame = {
+    val boundary = lit("2024-01-15").cast("timestamp")
+    val batch = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .filter(col("ts") >= boundary)
+    scd2MergeFrom(s.read.parquet(storePath), batch)
+  }
+
+  private def scd2MergeFrom(store: DataFrame, batch: DataFrame): DataFrame = {
+    val open = store.filter(col("is_current"))
+      .select(col("user_id"), col("state").as("open_state"),
+        col("valid_from").as("open_from"),
+        col("version").as("open_version"))
+    val closed = store.filter(!col("is_current"))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    // A batch row is a change iff it differs from its effective
+    // predecessor: the previous batch row if one exists, else the store's
+    // open state, else nothing (first event ever → always a change).
+    val changes = batch
+      .withColumn("prev_in_batch", lag(col("event_type"), 1).over(wb))
+      .join(open, Seq("user_id"), "left")
+      .withColumn("prev_eff",
+        coalesce(col("prev_in_batch"), col("open_state")))
+      .filter(col("prev_eff").isNull ||
+        col("prev_eff") =!= col("event_type"))
+    val newRows = changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(wb))
+      .withColumn("version",
+        (coalesce(col("open_version"), lit(0L)) +
+          row_number().over(wb)).cast("long"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"), col("version"),
+        col("valid_to").isNull.as("is_current"))
+    // The open row closes at the user's first batch change (ties in ts
+    // collapse to the same valid_to value, so min(ts) is exact).
+    val firstChange = changes.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_change_ts"))
+    val openAdj = open.join(firstChange, Seq("user_id"), "left")
+      .select(col("user_id"), col("open_state").as("state"),
+        col("open_from").as("valid_from"),
+        col("first_change_ts").as("valid_to"),
+        col("open_version").as("version"),
+        col("first_change_ts").isNull.as("is_current"))
+    closed.unionByName(openAdj).unionByName(newRows)
       .orderBy(col("user_id"), col("version"))
   }
 
@@ -649,7 +797,40 @@ object EventOps extends OpModule {
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Weekly cohort LTV triangle: users cohorted by the Monday of their
+    * first event; per (cohort_week, week_offset), the distinct buyers,
+    * that week's purchase revenue, and the cohort's CUMULATIVE revenue —
+    * the lifetime-value curve next to [[retention]]'s activity triangle.
+    * All money stays exact integer cents ([[rfm]]'s recipe); the
+    * cumulative window runs over the aggregated triangle (≤ weeks² rows),
+    * partitioned by cohort_week on that tiny frame — never event volume.
+    * Cohorting is aggregate-then-join: one row per user reaches the
+    * purchase join, and both week truncations are Monday-based on both
+    * engines (the [[retention]] precedent).
+    */
+  def ltvCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).as("cohort_week"))
+    ev.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .withColumn("week_offset", expr(
+        "CAST(datediff(CAST(date_trunc('week', ts) AS DATE), " +
+          "CAST(cohort_week AS DATE)) AS BIGINT) DIV 7"))
+      .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("cum_cents", sum(col("revenue_cents")).over(
+        Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_ltv_cohort" -> ltvCohort,
     "event_anomaly_zscore" -> anomalyZscore,
     "event_cooccur_pmi" -> cooccurPmi,
     "event_markov" -> markovTransitions,
@@ -662,14 +843,63 @@ object EventOps extends OpModule {
     "cdc_snapshot_diff" -> cdcDiff,
     "event_funnel" -> funnel,
     "event_attribution" -> attribution,
+    "event_attribution_position" -> attributionPosition,
     "ts_gapfill_locf" -> gapfillLocf,
     "event_retention" -> retention,
     "ts_ohlc_bars" -> ohlcBars,
     "event_path_trigrams" -> pathTrigrams,
-    "dim_scd2" -> scd2
+    "dim_scd2" -> scd2,
+    "dim_scd2_merge" -> scd2Merge
   )
 
+  /** Full-rebuild SCD2 SQL — shared by `dim_scd2` and `dim_scd2_merge`
+    * (the merge's contract is bit-identity with the rebuild).
+    */
+  private val scd2OracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(event_type) OVER w AS prev_state FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |ch AS (
+      |  SELECT user_id, event_id, event_type, ts FROM c
+      |  WHERE prev_state IS NULL OR prev_state <> event_type)
+      |SELECT user_id, event_type AS state, ts AS valid_from,
+      |       lead(ts) OVER w AS valid_to,
+      |       CAST(row_number() OVER w AS BIGINT) AS version,
+      |       lead(ts) OVER w IS NULL AS is_current
+      |FROM ch
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "event_ltv_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |         CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+        |           AS cohort_week
+        |  FROM e GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, c.cohort_week,
+        |         CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+        |              CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT)
+        |           // 7 AS week_offset,
+        |         CAST(round(e.value * 100) AS BIGINT) AS cents
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase'),
+        |a AS (
+        |  SELECT cohort_week, week_offset,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers,
+        |         CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM p GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_buyers, revenue_cents,
+        |       CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+        |            ORDER BY week_offset) AS BIGINT) AS cum_cents
+        |FROM a ORDER BY cohort_week, week_offset""".stripMargin,
     "event_rfm" ->
       """WITH p AS (
         |  SELECT user_id,
@@ -969,23 +1199,46 @@ object EventOps extends OpModule {
         |            ELSE 'unchanged' END AS status
         |FROM old o FULL JOIN new n ON o.user_id = n.user_id
         |ORDER BY user_id""".stripMargin,
-    "dim_scd2" ->
+    "dim_scd2" -> scd2OracleSql,
+    // The merge is DEFINED by its equivalence to the full rebuild: the
+    // incremental query must reproduce dim_scd2's output bit for bit, so
+    // it shares the rebuild oracle verbatim.
+    "dim_scd2_merge" -> scd2OracleSql,
+    "event_attribution_position" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         |  FROM events),
+        |seg AS (
+        |  SELECT *, COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |                             THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS seg
+        |  FROM e),
+        |t AS (
+        |  SELECT user_id, seg, event_id, event_type, ts FROM seg
+        |  WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT user_id, seg, event_id AS purchase_id FROM seg
+        |  WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT t.event_type, t.ts, t.event_id, p.purchase_id, t.user_id,
+        |         row_number() OVER (PARTITION BY t.user_id, p.purchase_id
+        |                            ORDER BY t.ts, t.event_id) AS pos,
+        |         count(*) OVER (PARTITION BY t.user_id, p.purchase_id) AS n
+        |  FROM t JOIN p ON t.user_id = p.user_id AND t.seg = p.seg),
         |c AS (
-        |  SELECT *, lag(event_type) OVER w AS prev_state FROM e
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |ch AS (
-        |  SELECT user_id, event_id, event_type, ts FROM c
-        |  WHERE prev_state IS NULL OR prev_state <> event_type)
-        |SELECT user_id, event_type AS state, ts AS valid_from,
-        |       lead(ts) OVER w AS valid_to,
-        |       CAST(row_number() OVER w AS BIGINT) AS version,
-        |       lead(ts) OVER w IS NULL AS is_current
-        |FROM ch
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |ORDER BY user_id, version""".stripMargin,
+        |  SELECT event_type AS channel, purchase_id,
+        |         CASE WHEN n = 1 THEN 10000
+        |              WHEN n = 2 THEN 5000
+        |              WHEN pos = 1 OR pos = n THEN 4000
+        |              WHEN pos = 2 THEN 2000 // (n - 2) + 2000 % (n - 2)
+        |              ELSE 2000 // (n - 2) END AS credit_bps
+        |  FROM r)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_conversions,
+        |       CAST(sum(credit_bps) AS BIGINT) AS credit_bps
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "event_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_signup

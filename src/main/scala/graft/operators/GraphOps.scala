@@ -36,14 +36,14 @@ object GraphOps extends OpModule {
     * integer-truncation dust and dangling nodes is NOT redistributed
     * (documented invariant — both engines drop it identically).
     */
-  def pagerank(s: SparkSession, dir: String): DataFrame = {
-    val damping = 850000L // 0.85 in micro-units
-    val nIter = 3
-    val nation = Tables.nation(s, dir)
-    // supplier/nation are dimension-sized at any SF — broadcast; the
-    // orders⋈customer and ⋈lineitem joins shuffle on their keys and are
-    // immediately collapsed by the (src, dst) aggregate (map-side combine
-    // bounds the shuffle at ≤ |nations|² rows per task).
+  /** Directed nation-level trade edges src→dst weighted by lineitem count
+    * — the shared graph both [[pagerank]] and [[triangles]] analyze.
+    * supplier/nation are dimension-sized at any SF — broadcast; the
+    * orders⋈customer and ⋈lineitem joins shuffle on their keys and are
+    * immediately collapsed by the (src, dst) aggregate (map-side combine
+    * bounds the shuffle at ≤ |nations|² rows per task).
+    */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val liSupp = Tables.lineitem(s, dir)
       .join(broadcast(Tables.supplier(s, dir)),
         col("l_suppkey") === col("s_suppkey"))
@@ -51,10 +51,17 @@ object GraphOps extends OpModule {
     val ordCust = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_nationkey").as("src"))
-    val edges = liSupp
+    liSupp
       .join(ordCust, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
+  }
+
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val damping = 850000L // 0.85 in micro-units
+    val nIter = 3
+    val nation = Tables.nation(s, dir)
+    val edges = tradeEdges(s, dir)
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // ≤ |nations|² rows; pin so the unrolled iterations reuse it instead
     // of re-running the fact joins (lineage cut, context-cleaner managed)
@@ -81,8 +88,52 @@ object GraphOps extends OpModule {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Strong-tie triangle census: collapse the trade graph to undirected
+    * edges (weights summed over both directions, self-loops dropped), keep
+    * edges at or above the MEAN undirected weight (an exact integer
+    * threshold both engines compute identically — `sum DIV count`), and
+    * count the triangles each nation participates in.
+    *
+    * Triangle enumeration is the node-ordered join form: every triangle
+    * {a<b<c} is produced exactly once by joining (a,b)⋈(b,c) and closing
+    * with (a,c) — two equi-joins on the AGGREGATED edge list, never on
+    * fact volume, with no post-hoc dedup pass. At 100 TB the fact scan
+    * collapses to ≤|entities|² weighted edges first (the same census
+    * pagerank rides), and the ordered-endpoint join is the standard
+    * shuffle-bounded distributed triangle algorithm: join keys distribute
+    * by vertex, and the a<b<c ordering caps each edge's join fan-out at
+    * its higher-endpoint degree.
+    */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val und = tradeEdges(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+    // one-row mean weight, broadcast onto the edge list (exact integers)
+    val meanW = und.agg(expr("sum(w) DIV count(*)").as("mean_w"))
+    val strong = und.crossJoin(broadcast(meanW))
+      .filter(col("w") >= col("mean_w"))
+      .select(col("a"), col("b"))
+    val tri = strong.as("ab")
+      .join(strong.as("bc"), col("ab.b") === col("bc.a"))
+      .join(strong.as("ac"),
+        col("ab.a") === col("ac.a") && col("bc.b") === col("ac.b"))
+      .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
+    val perNode = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_count"))
+    Tables.nation(s, dir)
+      .join(perNode, col("n_nationkey") === col("node"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("tri_count"), lit(0L)).as("tri_count"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> pagerank
+    "graph_pagerank" -> pagerank,
+    "graph_triangles" -> triangles
   )
 
   val oracle: Map[String, String] = Map(
@@ -130,6 +181,37 @@ object GraphOps extends OpModule {
         |  USING (node))
         |SELECT n_nationkey, n_name, r3.r AS rank_micro
         |FROM r3 JOIN nation ON node = n_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
+    "graph_triangles" ->
+      """WITH edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(w) AS BIGINT) AS w
+        |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+        |m AS (SELECT CAST(sum(w) // count(*) AS BIGINT) AS mean_w FROM und),
+        |strong AS (
+        |  SELECT a, b FROM und, m WHERE w >= mean_w),
+        |tri AS (
+        |  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+        |  FROM strong ab
+        |  JOIN strong bc ON ab.b = bc.a
+        |  JOIN strong ac ON ab.a = ac.a AND bc.b = ac.b),
+        |pn AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS tri_count FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT n_nationkey, n_name,
+        |       COALESCE(pn.tri_count, 0) AS tri_count
+        |FROM nation LEFT JOIN pn ON n_nationkey = pn.node
         |ORDER BY n_nationkey""".stripMargin
   )
 }

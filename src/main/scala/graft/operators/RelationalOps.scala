@@ -95,11 +95,55 @@ object RelationalOps extends OpModule {
       .orderBy(col("z_cell"))
   }
 
+  /** Sink/source format round-trip: a typed slice of `orders` (BIGINT,
+    * STRING, DOUBLE, TIMESTAMP) written to the given format and read back
+    * under the SAME explicit schema, value-oracled against the original
+    * parquet rows — certifying the engine's non-parquet readers/writers
+    * preserve every value bit for bit (doubles survive text formats via
+    * Java's shortest-round-trip rendering; timestamps are pinned to an
+    * explicit µs pattern on text formats so write and read agree).
+    *
+    * Scale note: these exist to certify FIDELITY of the secondary formats
+    * the reference's ecosystem exchanges (CSV message bodies, JSON
+    * envelopes, ORC lake tables) — the engine's perf path stays
+    * partitioned parquet (StorageLayoutSpec). The write is
+    * target-partitioned like any Spark sink, so the shape scales; the
+    * oracle filter prunes the parquet scan before anything is written.
+    */
+  private def roundtrip(s: SparkSession, dir: String,
+      fmt: String): DataFrame = {
+    val src = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    val path = new java.io.File(
+      s"target/graft-roundtrip-$fmt-${Tables.dirTag(dir)}").getAbsolutePath
+    val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    val isText = fmt != "orc"
+    val w = src.write.mode("overwrite").format(fmt)
+    (if (isText) w.option("timestampFormat", tsFmt).option("header", "true")
+     else w).save(path)
+    val r = s.read.format(fmt).schema(src.schema)
+    (if (isText) r.option("timestampFormat", tsFmt).option("header", "true")
+     else r).load(path)
+      .orderBy(col("o_orderkey"))
+  }
+
+  def roundtripOrc(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, "orc")
+  def roundtripCsv(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, "csv")
+  def roundtripJson(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, "json")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_parquet" -> scanParquet,
     "filter_pushdown" -> filterPushdown,
     "csv_parse_project" -> csvParseProject,
-    "layout_zorder" -> zorderLayout
+    "layout_zorder" -> zorderLayout,
+    "sink_roundtrip_orc" -> roundtripOrc,
+    "sink_roundtrip_csv" -> roundtripCsv,
+    "sink_roundtrip_json" -> roundtripJson
   )
 
   /** The same bit-interleave as [[zorderLayout]], spelled out for DuckDB:
@@ -109,7 +153,21 @@ object RelationalOps extends OpModule {
     s"(((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1})"
   }.mkString(" | ")
 
+  /** One oracle serves all three round-trips: the read-back rows must
+    * equal the original parquet rows, whatever format they detoured
+    * through.
+    */
+  private val roundtripOracleSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |       CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+      |FROM orders
+      |WHERE CAST(o_orderdate AS TIMESTAMP) < TIMESTAMP '1996-01-01'
+      |ORDER BY o_orderkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sink_roundtrip_orc" -> roundtripOracleSql,
+    "sink_roundtrip_csv" -> roundtripOracleSql,
+    "sink_roundtrip_json" -> roundtripOracleSql,
     "layout_zorder" ->
       s"""WITH d AS (
         |  SELECT o_custkey % 256 AS x,

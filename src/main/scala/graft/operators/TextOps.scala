@@ -552,7 +552,78 @@ object TextOps extends OpModule {
       .orderBy(desc("n"), col("pair_left"), col("pair_right")).limit(10)
   }
 
+  /** The fixed retrieval query [[bm25Topk]] scores — config, like the RFM
+    * thresholds: mixed-rarity terms from the corpus domain. */
+  private val bm25QueryTerms = Seq("dup", "join", "vector", "scan")
+
+  /** BM25 top-k retrieval over the corpus for a fixed query-term set —
+    * the standard probabilistic ranking ([[tfidf]]'s production
+    * successor; Robertson et al., TREC-3), with the Lucene idf form
+    * `ln(1 + (N−df+0.5)/(df+0.5))` (always positive, so integer
+    * truncation never crosses zero) and k1 = 1.2, b = 0.75.
+    *
+    * Parity design — FIXED-POINT end to end (the [[perplexity]]
+    * micro-nat stance): avgdl is quantized ONCE to centi-tokens
+    * (`total·100 DIV n_docs`), each term's idf ONCE to micro-nats, and
+    * the length-normalized tf factor is an EXACT integer rational —
+    * `22000·tf·avgdl_c·10⁶ DIV (10000·avgdl_c·tf + 3000·avgdl_c +
+    * 900000·len)` (k1, b, and k1+1 are exact in hundredths, so
+    * multiplying the BM25 denominator through by 10⁴·avgdl_c clears every
+    * fraction; all intermediates bounded ≤ ~2·10¹⁷, well inside BIGINT).
+    * Per-(doc,term) contributions truncate identically in Spark `DIV`
+    * and DuckDB `//` on the all-positive operands, and the per-doc score
+    * is an exact integer sum no accumulation order can perturb. The only
+    * doubles are the ≤|query| `ln` calls.
+    *
+    * Scale shape: ONE explode + one map-side-combined per-doc aggregate
+    * computes length and every query-term tf together (the query is a
+    * fixed tiny set, so tf columns stack narrowly afterwards — no second
+    * corpus pass, no doc_id join); df and corpus stats ride frames
+    * bounded by |query| and 1; the final top-20 is
+    * `TakeOrderedAndProject` (bounded heap per partition, never a global
+    * sort). At 100 TB this is one scan + one shuffle on doc_id.
+    */
+  def bm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val aggs = count(lit(1)).as("len") +: bm25QueryTerms.map(t =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    val perDoc = terms.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stacked = perDoc.select(col("doc_id"), col("len"),
+      expr(s"stack(${bm25QueryTerms.size}, " +
+        bm25QueryTerms.map(t => s"'$t', tf_$t").mkString(", ") +
+        ") AS (token, tf)"))
+      .filter(col("tf") > 0)
+    val corpus = perDoc.agg(count(lit(1)).as("n_docs"),
+      sum(col("len")).as("total_toks"))
+      .withColumn("avgdl_c", expr("total_toks * 100 DIV n_docs"))
+    val idf = stacked.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_micro", round(
+        log(lit(1.0) +
+          (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) * lit(1000000.0), 0)
+        .cast("long"))
+      .select(col("token"), col("idf_micro"))
+    stacked
+      .join(broadcast(idf), "token")
+      .crossJoin(broadcast(corpus))
+      .withColumn("tff_micro", expr(
+        "22000 * tf * avgdl_c * 1000000 DIV " +
+          "(10000 * avgdl_c * tf + 3000 * avgdl_c + 900000 * len)"))
+      .withColumn("contrib_micro",
+        expr("idf_micro * tff_micro DIV 1000000"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bm25_topk" -> bm25Topk,
     "llm_bpe_merge_step" -> bpeMergeStep,
     "llm_char_entropy" -> charEntropy,
     "llm_sample_temperature" -> sampleTemperature,
@@ -617,7 +688,54 @@ object TextOps extends OpModule {
     s"CAST(('0x' || substr(md5(CAST($x AS VARCHAR)), 1, 8))" +
       s"::UBIGINT % $n AS BIGINT)"
 
+  /** [[bm25Topk]]'s DuckDB twin, generated from the same
+    * [[bm25QueryTerms]] so the query set cannot drift between engines.
+    */
+  private val bm25OracleSql: String = {
+    val tfCols = bm25QueryTerms.map(t =>
+      s"CAST(sum(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS BIGINT) " +
+        s"AS tf_$t").mkString(",\n         ")
+    val stackArms = bm25QueryTerms.map(t =>
+      s"SELECT doc_id, len, '$t' AS token, tf_$t AS tf FROM perdoc")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |toks_f AS (SELECT * FROM toks WHERE length(token) > 0),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS len,
+       |         $tfCols
+       |  FROM toks_f GROUP BY 1),
+       |corpus AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(len) AS BIGINT) AS total_toks,
+       |         CAST(sum(len) AS BIGINT) * 100 //
+       |           CAST(count(*) AS BIGINT) AS avgdl_c
+       |  FROM perdoc),
+       |stacked AS (
+       |  $stackArms),
+       |nz AS (SELECT * FROM stacked WHERE tf > 0),
+       |idf AS (
+       |  SELECT token,
+       |         CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) /
+       |           (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT)
+       |           AS idf_micro
+       |  FROM (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |        FROM nz GROUP BY 1), corpus),
+       |sc AS (
+       |  SELECT doc_id,
+       |         idf_micro * (22000 * tf * avgdl_c * 1000000 //
+       |           (10000 * avgdl_c * tf + 3000 * avgdl_c + 900000 * len))
+       |           // 1000000 AS contrib
+       |  FROM nz JOIN idf USING (token), corpus)
+       |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro,
+       |       CAST(count(*) AS BIGINT) AS n_terms
+       |FROM sc GROUP BY 1
+       |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "llm_bm25_topk" -> bm25OracleSql,
     "llm_bpe_merge_step" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

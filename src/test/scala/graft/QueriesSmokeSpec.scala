@@ -46,9 +46,17 @@ class QueriesSmokeSpec extends SparkSpec {
   // ONE-ROW frame (top-1 of the pair census) tagged onto the token
   // stream — the tfidf pattern with a 1-row build side, never a
   // data×data product (justified in TextOps.bpeMergeStep's doc).
+  // graph_triangles (round 6): the mean-weight edge threshold is the same
+  // broadcast ONE-ROW scalar aggregate as llm_tfidf, crossed onto the
+  // ≤|entities|² aggregated edge census, never fact volume (justified in
+  // GraphOps.triangles's doc).
+  // llm_bm25_topk (round 6): the corpus avgdl/N denominators are the same
+  // broadcast ONE-ROW scalar aggregate as llm_tfidf, crossed onto the
+  // ≤|query|-term frames (justified in TextOps.bm25Topk's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
-    "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step")
+    "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
+    "graph_triangles", "llm_bm25_topk")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {
