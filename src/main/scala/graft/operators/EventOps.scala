@@ -829,7 +829,35 @@ object EventOps extends OpModule {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** In-session behavioral pattern match (MATCH_RECOGNIZE-lite): each
+    * session's events serialize to an ordered `>`-joined type path, and a
+    * session matches when the path contains the view → click → purchase
+    * SUBSEQUENCE (any gaps allowed) — the "did the journey happen inside
+    * one sitting" question [[funnel]] (lifetime, cross-session) cannot
+    * answer. The event-type enum guarantees no type is a substring of
+    * another, so the regex is token-exact.
+    *
+    * Scale shape: rides [[sessionizedEvents]]' single user_id
+    * exchange+sort; the path aggregate groups on a user_id superset (no
+    * new shuffle), builds each session's path via
+    * `array_sort(collect_list(struct))` — deterministic total order on
+    * (ts, event_id) — and per-session state is bounded by human activity
+    * rates. The regex runs once per SESSION row, not per event.
+    */
+  def patternMatch(s: SparkSession, dir: String): DataFrame =
+    sessionizedEvents(s, dir)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("array_join(transform(array_sort(collect_list(struct(" +
+          "ts, event_id, event_type))), x -> x.event_type), '>')")
+          .as("path"))
+      .filter(col("path").rlike("view.*purchase"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("path"))
+      .orderBy(col("user_id"), col("session_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_pattern_match" -> patternMatch,
     "event_ltv_cohort" -> ltvCohort,
     "event_anomaly_zscore" -> anomalyZscore,
     "event_cooccur_pmi" -> cooccurPmi,
@@ -874,6 +902,30 @@ object EventOps extends OpModule {
       |ORDER BY user_id, version""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "event_pattern_match" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, lag(epoch_us(ts)) OVER w AS prev_us FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CAST(sum(CASE WHEN prev_us IS NULL
+        |                         OR epoch_us(ts) - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM m),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id, session_id, n_events, path
+        |FROM p WHERE regexp_matches(path, 'view.*purchase')
+        |ORDER BY user_id, session_id""".stripMargin,
     "event_ltv_cohort" ->
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value

@@ -276,7 +276,38 @@ object JoinOps extends OpModule {
         sum(expr("CAST(round(l_quantity * 100) AS BIGINT)")).as("qty_cents"))
       .orderBy(col("p_brand"))
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): both sides
+    * derive a NULLABLE key (accounts below a balance floor lose their
+    * nation), and the join must pair the NULL bucket too — the semantics
+    * a plain equi-join silently drops. Catalyst treats EqualNullSafe as a
+    * hash-join key, so this stays a shuffled equi-join, never a BNLJ
+    * (plan-asserted in Wave9OpsSpec).
+    *
+    * Scale note: the NULL bucket is ONE key — at 100 TB a fat null
+    * population is a skew hazard exactly like any hot key, and the
+    * mitigation is the same salting [[skewSalted]] demonstrates (or
+    * filtering nulls into a separate union leg). Here both null
+    * populations are balance-bounded slices of dimension-sized tables.
+    */
+  def nullSafe(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(
+      when(col("c_acctbal") < 0, lit(null))
+        .otherwise(col("c_nationkey")).as("k"),
+      col("c_custkey"))
+    val supp = Tables.supplier(s, dir).select(
+      when(col("s_acctbal") < 1000, lit(null))
+        .otherwise(col("s_nationkey")).as("k2"),
+      col("s_suppkey"))
+    cust.join(supp, col("k") <=> col("k2"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_custkey")).as("n_cust"),
+        countDistinct(col("s_suppkey")).as("n_supp"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_null_safe" -> nullSafe,
     "join_skew_salted" -> skewSalted,
     "join_interval_bin" -> intervalBin,
     "join_inner_equi" -> innerEqui,
@@ -293,6 +324,20 @@ object JoinOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH c AS (
+        |  SELECT CASE WHEN c_acctbal < 0 THEN NULL
+        |              ELSE c_nationkey END AS k, c_custkey
+        |  FROM customer),
+        |s AS (
+        |  SELECT CASE WHEN s_acctbal < 1000 THEN NULL
+        |              ELSE s_nationkey END AS k, s_suppkey
+        |  FROM supplier)
+        |SELECT c.k, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+        |       CAST(count(DISTINCT s_suppkey) AS BIGINT) AS n_supp
+        |FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+        |GROUP BY 1 ORDER BY c.k NULLS FIRST""".stripMargin,
     "join_skew_salted" ->
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_rows,
         |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, GraphOps, RelationalOps, TextOps}
+import graft.operators.{EventOps, GraphOps, JoinOps, RelationalOps, TextOps}
 
 /** Semantic tests for the ninth-wave operators (dim_scd2_merge,
   * event_attribution_position, graph_triangles, sink_roundtrip_*). The
@@ -157,6 +157,56 @@ class Wave9OpsSpec extends SparkSpec {
       .filter(col("event_type") === "purchase")
       .agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))).head().getLong(0)
     assert(rows.map(_.getAs[Long]("revenue_cents")).sum == totalCents)
+  }
+
+  test("event_pattern_match: independent driver subsequence check agrees") {
+    val got = EventOps.patternMatch(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")))
+      .toSet
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      var sess = 0L
+      var prevUs = Long.MinValue
+      val sessions = sorted.map { e =>
+        if (prevUs == Long.MinValue || e._4 - prevUs > 1800000000L) sess += 1
+        prevUs = e._4
+        (sess, e._3)
+      }
+      sessions.groupBy(_._1).toSeq.collect {
+        case (sid, rows)
+            if isSubseq(rows.map(_._2), Seq("view", "purchase")) =>
+          (uid, sid)
+      }
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty, "no session matches — pattern test vacuous")
+  }
+
+  private def isSubseq(hay: Seq[String], needle: Seq[String]): Boolean = {
+    var i = 0
+    hay.foreach { h => if (i < needle.length && h == needle(i)) i += 1 }
+    i == needle.length
+  }
+
+  test("join_null_safe: hash-joins the null bucket; null group present") {
+    val df = JoinOps.nullSafe(spark, sf0001)
+    val plan = finalPlan(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "null-safe join must stay an equi-join")
+    val rows = df.collect()
+    assert(rows.exists(_.isNullAt(0)),
+      "fixture yields no NULL-bucket pairs — null-safe semantics untested")
+    // the null bucket pairs every null-key customer with every null-key
+    // supplier
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[Long]("n_pairs") ==
+      nullRow.getAs[Long]("n_cust") * nullRow.getAs[Long]("n_supp"))
   }
 
   test("sink round-trips return exactly the source parquet rows") {
