@@ -845,19 +845,75 @@ object EventOps extends OpModule {
     * rates. The regex runs once per SESSION row, not per event.
     */
   def patternMatch(s: SparkSession, dir: String): DataFrame =
+    sessionPaths(s, dir)
+      .filter(col("path").rlike("view.*purchase"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("path"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** One row per session with its ordered `>`-joined type path — shared
+    * by [[patternMatch]] and [[topPaths]]; rides [[sessionizedEvents]]'
+    * single user_id exchange (the path aggregate groups on a user_id
+    * superset).
+    */
+  private def sessionPaths(s: SparkSession, dir: String): DataFrame =
     sessionizedEvents(s, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         expr("array_join(transform(array_sort(collect_list(struct(" +
           "ts, event_id, event_type))), x -> x.event_type), '>')")
           .as("path"))
-      .filter(col("path").rlike("view.*purchase"))
-      .select(col("user_id"), col("session_id"), col("n_events"),
-        col("path"))
-      .orderBy(col("user_id"), col("session_id"))
+
+  /** Most-common session journeys: the top-20 full session paths by
+    * frequency — the "what do users actually do in a sitting" census
+    * next to [[pathTrigrams]]' fixed-depth 3-step view. Per-path session
+    * counts and total event volume; ties broken on the path string so
+    * the cut is deterministic cross-engine.
+    *
+    * Scale shape: the path census aggregates the SESSION frame (already
+    * one row per session), the top-20 is `TakeOrderedAndProject`
+    * (bounded heap per partition), and path cardinality is bounded by
+    * observed behavior, with heavy hitters absorbed map-side — the same
+    * skew-friendly shape as the vocabulary census.
+    */
+  def topPaths(s: SparkSession, dir: String): DataFrame =
+    sessionPaths(s, dir)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+
+  /** Seasonal-naive forecast audit: predict each (type, day)'s event
+    * volume with the same weekday LAST week (the standard seasonal-naive
+    * baseline every real forecaster must beat) and score it — actual,
+    * forecast, absolute error, all EXACT integer counts. The join is on
+    * the AGGREGATED daily frame keyed (type, day−7), so forecast rows
+    * align positionally with no dense-grid assumption; days without a
+    * prior-week observation keep a NULL forecast (no silent zero-fill).
+    *
+    * Scale shape: one map-side-combined daily census (the
+    * [[anomalyZscore]] frame), then a self-join on that tiny ≤
+    * |types|·|days| frame — fact volume never reaches the join.
+    */
+  def seasonalNaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val lagged = daily.select(col("event_type"),
+      expr("day + INTERVAL 7 DAY").as("day"), col("n").as("forecast"))
+    daily.join(lagged, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("n"), col("forecast"),
+        when(col("forecast").isNotNull,
+          abs(col("n") - col("forecast"))).as("abs_err"))
+      .orderBy(col("event_type"), col("day"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_pattern_match" -> patternMatch,
+    "event_top_paths" -> topPaths,
+    "ts_seasonal_naive" -> seasonalNaive,
     "event_ltv_cohort" -> ltvCohort,
     "event_anomaly_zscore" -> anomalyZscore,
     "event_cooccur_pmi" -> cooccurPmi,
@@ -902,6 +958,44 @@ object EventOps extends OpModule {
       |ORDER BY user_id, version""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "event_top_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |m AS (
+        |  SELECT *, lag(epoch_us(ts)) OVER w AS prev_us FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         CAST(sum(CASE WHEN prev_us IS NULL
+        |                         OR epoch_us(ts) - prev_us > 1800000000
+        |                       THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_id
+        |  FROM m),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |         CAST(count(*) AS BIGINT) AS n_events,
+        |         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+        |       CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "ts_seasonal_naive" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+        |              AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.n, f.n AS forecast,
+        |       CASE WHEN f.n IS NOT NULL THEN abs(d.n - f.n) END AS abs_err
+        |FROM daily d
+        |LEFT JOIN daily f ON f.event_type = d.event_type
+        |  AND f.day + INTERVAL 7 DAY = d.day
+        |ORDER BY d.event_type, d.day""".stripMargin,
     "event_pattern_match" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -187,6 +187,56 @@ class Wave9OpsSpec extends SparkSpec {
     assert(got.nonEmpty, "no session matches — pattern test vacuous")
   }
 
+  test("event_top_paths: driver path census agrees on the top-20 cut") {
+    val got = EventOps.topPaths(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_events")))
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(e => (e._4, e._2))
+      var sess = 0L
+      var prevUs = Long.MinValue
+      val tagged = sorted.map { e =>
+        if (prevUs == Long.MinValue || e._4 - prevUs > 1800000000L) sess += 1
+        prevUs = e._4
+        (sess, e._3)
+      }
+      tagged.groupBy(_._1).toSeq.map { case (_, rows) =>
+        (rows.map(_._2).mkString(">"), rows.length.toLong)
+      }
+    }
+    val want = paths.groupBy(_._1).toSeq.map { case (p, xs) =>
+      (p, xs.length.toLong, xs.map(_._2).sum)
+    }.sortBy(x => (-x._2, x._1)).take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("ts_seasonal_naive: forecast is last week's same-weekday count") {
+    val rows = EventOps.seasonalNaive(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byKey = rows.map(r => (r.getAs[String]("event_type"),
+      r.getAs[java.sql.Timestamp]("day").getTime) -> r.getAs[Long]("n"))
+      .toMap
+    var checked = 0
+    rows.foreach { r =>
+      val prior = byKey.get((r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("day").getTime - 7L * 86400000L))
+      prior match {
+        case Some(n7) =>
+          assert(r.getAs[Long]("forecast") == n7)
+          assert(r.getAs[Long]("abs_err") ==
+            math.abs(r.getAs[Long]("n") - n7))
+          checked += 1
+        case None => assert(r.isNullAt(r.fieldIndex("forecast")))
+      }
+    }
+    assert(checked > 0, "no (type, day) had a prior-week observation")
+  }
+
   private def isSubseq(hay: Seq[String], needle: Seq[String]): Boolean = {
     var i = 0
     hay.foreach { h => if (i < needle.length && h == needle(i)) i += 1 }
