@@ -910,7 +910,43 @@ object EventOps extends OpModule {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Audience overlap: for every event-type pair, the distinct-user
+    * intersection and the Jaccard overlap in fixed-point basis points —
+    * "how much of the click audience also purchases", the segmentation
+    * primitive behind cross-sell and cannibalization questions.
+    *
+    * Scale shape: one (type, user) distinct pass over the events (the
+    * only fact-volume shuffle), then a self-join keyed on user_id whose
+    * per-user fan-out is bounded by the TYPE ENUM (≤ |types|² pairs per
+    * user), collapsed by a ≤ |types|²-group aggregate; per-type audience
+    * sizes ride the same distinct frame and broadcast onto the pair
+    * census. Jaccard = inter·10⁴ DIV (|A|+|B|−inter) — exact integers,
+    * no float division.
+    */
+  def userOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val sizes = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = ut.select(col("event_type").as("type_a"), col("user_id"))
+      .join(ut.select(col("event_type").as("type_b"), col("user_id")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("n_both * 10000 DIV (n_a + n_b - n_both)").as("jaccard_bp"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_user_overlap" -> userOverlap,
     "event_pattern_match" -> patternMatch,
     "event_top_paths" -> topPaths,
     "ts_seasonal_naive" -> seasonalNaive,
@@ -958,6 +994,26 @@ object EventOps extends OpModule {
       |ORDER BY user_id, version""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "event_user_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |sizes AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+        |  FROM ut GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |         CAST(count(*) AS BIGINT) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |  WHERE a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+        |       n_both,
+        |       n_both * 10000 // (sa.n_users + sb.n_users - n_both)
+        |         AS jaccard_bp
+        |FROM pairs
+        |JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     "event_top_paths" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

@@ -306,7 +306,40 @@ object JoinOps extends OpModule {
       .orderBy(col("k").asc_nulls_first)
   }
 
+  /** Entity-resolution fuzzy join with BLOCKING: near-duplicate part
+    * names by edit distance ≤ 3, candidate pairs generated only within a
+    * blocking key (first 3 chars), never all-pairs. The match runs on the
+    * DEDUPED name vocabulary — the fact table collapses to its ~64
+    * distinct names first, each carrying its row count, so the quadratic
+    * step is |vocab-block|², not |rows|²: exactly how production ER
+    * handles a 100 TB fact table whose entity vocabulary is bounded
+    * (names, merchants, SKUs). The blocking key is the standard
+    * recall/cost dial: a typo in the first 3 chars escapes this block —
+    * real deployments union several cheap blocks (prefix, length,
+    * phonetic); one suffices to pin the operator shape.
+    *
+    * levenshtein is the classic unit-cost edit distance in both engines,
+    * so the distance column itself value-oracles.
+    */
+  def fuzzyName(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", substring(col("p_name"), 1, 3))
+    val a = names.select(col("blk"), col("p_name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 3)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("lev"),
+        col("n_parts_a"), col("n_parts_b"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_fuzzy_name" -> fuzzyName,
     "join_null_safe" -> nullSafe,
     "join_skew_salted" -> skewSalted,
     "join_interval_bin" -> intervalBin,
@@ -324,6 +357,18 @@ object JoinOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_fuzzy_name" ->
+      """WITH names AS (
+        |  SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+        |         substr(p_name, 1, 3) AS blk
+        |  FROM part GROUP BY 1)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev,
+        |       a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+        |FROM names a JOIN names b ON a.blk = b.blk
+        |WHERE a.p_name < b.p_name
+        |  AND levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
     "join_null_safe" ->
       """WITH c AS (
         |  SELECT CASE WHEN c_acctbal < 0 THEN NULL

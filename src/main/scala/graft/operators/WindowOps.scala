@@ -267,7 +267,31 @@ object WindowOps extends OpModule {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Sliding DISTINCT count: how many distinct event types each user's
+    * trailing 5 events span — the variety/engagement signal a plain
+    * sliding count can't give. Spark has no DISTINCT window aggregate,
+    * so the engine form is `size(array_distinct(collect_list))` over the
+    * rows frame — per-row state bounded by the 5-row frame — while the
+    * DuckDB twin uses its native `count(DISTINCT) OVER`, an independent
+    * route to the same values. One user_id exchange + sort; frame state
+    * is 5 entries regardless of history length.
+    */
+  def slidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, org.apache.spark.sql.expressions.Window.currentRow)
+    graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+      .withColumn("n_distinct_5",
+        size(array_distinct(collect_list(col("event_type")).over(w)))
+          .cast("long"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sliding_distinct" -> slidingDistinct,
     "win_row_number" -> rowNumber,
     "win_rank_dense" -> rankDense,
     "win_lag_lead" -> lagLead,
@@ -279,6 +303,15 @@ object WindowOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_sliding_distinct" ->
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |       CAST(count(DISTINCT event_type) OVER (
+        |         PARTITION BY user_id
+        |         ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS n_distinct_5
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     "win_row_number" ->
       """SELECT o_custkey, rn, o_orderkey, o_orderdate, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,

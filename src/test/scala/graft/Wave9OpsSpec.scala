@@ -237,6 +237,31 @@ class Wave9OpsSpec extends SparkSpec {
     assert(checked > 0, "no (type, day) had a prior-week observation")
   }
 
+  test("join_fuzzy_name: blocked pairs respect the threshold and never " +
+    "cross blocks") {
+    val rows = graft.operators.JoinOps.fuzzyName(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("name_a"), r.getAs[String]("name_b"))
+      assert(a < b)
+      assert(a.take(3) == b.take(3), "pair crosses its blocking key")
+      assert(r.getAs[Int]("lev") <= 3 && r.getAs[Int]("lev") >= 1)
+    }
+  }
+
+  test("event_user_overlap: jaccard bounds and intersection sanity") {
+    val rows = EventOps.userOverlap(spark, sf0001).collect()
+    assert(rows.length == 10, "5 types should yield C(5,2) pairs")
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("n_both"))
+      assert(both <= math.min(na, nb))
+      val j = r.getAs[Long]("jaccard_bp")
+      assert(j >= 0 && j <= 10000)
+      assert(j == both * 10000 / (na + nb - both))
+    }
+  }
+
   private def isSubseq(hay: Seq[String], needle: Seq[String]): Boolean = {
     var i = 0
     hay.foreach { h => if (i < needle.length && h == needle(i)) i += 1 }
