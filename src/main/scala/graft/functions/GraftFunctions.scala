@@ -55,6 +55,9 @@ object GraftFunctions {
         "graft_minhash_tokens"),
       (children: Seq[Expression]) =>
         MinHashTokens(children.head, minhashAs, minhashBs))
+    reg.registerFunction(FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShingleSet(children.head))
     reg.registerFunction(FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName,
         "graft_fingerprint"),
@@ -94,6 +97,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         MinHashTokens(children.head, GraftFunctions.minhashAs,
           GraftFunctions.minhashBs)))
+    ext.injectFunction((FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShingleSet(children.head)))
     ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName,
         "graft_fingerprint"),

@@ -27,13 +27,19 @@ object CurationOps extends OpModule {
     * shape, n parameterized).
     */
   private def ngrams(n: Int): Column = {
-    val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
-    expr(
-      s"""array_distinct(
-         |  CASE WHEN size(toks) >= $n THEN
-         |    transform(sequence(0, size(toks) - $n),
-         |              i -> concat_ws(' ', $parts))
-         |  ELSE array() END)""".stripMargin)
+    // n = 3 is the hot path (every call site today): the native one-pass
+    // ShingleSet expression — see its doc for why the declarative chain
+    // is pathological under explode. Other n keep the generic chain.
+    if (n == 3) DedupOps.shingleCol
+    else {
+      val parts = (0 until n).map(j => s"toks[i+$j]").mkString(", ")
+      expr(
+        s"""array_distinct(
+           |  CASE WHEN size(toks) >= $n THEN
+           |    transform(sequence(0, size(toks) - $n),
+           |              i -> concat_ws(' ', $parts))
+           |  ELSE array() END)""".stripMargin)
+    }
   }
 
   /** Benchmark decontamination: flag corpus documents sharing any n-gram
@@ -58,6 +64,7 @@ object CurationOps extends OpModule {
     * here so the fixture's n=3 oracle stays an exact overlap census.
     */
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val grams = Tables.documents(s, dir)
       .withColumn("toks", toks)
       .select(col("doc_id"), explode(ngrams(3)).as("g"))
@@ -129,7 +136,8 @@ object CurationOps extends OpModule {
     * and score 0 (flagging them 'maximally repetitive' would silently
     * drop every short doc from training data).
     */
-  def repetition(s: SparkSession, dir: String): DataFrame =
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("toks", toks)
       .withColumn("n_tokens", size(col("toks")))
@@ -144,6 +152,7 @@ object CurationOps extends OpModule {
       .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
         col("dup_3gram_frac"), col("flagged"))
       .orderBy(col("doc_id"))
+  }
 
   /** Sequence packing — the step that turns a cleaned corpus into fixed
     * token-budget training sequences: documents are concatenated in a

@@ -24,19 +24,22 @@ import graft.Tables
   */
 object DedupOps extends OpModule {
 
-  /** 3-gram shingle set (distinct) from the whitespace tokens. */
-  private[operators] def shingleCol: Column = expr(
-    """array_distinct(
-      |  CASE WHEN size(toks) >= 3 THEN
-      |    transform(sequence(0, size(toks) - 3),
-      |              i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
-      |  ELSE array() END)""".stripMargin)
+  /** 3-gram shingle set (distinct) from the whitespace tokens — the
+    * native one-pass [[graft.functions.ShingleSet]] expression (value-
+    * identical to the old declarative `array_distinct(transform(...))`
+    * chain; see ShingleSet's doc for why that chain is pathological under
+    * explode). Callers must have run `GraftFunctions.register` on the
+    * session before the frame is analyzed — every query entry point does.
+    */
+  private[operators] def shingleCol: Column = expr("graft_shingles(toks)")
 
-  private def shinglesOf(docs: DataFrame): DataFrame =
+  private def shinglesOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingles", shingleCol)
       .select(col("doc_id"), col("shingles"))
+  }
 
   private def withShingles(s: SparkSession, dir: String): DataFrame =
     shinglesOf(Tables.documents(s, dir))

@@ -35,7 +35,7 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
-  test("extensions-only session resolves all 7 native functions in SQL") {
+  test("extensions-only session resolves all 8 native functions in SQL") {
     withExtensionOnlySession { s =>
       val row = s.sql(
         """SELECT
@@ -48,11 +48,14 @@ class GraftExtensionsSpec extends SparkSpec {
           |  graft_simhash_portable(split('hello world graft engine', ' '))
           |    AS shp,
           |  graft_fingerprint_portable(
-          |    split('rolling fingerprint input text', ' ')) AS fpp
+          |    split('rolling fingerprint input text', ' ')) AS fpp,
+          |  graft_shingles(split('a b a b a b c', ' ')) AS shg
           |""".stripMargin).collect().head
       assert(row.getDouble(0) === 11.0)
       assert(row.getAs[Seq[Long]](1).length === 60)
       assert(row.getAs[Seq[Long]](3).length === 60)
+      assert(row.getAs[scala.collection.Seq[String]](7).toSeq ===
+        Seq("a b a", "b a b", "a b c"))
       // values must agree with the imperative-registration path
       graft.functions.GraftFunctions.register(spark)
       val viaRegister = spark.sql(
