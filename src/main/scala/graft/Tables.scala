@@ -17,16 +17,27 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to its µs TimestampType. Read it as raw nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs — exactly
-    * what DuckDB does when it loads the same file, so oracle comparisons
-    * stay bit-identical.
+  /** `events.ts` has shipped as either parquet TIMESTAMP(NANOS) (early
+    * fixture generations — which Spark 4 refuses to map to its µs
+    * TimestampType, so we read raw nanos via
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncate to µs, exactly
+    * what DuckDB does on the same file) or as a plain µs timestamp
+    * (current generations — arriving as TIMESTAMP_NTZ, cast to the
+    * session-zone TimestampType; under the engine's pinned UTC session
+    * the wall-clock values are identical to DuckDB's naive read). The
+    * branch is on the OBSERVED footer type, so both generations produce
+    * the same µs TimestampType column and every downstream operator and
+    * oracle is generation-agnostic.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/events.parquet")
-    df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", df.col("ts").cast("timestamp"))
+    }
   }
   private def expr(e: String) = org.apache.spark.sql.functions.expr(e)
 

@@ -831,7 +831,7 @@ object EventOps extends OpModule {
 
   /** In-session behavioral pattern match (MATCH_RECOGNIZE-lite): each
     * session's events serialize to an ordered `>`-joined type path, and a
-    * session matches when the path contains the view → click → purchase
+    * session matches when the path contains the view → purchase
     * SUBSEQUENCE (any gaps allowed) — the "did the journey happen inside
     * one sitting" question [[funnel]] (lifetime, cross-session) cannot
     * answer. The event-type enum guarantees no type is a substring of

@@ -110,14 +110,24 @@ object RelationalOps extends OpModule {
     * target-partitioned like any Spark sink, so the shape scales; the
     * oracle filter prunes the parquet scan before anything is written.
     */
+  /** Per-JVM scratch root for the round-trip sinks: rooted in the system
+    * temp dir (never the process CWD) and suffixed with a process nonce so
+    * two concurrent runs of the same query can't overwrite the files the
+    * other is reading back. */
+  private lazy val roundtripBase: java.io.File = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-rt-${java.util.UUID.randomUUID().toString.take(8)}")
+    d.mkdirs(); d.deleteOnExit(); d
+  }
+
   private def roundtrip(s: SparkSession, dir: String,
       fmt: String): DataFrame = {
     val src = Tables.orders(s, dir)
       .filter(col("o_orderdate") < to_timestamp(lit("1996-01-01")))
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderdate"))
-    val path = new java.io.File(
-      s"target/graft-roundtrip-$fmt-${Tables.dirTag(dir)}").getAbsolutePath
+    val path = new java.io.File(roundtripBase,
+      s"graft-roundtrip-$fmt-${Tables.dirTag(dir)}").getAbsolutePath
     val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
     val isText = fmt != "orc"
     val w = src.write.mode("overwrite").format(fmt)

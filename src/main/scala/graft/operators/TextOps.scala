@@ -566,10 +566,16 @@ object TextOps extends OpModule {
     * micro-nat stance): avgdl is quantized ONCE to centi-tokens
     * (`total·100 DIV n_docs`), each term's idf ONCE to micro-nats, and
     * the length-normalized tf factor is an EXACT integer rational —
-    * `22000·tf·avgdl_c·10⁶ DIV (10000·avgdl_c·tf + 3000·avgdl_c +
+    * `22000·tf_c·avgdl_c·10⁶ DIV (10000·avgdl_c·tf_c + 3000·avgdl_c +
     * 900000·len)` (k1, b, and k1+1 are exact in hundredths, so
     * multiplying the BM25 denominator through by 10⁴·avgdl_c clears every
-    * fraction; all intermediates bounded ≤ ~2·10¹⁷, well inside BIGINT).
+    * fraction). Overflow is bounded by saturation, not hope: tf is
+    * capped at 4000 (BM25's tf factor is within 0.1 % of its (k1+1)
+    * asymptote there — the cap is the standard saturation made explicit)
+    * and avgdl_c at 10⁵ (average doc ≤ 1000 tokens), so the numerator is
+    * ≤ 22000·4000·10⁵·10⁶ = 8.8·10¹⁸ < 2⁶³ even on a pathological
+    * corpus where one document repeats a query term millions of times.
+    * Both caps are applied identically in the DuckDB twin.
     * Per-(doc,term) contributions truncate identically in Spark `DIV`
     * and DuckDB `//` on the all-positive operands, and the per-doc score
     * is an exact integer sum no accumulation order can perturb. The only
@@ -598,7 +604,8 @@ object TextOps extends OpModule {
       .filter(col("tf") > 0)
     val corpus = perDoc.agg(count(lit(1)).as("n_docs"),
       sum(col("len")).as("total_toks"))
-      .withColumn("avgdl_c", expr("total_toks * 100 DIV n_docs"))
+      .withColumn("avgdl_c",
+        expr("least(total_toks * 100 DIV n_docs, 100000L)"))
     val idf = stacked.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf_micro", round(
@@ -610,9 +617,10 @@ object TextOps extends OpModule {
     stacked
       .join(broadcast(idf), "token")
       .crossJoin(broadcast(corpus))
+      .withColumn("tf_c", expr("least(tf, 4000L)"))
       .withColumn("tff_micro", expr(
-        "22000 * tf * avgdl_c * 1000000 DIV " +
-          "(10000 * avgdl_c * tf + 3000 * avgdl_c + 900000 * len)"))
+        "22000 * tf_c * avgdl_c * 1000000 DIV " +
+          "(10000 * avgdl_c * tf_c + 3000 * avgdl_c + 900000 * len)"))
       .withColumn("contrib_micro",
         expr("idf_micro * tff_micro DIV 1000000"))
       .groupBy(col("doc_id"))
@@ -709,8 +717,8 @@ object TextOps extends OpModule {
        |corpus AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |         CAST(sum(len) AS BIGINT) AS total_toks,
-       |         CAST(sum(len) AS BIGINT) * 100 //
-       |           CAST(count(*) AS BIGINT) AS avgdl_c
+       |         least(CAST(sum(len) AS BIGINT) * 100 //
+       |           CAST(count(*) AS BIGINT), 100000) AS avgdl_c
        |  FROM perdoc),
        |stacked AS (
        |  $stackArms),
@@ -724,8 +732,9 @@ object TextOps extends OpModule {
        |        FROM nz GROUP BY 1), corpus),
        |sc AS (
        |  SELECT doc_id,
-       |         idf_micro * (22000 * tf * avgdl_c * 1000000 //
-       |           (10000 * avgdl_c * tf + 3000 * avgdl_c + 900000 * len))
+       |         idf_micro * (22000 * least(tf, 4000) * avgdl_c * 1000000 //
+       |           (10000 * avgdl_c * least(tf, 4000) + 3000 * avgdl_c +
+       |            900000 * len))
        |           // 1000000 AS contrib
        |  FROM nz JOIN idf USING (token), corpus)
        |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro,
