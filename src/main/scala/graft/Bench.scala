@@ -85,7 +85,17 @@ object Bench {
     val total = results.values.flatten.sum
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val failedJson = failed.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's round artifact keeps only a 2000-char stdout TAIL,
+    // which truncates away the total and most per-query numbers — so the
+    // full line is also written to a file that gets committed
+    // (BENCH_full_latest.json by default; override for per-round naming).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_full_latest.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      line + "\n")
     spark.stop()
   }
 }

@@ -31,13 +31,100 @@ object Tables {
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The TIMESTAMP_NTZ branch casts to session-zone TimestampType, so an
+    // unpinned entry point (an ad-hoc REPL session) would silently diverge
+    // from the UTC-pinned DuckDB oracle — pin it HERE, next to the
+    // nanosAsLong setting, not only in Bench/Verify.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // BIGINT arrival means either parquet TIMESTAMP(NANOS) under the
+        // legacy flag or a raw-nanos int64 (the stress fixtures); the
+        // footer check fails loudly on anything else (a future fixture
+        // shipping epoch-micros as plain BIGINT must not be silently
+        // divided by 1000)
+        requireNanosEncoding(spark, dir)
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ =>
+      case other =>
+        val base = new java.io.File(dir).getCanonicalPath
+        tsEncodingChecked.computeIfAbsent(base, { _ =>
+          val enc = s"native_${other.simpleString}"
+          System.err.println(s"[tables] events.ts at $base read as $enc")
+          enc
+        })
         df.withColumn("ts", df.col("ts").cast("timestamp"))
     }
+  }
+
+  /** Footer-level proof that a BIGINT `events.ts` really is nanoseconds:
+    * accepts an explicit parquet TIMESTAMP(NANOS) annotation, or a plain
+    * int64 whose footer max statistic has nanosecond magnitude (≥ 1e17,
+    * i.e. past 1973 in nanos — epoch micros/millis/seconds for any
+    * realistic date are orders of magnitude below). Metadata-only (one
+    * footer read, no data pages), cached per fixture dir, and the branch
+    * taken is logged once so a silent fixture swap shows up in
+    * Verify/Bench output.
+    */
+  private val tsEncodingChecked =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def requireNanosEncoding(spark: SparkSession, dir: String): Unit = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    val base = new java.io.File(dir).getCanonicalPath
+    tsEncodingChecked.computeIfAbsent(base, { _ =>
+      val root = new java.io.File(dir, "events.parquet")
+      val file =
+        if (root.isFile) root
+        else Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .sortBy(_.getName).headOption
+          .getOrElse(sys.error(s"no parquet part files under $root"))
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.toURI),
+          spark.sessionState.newHadoopConf()))
+      val enc = try {
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
+        val tsField = schema.getType(schema.getFieldIndex("ts"))
+        tsField.asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+            "timestamp_nanos"
+          case null =>
+            import scala.jdk.CollectionConverters._
+            val blocks = footer.getBlocks.asScala
+            if (blocks.map(_.getRowCount).sum == 0L) "int64_empty" // vacuous
+            else {
+              val maxNs = blocks
+                .flatMap(_.getColumns.asScala)
+                .filter(_.getPath.toDotString == "ts")
+                .flatMap(c => Option(c.getStatistics))
+                .filter(st => !st.isEmpty && st.hasNonNullValue)
+                .map(_.genericGetMax match {
+                  case l: java.lang.Long => l.longValue()
+                  case other => sys.error(
+                    s"events.ts int64 stats carry non-long max: $other")
+                })
+              require(maxNs.nonEmpty,
+                s"events.ts is plain int64 with no footer statistics in " +
+                  s"$file — cannot verify a nanosecond encoding")
+              require(maxNs.max >= 100000000000000000L, // 1e17 ≈ 1973 in ns
+                s"events.ts is plain int64 but its footer max " +
+                  s"${maxNs.max} is below nanosecond magnitude — refusing " +
+                  "the div-1000 nanos read (micros/millis fixture?)")
+              "int64_nanos"
+            }
+          case other => sys.error(
+            s"events.ts has unrecognized parquet logical type $other in " +
+              s"$file — refusing the div-1000 nanos read")
+        }
+      } finally reader.close()
+      System.err.println(s"[tables] events.ts at $base read as $enc")
+      enc
+    })
+    ()
   }
   private def expr(e: String) = org.apache.spark.sql.functions.expr(e)
 

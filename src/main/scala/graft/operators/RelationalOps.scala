@@ -117,7 +117,18 @@ object RelationalOps extends OpModule {
   private lazy val roundtripBase: java.io.File = {
     val d = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft-rt-${java.util.UUID.randomUUID().toString.take(8)}")
-    d.mkdirs(); d.deleteOnExit(); d
+    d.mkdirs()
+    // deleteOnExit never fires on a non-empty directory, so a recursive
+    // shutdown hook owns the cleanup — otherwise every JVM run leaks its
+    // sink data in a fresh UUID-suffixed tmp directory
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(d)
+    }))
+    d
   }
 
   private def roundtrip(s: SparkSession, dir: String,
