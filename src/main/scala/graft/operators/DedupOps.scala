@@ -542,15 +542,19 @@ object DedupOps extends OpModule {
     * component by its smallest member.
     *
     * Scale shape: each round is one hash-join of the edge list against
-    * the label frame plus a groupBy-min — O(|E|) shuffled per round, no
-    * driver-side graph. Rounds needed = component DIAMETER, and LSH
-    * near-dup components are near-cliques (every member shares most
-    * shingles with every other), so 2–3 rounds close the fixture and any
-    * real crawl; the 20-round cap is a guard for adversarial chain
-    * graphs, where an alternating star-contraction (O(log n) rounds)
-    * would be the upgrade. Convergence is detected by a one-long count
-    * per round — the standard Pregel-loop action, bounded by the round
-    * cap, not per-row. Each round's labels are localCheckpoint-ed:
+    * the label frame plus a groupBy-min, followed by a POINTER-JUMP
+    * (label := label's label — one |V|-row self-join) — O(|E| + |V|)
+    * shuffled per round, no driver-side graph. The jump halves every
+    * label-chain's depth, so rounds needed are O(log diameter) rather
+    * than the diameter itself: LSH near-dup components are near-cliques
+    * (2–3 rounds), and even an adversarial path graph of 2^20 nodes
+    * closes inside the 20-round cap. If the cap is ever hit anyway the
+    * function FAILS LOUDLY (`require(changed == 0)`) instead of
+    * returning silently-wrong labels — four downstream queries
+    * (dup_clusters, _incremental, cluster_keep_best, train_eval_split)
+    * inherit whatever this emits. Convergence is detected by a one-long
+    * count per round — the standard Pregel-loop action, bounded by the
+    * round cap, not per-row. Each round's labels are localCheckpoint-ed:
     * eager materialization truncates the otherwise round-by-round
     * growing lineage AND lets the previous round's cache be dropped by
     * the context cleaner with no unpersist bookkeeping (a reliable
@@ -580,11 +584,25 @@ object DedupOps extends OpModule {
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("mnl"), col("old"))).as("label"))
         .localCheckpoint()
-      changed = merged.filter(col("label") < col("old")).count()
-      labels = merged.select(col("doc_id"), col("label"))
+      // pointer-jump: label := label(label). Every label value is itself
+      // a doc_id in the frame (initial labels are the ids; min preserves
+      // membership), so the lookup is a 1:1 self-join and the coalesce
+      // never fires; the jump is what turns O(diameter) rounds into
+      // O(log diameter).
+      val jumped = merged
+        .join(merged.select(col("doc_id").as("label"),
+          col("label").as("gl")), Seq("label"), "left")
+        .select(col("doc_id"), col("old"),
+          coalesce(col("gl"), col("label")).as("label"))
+        .localCheckpoint()
+      changed = jumped.filter(col("label") < col("old")).count()
+      labels = jumped.select(col("doc_id"), col("label"))
       round += 1
     }
     edges.unpersist()
+    require(changed == 0,
+      s"clustersFromEdges hit the $round-round cap without converging — " +
+        "refusing to emit unconverged cluster labels")
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
