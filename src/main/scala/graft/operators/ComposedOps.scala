@@ -161,15 +161,88 @@ object ComposedOps extends OpModule {
       .orderBy(col("p_brand"))
   }
 
+  /** Q21 shape (suppliers who kept orders waiting): the hardest TPC-H
+    * optimizer shape — a multi-way SEMI + ANTI self-join of the fact
+    * table. A lineitem is "late" past a fixed ship-date cutoff (this
+    * fixture carries no receipt/commit dates; the cutoff preserves Q21's
+    * exact join graph — a per-row late flag consistent across all three
+    * lineitem roles). Keep a late l1 of a finished order iff some OTHER
+    * supplier contributed to the same order (EXISTS → left-semi) and no
+    * OTHER supplier was ALSO late on it (NOT EXISTS → left-anti), then
+    * count per supplier for a nation slice.
+    *
+    * Scale shape: all three lineitem roles hash-partition on
+    * `l_orderkey` — the semi and anti are shuffled hash/sort-merge joins
+    * on that one key with the `<>` supplier test as a residual join
+    * condition, never a cartesian; the `late` filter prunes l1 AND l3
+    * before either self-join; the orders F-filter pushes to its scan and
+    * joins on the same orderkey partitioning; the supplier dimension
+    * joins once on suppkey after the fact side has collapsed to
+    * (orderkey, suppkey) survivors; the 3-row nation slice is an
+    * explicit broadcast. Top-100 lands as TakeOrderedAndProject.
+    * PlanAuditSpec asserts the semi/anti/no-cartesian plan.
+    */
+  def q21Shape(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = to_timestamp(lit("1997-09-30"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val l1 = li.filter(col("l_shipdate") > cutoff)
+    val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+      col("l_suppkey").as("l2_suppkey"))
+    val l3 = l1.select(col("l_orderkey").as("l3_orderkey"),
+      col("l_suppkey").as("l3_suppkey"))
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))
+      .select(col("n_nationkey"))
+    l1
+      .join(l2, col("l2_orderkey") === col("l_orderkey") &&
+        col("l2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(l3, col("l3_orderkey") === col("l_orderkey") &&
+        col("l3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, dir),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(nations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tpch_q3_shape" -> q3Shape,
     "tpch_q5_shape" -> q5Shape,
     "tpch_q8_shape" -> q8Shape,
     "tpch_q17_shape" -> q17Shape,
-    "tpch_q18_shape" -> q18Shape
+    "tpch_q18_shape" -> q18Shape,
+    "tpch_q21_shape" -> q21Shape
   )
 
   val oracle: Map[String, String] = Map(
+    "tpch_q21_shape" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > TIMESTAMP '1997-09-30' AS is_late
+        |  FROM lineitem)
+        |SELECT s_name, count(*) AS numwait
+        |FROM supplier, late l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.is_late
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.is_late)
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
     "tpch_q3_shape" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       $revenue AS revenue

@@ -163,6 +163,26 @@ object SimOps extends OpModule {
     if (n <= 4096) dedupCells
     else Integer.highestOneBit(math.sqrt(n.toDouble).toInt)
 
+  /** LSH sizing for the SRP index ([[annSrp]]): target mean bucket
+    * population, and the bits-per-band that achieves it — the standard
+    * rule bits ≈ log₂(n / target_bucket), floored at the
+    * fixture-calibrated 4 (all shipped oracle fixtures are ≤ 2000
+    * vectors, where the rule lands exactly on 4, so their configuration
+    * — and the SQL-replay oracle — is unchanged by the derivation).
+    * Growing bits with the corpus is what keeps the band join's
+    * candidate volume per query BOUNDED (n/2^bits ≈ target per band)
+    * instead of degrading toward all-pairs on weakly-clustered
+    * embeddings: at 20k iid vectors, frozen 4-bit bands co-bucket ~¼ of
+    * all pairs while 8-bit bands hold the per-band bucket near the 128
+    * target (graft.StressProbe measures both).
+    */
+  val srpBands = 4
+  val srpTargetBucket = 128L
+  def srpBitsPerBand(n: Long): Int = {
+    val buckets = math.max(1L, (n + srpTargetBucket - 1) / srpTargetBucket)
+    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1))
+  }
+
   /** The row's `probes` nearest cells of the broadcast quantizer, as one
     * array expression — the per-vector assignment both the live pass and
     * the persisted artifact share.
@@ -567,20 +587,23 @@ object SimOps extends OpModule {
     * map-side-combinable (q, neighbor) max before the top-k heap.
     *
     * At 100 TB: the table is 4 rows/vector bucketed by (band, bucket) —
-    * the serving layout — and the knobs are standard LSH sizing: more
-    * bits/band shrinks buckets (this fixture's 4 bits → 16 buckets/band
-    * is oracle-frozen, like [[dedupCells]]; production sizes bits ≈
-    * log₂(n/target_bucket) so per-bucket work stays bounded), more
-    * bands raises recall linearly in table size. The iid fixture is
+    * the serving layout — and bits-per-band is DERIVED from the corpus
+    * count ([[srpBitsPerBand]]: bits ≈ log₂(n/target_bucket), the
+    * standard LSH sizing, floored at the fixture-calibrated 4 so every
+    * shipped oracle fixture keeps its frozen 16-bucket bands and the
+    * SQL-replay oracle is untouched), which keeps per-bucket work
+    * bounded as n grows; more bands would raise recall linearly in
+    * table size. The iid fixture is
     * SRP's worst case (mean cosine ≈ 0 ⇒ per-bit collision ≈ ½);
     * real near-dup corpora concentrate far above it.
     */
   def annSrp(s: SparkSession, dir: String): DataFrame = {
     // register BEFORE withNorm builds its eagerly-analyzed graft_dot call
     graft.functions.GraftFunctions.register(s)
-    val planes = driverSeeds(s, dir, 16)
-    srpSearch(s, dir, planes,
-      srpAssigned(s, planes, withNorm(Tables.embeddings(s, dir))))
+    val bits = srpBitsPerBand(Tables.vectorCount(s, dir))
+    val planes = driverSeeds(s, dir, srpBands * bits)
+    srpSearch(s, dir, planes, bits,
+      srpAssigned(s, planes, bits, withNorm(Tables.embeddings(s, dir))))
   }
 
   /** The persisted LSH table — (band, bucket, vec_id, embedding, norm),
@@ -591,7 +614,8 @@ object SimOps extends OpModule {
     */
   def srpTableArtifact(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    srpAssigned(s, driverSeeds(s, dir, 16),
+    val bits = srpBitsPerBand(Tables.vectorCount(s, dir))
+    srpAssigned(s, driverSeeds(s, dir, srpBands * bits), bits,
       withNorm(Tables.embeddings(s, dir)))
   }
 
@@ -602,7 +626,8 @@ object SimOps extends OpModule {
   def annSrpFromStore(s: SparkSession, dir: String,
       table: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    srpSearch(s, dir, driverSeeds(s, dir, 16), table)
+    val bits = srpBitsPerBand(Tables.vectorCount(s, dir))
+    srpSearch(s, dir, driverSeeds(s, dir, srpBands * bits), bits, table)
   }
 
   /** The SRP query-time search: hash the query batch against the SAME
@@ -610,11 +635,12 @@ object SimOps extends OpModule {
     * multi-band collisions, exact cosine + bounded-heap top-5.
     */
   private def srpSearch(s: SparkSession, dir: String,
-      planes: Seq[(Long, Seq[Double])], corpus: DataFrame): DataFrame = {
+      planes: Seq[(Long, Seq[Double])], bits: Int,
+      corpus: DataFrame): DataFrame = {
     import graft.functions.TopKByScore
     val topk = udaf(TopKByScore.TopKAgg(5),
       Encoders.product[TopKByScore.ScoredId])
-    val qs = srpAssigned(s, planes,
+    val qs = srpAssigned(s, planes, bits,
       withNorm(Tables.embeddings(s, dir).filter(col("vec_id") < 20)))
       .select(col("band"), col("bucket"), col("vec_id").as("q_id"),
         col("embedding").as("q_emb"), col("norm").as("q_norm"))
@@ -635,6 +661,28 @@ object SimOps extends OpModule {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Stress instrumentation ([[graft.StressProbe]]): DISTINCT
+    * (q_id, vec_id) candidate pairs the SRP band join proposes for the
+    * 20-query batch at a given bits-per-band — the volume
+    * [[srpBitsPerBand]] exists to bound. Not a query; a measurement of
+    * the index's proposal work before the exact-cosine verify.
+    */
+  private[graft] def srpCandidateCount(s: SparkSession, dir: String,
+      bits: Int): Long = {
+    graft.functions.GraftFunctions.register(s)
+    val planes = driverSeeds(s, dir, srpBands * bits)
+    val corpus = srpAssigned(s, planes, bits,
+      withNorm(Tables.embeddings(s, dir)))
+    val qs = srpAssigned(s, planes, bits,
+      withNorm(Tables.embeddings(s, dir).filter(col("vec_id") < 20)))
+      .select(col("band"), col("bucket"), col("vec_id").as("q_id"))
+    broadcast(qs)
+      .join(corpus.select(col("band"), col("bucket"), col("vec_id")),
+        Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).distinct().count()
+  }
+
   /** The SRP signature pass: 16 sign bits against the frozen plane
     * literal, packed into 4 (band, bucket) keys and exploded — the LSH
     * table build, shared by the corpus and query sides so the hashing
@@ -642,19 +690,23 @@ object SimOps extends OpModule {
     * sorted by id 0..15, so plane_id = array position − 1.
     */
   private def srpAssigned(s: SparkSession, planes: Seq[(Long, Seq[Double])],
-      df: DataFrame): DataFrame = {
+      bits: Int, df: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    require(planes.size == srpBands * bits,
+      s"SRP needs ${srpBands * bits} planes for $bits-bit bands, " +
+        s"got ${planes.size}")
     val planesLit = typedlit(planes)
     df
       .withColumn("bits", transform(planesLit, p =>
         when(dot(col("embedding"), p.getField("_2")) >= lit(0.0), lit(1))
           .otherwise(lit(0))))
-      .withColumn("bb", explode(transform(sequence(lit(0), lit(3)), k =>
-        struct(k.as("band"),
-          (element_at(col("bits"), k * 4 + 1) * 8 +
-            element_at(col("bits"), k * 4 + 2) * 4 +
-            element_at(col("bits"), k * 4 + 3) * 2 +
-            element_at(col("bits"), k * 4 + 4)).as("bucket")))))
+      .withColumn("bb",
+        explode(transform(sequence(lit(0), lit(srpBands - 1)), k =>
+          struct(k.as("band"),
+            (0 until bits).map(j =>
+              element_at(col("bits"), k * bits + j + 1) *
+                lit(1 << (bits - 1 - j)): Column)
+              .reduce(_ + _).as("bucket")))))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("vec_id"), col("embedding"), col("norm"))
   }

@@ -552,6 +552,155 @@ object TextOps extends OpModule {
       .orderBy(desc("n"), col("pair_left"), col("pair_right")).limit(10)
   }
 
+  /** Number of merge rounds [[bpeTrain]] runs — small enough that the
+    * DuckDB oracle's unrolled per-round CTE replay stays readable, big
+    * enough that merged tokens re-merge (the property one step cannot
+    * show). Production would raise this to vocab-size − base-vocab; the
+    * loop shape is round-count-independent.
+    */
+  private[operators] val bpeTrainMerges = 4
+
+  /** Iterated BPE tokenizer training: run [[bpeMergeStep]]'s greedy merge
+    * N times, emitting the RANKED MERGE TABLE (merge_rank, a, b,
+    * merge_token, n-at-selection) — the artifact a real BPE trainer
+    * ships (the merges.txt of a GPT-2-style tokenizer). Each round picks
+    * the most frequent adjacent pair on the CURRENT stream (so round 2
+    * can pick a pair containing round 1's merged token), applies the
+    * greedy left-to-right merge via the same gaps-and-islands windows as
+    * the single step, and renumbers positions DENSE — the run-grouping
+    * arithmetic (`pos − row_number()`) is only adjacency-faithful on a
+    * dense numbering, which merging just perforated.
+    *
+    * Scale shape: per round, two doc_id-partitioned window passes plus
+    * one map-side-combined pair census — O(corpus) each, no self-join.
+    * The chosen pair is ONE row collected driver-side (a model
+    * parameter, the [[graft.operators.SimOps]] quantizer-seed stance)
+    * and re-embedded as a literal, so the per-round plan is
+    * literal-parameterized, not correlated. Round streams are
+    * localCheckpoint-ed: N rounds of window lineage would otherwise
+    * stack into one giant plan, and the eager cut lets the previous
+    * round's shuffle files drop. The oracle replays all N rounds as
+    * unrolled DuckDB CTEs generated from the same [[bpeTrainMerges]], so
+    * round count cannot drift between engines.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var stream = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= bpeTrainMerges && !exhausted) {
+      val withNext = stream
+        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      val chosen = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("tok").as("a"), col("nxt").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("a"), col("b")).limit(1)
+        .collect()
+      if (chosen.isEmpty) exhausted = true // no adjacent pair anywhere
+      else {
+        val (a, b, n) = (chosen(0).getString(0), chosen(0).getString(1),
+          chosen(0).getLong(2))
+        merges += ((round, a, b, n))
+        val tagged = withNext
+          .withColumn("m", col("tok") === lit(a) && col("nxt") === lit(b))
+        val kept = tagged.filter(col("m"))
+          .withColumn("grp", col("pos") - row_number().over(wDoc))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"), col("grp"))
+              .orderBy(col("pos"))))
+          .filter(col("rn") % 2 === 1)
+          .select(col("doc_id"), col("pos"), lit(true).as("kept"))
+        stream = tagged.join(kept, Seq("doc_id", "pos"), "left")
+          .withColumn("kprev", lag(col("kept"), 1).over(wDoc))
+          .filter(!coalesce(col("kprev"), lit(false)))
+          .select(col("doc_id"), col("pos").as("oldpos"),
+            when(coalesce(col("kept"), lit(false)), concat(lit(a), lit(b)))
+              .otherwise(col("tok")).as("tok"))
+          .select(col("doc_id"),
+            row_number().over(Window.partitionBy(col("doc_id"))
+              .orderBy(col("oldpos"))).cast("long").as("pos"),
+            col("tok"))
+          .localCheckpoint()
+      }
+      round += 1
+    }
+    val s2 = s
+    import s2.implicits._
+    merges.result().toDF("merge_rank", "a", "b", "n")
+      .withColumn("merge_token", concat(col("a"), col("b")))
+      .select(col("merge_rank"), col("a"), col("b"), col("merge_token"),
+        col("n"))
+      .orderBy(col("merge_rank"))
+  }
+
+  /** [[bpeTrain]]'s DuckDB twin: all [[bpeTrainMerges]] rounds unrolled
+    * as generated CTE blocks (one wn/top/tagged/keep/mg/stream chain per
+    * round), so the oracle replays the full training loop — chosen pair,
+    * greedy merge, dense renumber — without any engine-side state.
+    */
+  private val bpeTrainOracleSql: String = {
+    def roundSql(i: Int): String = {
+      val p = s"_$i"
+      val prev = s"stream_${i - 1}"
+      s"""wn$p AS (
+         |  SELECT doc_id, pos, tok,
+         |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM $prev),
+         |top$p AS (
+         |  SELECT tok AS a, nxt AS b, CAST(count(*) AS BIGINT) AS n
+         |  FROM wn$p WHERE nxt IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY n DESC, a, b LIMIT 1),
+         |tagged$p AS (
+         |  SELECT w.doc_id, w.pos, w.tok, w.nxt, t.a, t.b,
+         |         (w.tok = t.a AND w.nxt = t.b) AS m
+         |  FROM wn$p w CROSS JOIN top$p t),
+         |keep$p AS (
+         |  SELECT doc_id, pos, TRUE AS kept FROM (
+         |    SELECT doc_id, pos,
+         |           row_number() OVER (PARTITION BY doc_id, grp
+         |                              ORDER BY pos) AS rn
+         |    FROM (SELECT doc_id, pos,
+         |                 pos - row_number() OVER
+         |                   (PARTITION BY doc_id ORDER BY pos) AS grp
+         |          FROM tagged$p WHERE m))
+         |  WHERE rn % 2 = 1),
+         |mg$p AS (
+         |  SELECT t.doc_id, t.pos,
+         |         CASE WHEN coalesce(k.kept, FALSE) THEN t.a || t.b
+         |              ELSE t.tok END AS tok,
+         |         lag(coalesce(k.kept, FALSE))
+         |           OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS kprev
+         |  FROM tagged$p t LEFT JOIN keep$p k USING (doc_id, pos)),
+         |stream_$i AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |           AS pos,
+         |         tok
+         |  FROM mg$p WHERE NOT coalesce(kprev, FALSE))"""
+    }
+    val rounds = (1 to bpeTrainMerges).map(roundSql).mkString(",\n")
+    val arms = (1 to bpeTrainMerges).map(i =>
+      s"SELECT $i AS merge_rank, a, b, a || b AS merge_token, n FROM top_$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |stream_0 AS (
+       |  SELECT doc_id,
+       |         CAST(unnest(range(1, len(ts) + 1)) AS BIGINT) AS pos,
+       |         unnest(ts) AS tok
+       |  FROM toks),
+       |$rounds
+       |$arms
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   /** The fixed retrieval query [[bm25Topk]] scores — config, like the RFM
     * thresholds: mixed-rarity terms from the corpus domain. */
   private val bm25QueryTerms = Seq("dup", "join", "vector", "scan")
@@ -566,14 +715,16 @@ object TextOps extends OpModule {
     * micro-nat stance): avgdl is quantized ONCE to centi-tokens
     * (`total·100 DIV n_docs`), each term's idf ONCE to micro-nats, and
     * the length-normalized tf factor is an EXACT integer rational —
-    * `22000·tf_c·avgdl_c·10⁶ DIV (10000·avgdl_c·tf_c + 3000·avgdl_c +
+    * `22000·tf_c·avgdl_c·10⁵ DIV (10000·avgdl_c·tf_c + 3000·avgdl_c +
     * 900000·len)` (k1, b, and k1+1 are exact in hundredths, so
     * multiplying the BM25 denominator through by 10⁴·avgdl_c clears every
     * fraction). Overflow is bounded by saturation, not hope: tf is
     * capped at 4000 (BM25's tf factor is within 0.1 % of its (k1+1)
     * asymptote there — the cap is the standard saturation made explicit)
-    * and avgdl_c at 10⁵ (average doc ≤ 1000 tokens), so the numerator is
-    * ≤ 22000·4000·10⁵·10⁶ = 8.8·10¹⁸ < 2⁶³ even on a pathological
+    * and avgdl_c at 10⁶ (average doc ≤ 10,000 tokens — headroom for
+    * long-document corpora; only a corpus AVERAGING novel-length docs
+    * gets clamped length normalization), so the numerator is
+    * ≤ 22000·4000·10⁶·10⁵ = 8.8·10¹⁸ < 2⁶³ even on a pathological
     * corpus where one document repeats a query term millions of times.
     * Both caps are applied identically in the DuckDB twin.
     * Per-(doc,term) contributions truncate identically in Spark `DIV`
@@ -605,7 +756,7 @@ object TextOps extends OpModule {
     val corpus = perDoc.agg(count(lit(1)).as("n_docs"),
       sum(col("len")).as("total_toks"))
       .withColumn("avgdl_c",
-        expr("least(total_toks * 100 DIV n_docs, 100000L)"))
+        expr("least(total_toks * 100 DIV n_docs, 1000000L)"))
     val idf = stacked.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(corpus))
       .withColumn("idf_micro", round(
@@ -618,11 +769,11 @@ object TextOps extends OpModule {
       .join(broadcast(idf), "token")
       .crossJoin(broadcast(corpus))
       .withColumn("tf_c", expr("least(tf, 4000L)"))
-      .withColumn("tff_micro", expr(
-        "22000 * tf_c * avgdl_c * 1000000 DIV " +
+      .withColumn("tff_c", expr(
+        "22000 * tf_c * avgdl_c * 100000 DIV " +
           "(10000 * avgdl_c * tf_c + 3000 * avgdl_c + 900000 * len)"))
       .withColumn("contrib_micro",
-        expr("idf_micro * tff_micro DIV 1000000"))
+        expr("idf_micro * tff_c DIV 100000"))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib_micro")).as("score_micro"),
         count(lit(1)).as("n_terms"))
@@ -633,6 +784,7 @@ object TextOps extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_bm25_topk" -> bm25Topk,
     "llm_bpe_merge_step" -> bpeMergeStep,
+    "llm_bpe_train" -> bpeTrain,
     "llm_char_entropy" -> charEntropy,
     "llm_sample_temperature" -> sampleTemperature,
     "llm_oov_rate" -> oovRate,
@@ -718,7 +870,7 @@ object TextOps extends OpModule {
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |         CAST(sum(len) AS BIGINT) AS total_toks,
        |         least(CAST(sum(len) AS BIGINT) * 100 //
-       |           CAST(count(*) AS BIGINT), 100000) AS avgdl_c
+       |           CAST(count(*) AS BIGINT), 1000000) AS avgdl_c
        |  FROM perdoc),
        |stacked AS (
        |  $stackArms),
@@ -732,10 +884,10 @@ object TextOps extends OpModule {
        |        FROM nz GROUP BY 1), corpus),
        |sc AS (
        |  SELECT doc_id,
-       |         idf_micro * (22000 * least(tf, 4000) * avgdl_c * 1000000 //
+       |         idf_micro * (22000 * least(tf, 4000) * avgdl_c * 100000 //
        |           (10000 * avgdl_c * least(tf, 4000) + 3000 * avgdl_c +
        |            900000 * len))
-       |           // 1000000 AS contrib
+       |           // 100000 AS contrib
        |  FROM nz JOIN idf USING (token), corpus)
        |SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro,
        |       CAST(count(*) AS BIGINT) AS n_terms
@@ -745,6 +897,7 @@ object TextOps extends OpModule {
 
   val oracle: Map[String, String] = Map(
     "llm_bm25_topk" -> bm25OracleSql,
+    "llm_bpe_train" -> bpeTrainOracleSql,
     "llm_bpe_merge_step" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),

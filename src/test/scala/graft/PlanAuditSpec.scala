@@ -224,6 +224,23 @@ class PlanAuditSpec extends SparkSpec {
       assert(l.contains("h#") || l.contains("doc_id#"), l))
   }
 
+  test("tpch_q21: semi and anti self-joins plan as hash joins, no cartesian") {
+    val df = ComposedOps.q21Shape(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    // the <> supplier test must ride the orderkey equi-join as a residual
+    // condition — never a nested-loop or cartesian pair enumeration
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // top-100 is a bounded heap, not a global sort — asserted on the
+    // INITIAL plan: at sf0.001 the aggregate undercuts the limit and
+    // AQE legitimately eliminates the TakeOrdered at runtime, but the
+    // shape that would run at scale is the pre-AQE one
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("TakeOrderedAndProject"), full)
+  }
+
   test("tpch_q8: dimension arms broadcast, no cartesian in the join tree") {
     val p = plan(ComposedOps.q8Shape(spark, sf0001))
     assert(p.contains("BroadcastHashJoin"), p)

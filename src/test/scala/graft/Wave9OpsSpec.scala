@@ -115,7 +115,7 @@ class Wave9OpsSpec extends SparkSpec {
         r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
     val nDocs = docs.size.toLong
     val totalToks = docs.values.map(_.length.toLong).sum
-    val avgdlC = totalToks * 100 / nDocs
+    val avgdlC = math.min(totalToks * 100 / nDocs, 1000000L)
     val scores = docs.toSeq.flatMap { case (id, toks) =>
       val len = toks.length.toLong
       qTerms.flatMap { t =>
@@ -130,9 +130,10 @@ class Wave9OpsSpec extends SparkSpec {
     }
     val perDoc = scores.groupBy(_._1).map { case (id, xs) =>
       val s0 = xs.map { case (_, t, tf, len) =>
-        val tff = 22000L * tf * avgdlC * 1000000L /
-          (10000L * avgdlC * tf + 3000L * avgdlC + 900000L * len)
-        idf(t) * tff / 1000000L
+        val tfC = math.min(tf, 4000L)
+        val tff = 22000L * tfC * avgdlC * 100000L /
+          (10000L * avgdlC * tfC + 3000L * avgdlC + 900000L * len)
+        idf(t) * tff / 100000L
       }.sum
       (id, s0, xs.size.toLong)
     }
