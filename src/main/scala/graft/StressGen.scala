@@ -115,6 +115,97 @@ object StressGen {
       .repartition(8)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // ---- relational star at `relX`× the sf0.1 shape (default 10×:
+    // lineitem 6M / orders 1.5M / customer 150k / supplier 10k / part
+    // 200k) so the join/agg/window/tpch families get a stress datapoint
+    // too. Unlike the text tables above, generation is DISTRIBUTED:
+    // spark.range + xxhash64-derived columns — deterministic (seeded
+    // hashes of the row id, no RNG state), embarrassingly parallel, and
+    // the exact pattern a 100 TB fixture build would use. Value domains
+    // mirror the shipped fixtures (same dimension literals the tpch
+    // shapes filter on: ASIA/AMERICA, BUILDING, ECONOMY, NATION_k), so
+    // every relational query runs unmodified against the stress dir.
+    val relX = args.lift(4).map(_.toInt).getOrElse(10)
+    if (relX > 0) {
+      val nCust = 15000L * relX
+      val nSupp = 1000L * relX
+      val nPart = 20000L * relX
+      val nOrders = 150000L * relX
+      val nLine = 600000L * relX
+      def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+        df.repartition(16).write.mode("overwrite")
+          .parquet(s"$out/$name.parquet")
+      write(spark.range(5).selectExpr(
+        "CAST(id AS INT) AS r_regionkey",
+        "element_at(array('AFRICA','AMERICA','ASIA','EUROPE'," +
+          "'MIDDLE EAST'), CAST(id + 1 AS INT)) AS r_name"), "region")
+      write(spark.range(25).selectExpr(
+        "CAST(id AS INT) AS n_nationkey",
+        "concat('NATION_', id) AS n_name",
+        "CAST(id % 5 AS INT) AS n_regionkey"), "nation")
+      write(spark.range(nCust).selectExpr(
+        "id AS c_custkey",
+        "format_string('Customer#%09d', id) AS c_name",
+        "CAST(pmod(xxhash64(id, 21), 25) AS INT) AS c_nationkey",
+        "round(-1000.0 + pmod(xxhash64(id, 22), 1100000) / 100.0, 2)" +
+          " AS c_acctbal",
+        "element_at(array('AUTOMOBILE','BUILDING','FURNITURE'," +
+          "'HOUSEHOLD','MACHINERY')," +
+          " CAST(pmod(xxhash64(id, 23), 5) + 1 AS INT)) AS c_mktsegment"),
+        "customer")
+      write(spark.range(nSupp).selectExpr(
+        "id AS s_suppkey",
+        "format_string('Supplier#%09d', id) AS s_name",
+        "CAST(pmod(xxhash64(id, 31), 25) AS INT) AS s_nationkey",
+        "round(-1000.0 + pmod(xxhash64(id, 32), 1100000) / 100.0, 2)" +
+          " AS s_acctbal"), "supplier")
+      write(spark.range(nPart).selectExpr(
+        "id AS p_partkey",
+        "concat(element_at(array('blue','red','old','new','hot','cold'," +
+          "'large','small'), CAST(pmod(xxhash64(id, 41), 8) + 1 AS INT))," +
+          " ' ', element_at(array('ring','bolt','case','drum','plate')," +
+          " CAST(pmod(xxhash64(id, 42), 5) + 1 AS INT))) AS p_name",
+        "concat('Brand#', pmod(xxhash64(id, 43), 20)) AS p_brand",
+        "element_at(array('ECONOMY','LARGE','MEDIUM','PROMO','SMALL'," +
+          "'STANDARD'), CAST(pmod(xxhash64(id, 44), 6) + 1 AS INT))" +
+          " AS p_type",
+        "CAST(pmod(xxhash64(id, 45), 50) + 1 AS INT) AS p_size",
+        "round(900.0 + pmod(xxhash64(id, 46), 9990) / 100.0, 2)" +
+          " AS p_retailprice"), "part")
+      write(spark.range(nOrders).selectExpr(
+        "id AS o_orderkey",
+        s"pmod(xxhash64(id, 51), ${nCust}L) AS o_custkey",
+        "element_at(array('F','O','P')," +
+          " CAST(pmod(xxhash64(id, 52), 3) + 1 AS INT)) AS o_orderstatus",
+        "round(1000.0 + pmod(xxhash64(id, 53), 49900000) / 100.0, 2)" +
+          " AS o_totalprice",
+        "CAST(date_add(DATE'1995-01-01'," +
+          " CAST(pmod(xxhash64(id, 54), 2400) AS INT)) AS TIMESTAMP)" +
+          " AS o_orderdate",
+        "element_at(array('1-URGENT','2-HIGH','3-MEDIUM'," +
+          "'4-NOT SPECIFIED','5-LOW')," +
+          " CAST(pmod(xxhash64(id, 55), 5) + 1 AS INT))" +
+          " AS o_orderpriority"), "orders")
+      write(spark.range(nLine).selectExpr(
+        "id DIV 4 AS l_orderkey",
+        s"pmod(xxhash64(id, 61), ${nPart}L) AS l_partkey",
+        s"pmod(xxhash64(id, 62), ${nSupp}L) AS l_suppkey",
+        "CAST(id % 4 + 1 AS INT) AS l_linenumber",
+        "CAST(pmod(xxhash64(id, 63), 50) + 1 AS DOUBLE) AS l_quantity",
+        "round(900.0 + pmod(xxhash64(id, 64), 10410000) / 100.0, 2)" +
+          " AS l_extendedprice",
+        "CAST(pmod(xxhash64(id, 65), 11) / 100.0 AS DOUBLE) AS l_discount",
+        "CAST(pmod(xxhash64(id, 66), 9) / 100.0 AS DOUBLE) AS l_tax",
+        "element_at(array('A','N','R')," +
+          " CAST(pmod(xxhash64(id, 67), 3) + 1 AS INT)) AS l_returnflag",
+        "element_at(array('F','O')," +
+          " CAST(pmod(xxhash64(id, 68), 2) + 1 AS INT)) AS l_linestatus",
+        "CAST(date_add(DATE'1995-01-02'," +
+          " CAST(pmod(xxhash64(id, 69), 2500) AS INT)) AS TIMESTAMP)" +
+          " AS l_shipdate"), "lineitem")
+      println(s"[stressgen] wrote relational star at ${relX}x sf0.1 " +
+        s"($nLine lineitem / $nOrders orders) to $out")
+    }
     println(s"[stressgen] wrote $docCount docs + $vecCount vectors + " +
       s"$evCount events to $out")
     spark.stop()

@@ -105,6 +105,17 @@ object StressProbe {
       spark, q,
       spark.read.parquet(s"$dir/ann_index/centroids"),
       spark.read.parquet(s"$dir/ann_index/assigned_bycell")))
+    // SRP-LSH at 10×: the scale-adaptivity datapoint. Candidate volume
+    // per 20-query batch at the fixture-frozen 4 bits/band vs the
+    // corpus-derived srpBitsPerBand(n) — the adaptive sizing must cut
+    // the proposal work as n grows past the fixture scale — plus the
+    // adaptive path's recall against the brute-force answer.
+    val bitsAdaptive = graft.operators.SimOps.srpBitsPerBand(n)
+    val candFixed = graft.operators.SimOps.srpCandidateCount(spark, dir, 4)
+    val candAdaptive =
+      if (bitsAdaptive == 4) candFixed
+      else graft.operators.SimOps.srpCandidateCount(spark, dir, bitsAdaptive)
+    val (tSrp, srp) = topSets(graft.operators.SimOps.annSrp(spark, dir))
     println(s"""{"metric":"stress_probe","n_vectors":$n,""" +
       s""""pairs_exact":${ref.size},"true_dups":${trueDups.size},""" +
       s"""$defScore,$sqrtScore,""" +
@@ -112,7 +123,10 @@ object StressProbe {
       s""""sec_served":$tServe,"sec_served_pruned":$tPruned,""" +
       s""""recall_at_5":${recallOf(ann)},""" +
       s""""recall_served":${recallOf(served)},""" +
-      s""""recall_served_pruned":${recallOf(pruned)}}}""")
+      s""""recall_served_pruned":${recallOf(pruned)}},""" +
+      s""""srp":{"bits_fixed":4,"cand_fixed":$candFixed,""" +
+      s""""bits_adaptive":$bitsAdaptive,"cand_adaptive":$candAdaptive,""" +
+      s""""sec_srp":$tSrp,"recall_srp":${recallOf(srp)}}}""")
     spark.stop()
   }
 }

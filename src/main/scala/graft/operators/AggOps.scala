@@ -101,18 +101,92 @@ object AggOps extends OpModule {
         count(lit(1)).as("n_events"))
       .orderBy(col("user_id"))
 
-  /** Exact percentiles (linear interpolation — Spark `percentile` ≡ DuckDB
-    * `quantile_cont`) per group; a sort-based aggregate, unlike the hash
-    * aggregates above.
+  /** Exact percentiles (linear interpolation — ≡ DuckDB `quantile_cont`)
+    * per group, WITHOUT the built-in `percentile` aggregate: that
+    * aggregate buffers every value of a group in its state (6M doubles
+    * per returnflag at the 10× stress tier — 19 s there, unbounded
+    * memory at 100 TB, and a 3-group final merge is a straggler by
+    * construction). Instead the value domain collapses to one counted
+    * row per (flag, value) — a map-side-combinable hash aggregate — and
+    * the inclusive prefix counts ride [[WindowOps.spreadRank]]'s
+    * range-partitioned two-pass sum (parallel in the shuffle width, the
+    * [[weightedPercentile]] shape). Each quantile then needs just the
+    * two order statistics around pos = (n−1)·q — picked with `min(when
+    * (__pre ≥ idx))` — and Spark's own interpolation formula
+    * `lo + frac·(hi − lo)` in double, which value-matches DuckDB's
+    * `quantile_cont` exactly as the built-in did.
     */
-  def percentileAgg(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
-        expr("percentile(l_quantity, 0.9)").as("qty_p90"),
-        expr("percentile(l_extendedprice, 0.25)").as("price_p25"))
+  def percentileAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val qty = exactPercentiles(s,
+      li.select(col("l_returnflag"), col("l_quantity")),
+      "l_returnflag", "l_quantity",
+      Seq(("qty_p50", 0.5), ("qty_p90", 0.9)), collapse = true)
+    val price = exactPercentiles(s,
+      li.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", Seq(("price_p25", 0.25)),
+      collapse = false)
+    qty.join(price, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("qty_p50"), col("qty_p90"),
+        col("price_p25"))
       .orderBy(col("l_returnflag"))
+  }
+
+  /** Exact interpolated percentiles of `valueCol` per `key` via spread
+    * prefix counts. For each (name, q): the order statistics at
+    * floor/ceil of pos = (n−1)·q (0-based, the
+    * `percentile`/`quantile_cont` definition) and the double
+    * interpolation between them. Nulls are excluded like both built-ins
+    * exclude them.
+    *
+    * `collapse` is the domain-cardinality config (the [[scaledCells]]
+    * stance — a property of the COLUMN, known to the caller, not
+    * derivable without a pass): a narrow domain (l_quantity: 50 values)
+    * first collapses to counted distinct values, so the spread pass
+    * runs over domain-sized metadata; a wide domain (l_extendedprice:
+    * ~as many values as rows) skips the collapse — its groupBy would
+    * shuffle the full table to shrink it by nothing — and spreads the
+    * raw rows, where the rank equality picks the same order statistics
+    * (ties share a value, so which tied row wins is value-irrelevant).
+    */
+  private def exactPercentiles(s: SparkSession, df: DataFrame, key: String,
+      valueCol: String, quantiles: Seq[(String, Double)],
+      collapse: Boolean): DataFrame = {
+    val parts = s.sessionState.conf.numShufflePartitions
+    val nn = df.filter(col(valueCol).isNotNull)
+    // total: the count column (collapsed: __tw; raw: __n); idx: the
+    // inclusive 1-based position comparison selecting order statistic i
+    val (spread, total, pick) =
+      if (collapse) {
+        val grouped = nn.groupBy(col(key), col(valueCol))
+          .agg(count(lit(1)).as("cnt"))
+        val sp = WindowOps.spreadRank(grouped, key, Seq(col(valueCol)),
+          parts, weight = Some("cnt"))
+        // __pre = inclusive cumulative count in value order; the 0-based
+        // order statistic at index i is the smallest value with __pre ≥ i+1
+        (sp, "__tw",
+          (i: org.apache.spark.sql.Column) =>
+            min(when(col("__pre") >= i, col(valueCol))))
+      } else {
+        val sp = WindowOps.spreadRank(nn, key, Seq(col(valueCol)), parts)
+        (sp, "__n",
+          (i: org.apache.spark.sql.Column) =>
+            min(when(col("__rn") === i, col(valueCol))))
+      }
+    val aggs = quantiles.flatMap { case (name, q) =>
+      val pos = (col(total) - 1).cast("double") * lit(q)
+      Seq(pick(floor(pos) + 1).as(s"__${name}_lo"),
+        pick(ceil(pos) + 1).as(s"__${name}_hi"))
+    }
+    spread.groupBy(col(key), col(total))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: quantiles.map { case (name, q) =>
+        val pos = (col(total) - 1).cast("double") * lit(q)
+        val frac = pos - floor(pos)
+        (col(s"__${name}_lo") +
+          frac * (col(s"__${name}_hi") - col(s"__${name}_lo"))).as(name)
+      }: _*)
+  }
 
   /** Statistical aggregates (mean/variance/stddev/correlation) computed
     * from EXACT decimal moments: the raw sums Σx, Σx², Σy, Σy², Σxy run in
@@ -361,26 +435,37 @@ object AggOps extends OpModule {
     * weight reaches q × total, all weight arithmetic in exact DECIMAL so
     * the crossing row is bit-deterministic cross-engine.
     *
-    * Scale shape: the value domain first collapses to one row per
-    * (flag, price) — at 100 TB that domain still grows with the data, so
-    * the running weight does NOT use a per-flag window (the 3-partition
-    * straggler the spread-rank rework removed from win_distribution);
-    * it rides [[WindowOps.spreadRank]]'s range-partitioned two-pass
-    * prefix sum, parallel in the range partition count. Totals are a
+    * Scale shape: the raw rows spread DIRECTLY — l_extendedprice's
+    * domain is nearly as large as the table, so a collapse-to-distinct
+    * groupBy would shuffle everything to shrink nothing (measured 2 s
+    * of pure overhead at the 10× stress tier) — and the running weight
+    * does NOT use a per-flag window (the 3-partition straggler the
+    * spread-rank rework removed from win_distribution); it rides
+    * [[WindowOps.spreadRank]]'s range-partitioned two-pass prefix sum,
+    * parallel in the range partition count. The crossing picks are
+    * value-level (`min(when(__pre·k ≥ __tw))`), so which of several
+    * same-value rows first crosses is value-irrelevant and the raw
+    * spread selects exactly the collapsed form's answer. Totals are a
     * |flags|-row broadcast. The DuckDB twin keeps the textbook
     * single-window form — an independent route to the same crossing
     * rows.
     */
   def weightedPercentile(s: SparkSession, dir: String): DataFrame = {
-    val grouped = Tables.lineitem(s, dir)
+    // weight in exact centi-unit LONGS (quantity is 2-decimal money
+    // arithmetic: the decimal cast fixes the scale, ×100 clears it) —
+    // the prefix sums then run native long adds instead of per-row
+    // decimal state, the crossing comparisons are scale-invariant, and
+    // the only conversion back is one edge division whose operands are
+    // exact in double, so total_weight bit-matches the oracle's
+    // CAST(decimal AS DOUBLE)
+    val raw = Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
         col("l_extendedprice"),
-        expr("CAST(l_quantity AS DECIMAL(18,2))").as("q"))
-      .groupBy(col("l_returnflag"), col("l_extendedprice"))
-      .agg(sum(col("q")).as("w"))
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("w"))
     // per-flag total weight comes out of spreadRank's metadata pass
     // (`__tw`) — no second aggregate or join over the data
-    val spread = WindowOps.spreadRank(grouped, "l_returnflag",
+    val spread = WindowOps.spreadRank(raw, "l_returnflag",
       Seq(col("l_extendedprice")),
       s.sessionState.conf.numShufflePartitions, weight = Some("w"))
     spread
@@ -393,7 +478,7 @@ object AggOps extends OpModule {
         min(when(col("__pre") * 4 >= col("__tw") * 3,
           col("l_extendedprice"))).as("wp75"))
       .select(col("l_returnflag"), col("wp25"), col("wp50"), col("wp75"),
-        col("__tw").cast("double").as("total_weight"))
+        (col("__tw").cast("double") / lit(100.0)).as("total_weight"))
       .orderBy(col("l_returnflag"))
   }
 
