@@ -61,10 +61,12 @@ object Tables {
     * accepts an explicit parquet TIMESTAMP(NANOS) annotation, or a plain
     * int64 whose footer max statistic has nanosecond magnitude (≥ 1e17,
     * i.e. past 1973 in nanos — epoch micros/millis/seconds for any
-    * realistic date are orders of magnitude below). Metadata-only (one
-    * footer read, no data pages), cached per fixture dir, and the branch
-    * taken is logged once so a silent fixture swap shows up in
-    * Verify/Bench output.
+    * realistic date are orders of magnitude below). ALL part files are
+    * scanned (metadata only — footers, no data pages): trusting just the
+    * first part would let an empty or statistics-free leading part vouch
+    * for siblings carrying micros-magnitude data. Cached per fixture dir,
+    * and the branch taken is logged once so a silent fixture swap shows
+    * up in Verify/Bench output.
     */
   private val tsEncodingChecked =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -74,30 +76,38 @@ object Tables {
     val base = new java.io.File(dir).getCanonicalPath
     tsEncodingChecked.computeIfAbsent(base, { _ =>
       val root = new java.io.File(dir, "events.parquet")
-      val file =
-        if (root.isFile) root
-        else Option(root.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .sortBy(_.getName).headOption
-          .getOrElse(sys.error(s"no parquet part files under $root"))
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(file.toURI),
-          spark.sessionState.newHadoopConf()))
-      val enc = try {
-        val footer = reader.getFooter
-        val schema = footer.getFileMetaData.getSchema
-        val tsField = schema.getType(schema.getFieldIndex("ts"))
-        tsField.asPrimitiveType().getLogicalTypeAnnotation match {
-          case t: TimestampLogicalTypeAnnotation
-              if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
-            "timestamp_nanos"
-          case null =>
-            import scala.jdk.CollectionConverters._
-            val blocks = footer.getBlocks.asScala
-            if (blocks.map(_.getRowCount).sum == 0L) "int64_empty" // vacuous
-            else {
-              val maxNs = blocks
+      val files =
+        if (root.isFile) Array(root)
+        else {
+          val parts = Option(root.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+          if (parts.isEmpty) sys.error(s"no parquet part files under $root")
+          parts
+        }
+      val hconf = spark.sessionState.newHadoopConf()
+      var sawNanosAnnotation = false
+      var sawPlainInt64 = false
+      var totalRows = 0L
+      var statsMax: Option[Long] = None
+      files.foreach { file =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(file.toURI), hconf))
+        try {
+          val footer = reader.getFooter
+          val schema = footer.getFileMetaData.getSchema
+          val tsField = schema.getType(schema.getFieldIndex("ts"))
+          tsField.asPrimitiveType().getLogicalTypeAnnotation match {
+            case t: TimestampLogicalTypeAnnotation
+                if t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS =>
+              sawNanosAnnotation = true
+            case null =>
+              sawPlainInt64 = true
+              import scala.jdk.CollectionConverters._
+              val blocks = footer.getBlocks.asScala
+              totalRows += blocks.map(_.getRowCount).sum
+              val fileMax = blocks
                 .flatMap(_.getColumns.asScala)
                 .filter(_.getPath.toDotString == "ts")
                 .flatMap(c => Option(c.getStatistics))
@@ -107,20 +117,30 @@ object Tables {
                   case other => sys.error(
                     s"events.ts int64 stats carry non-long max: $other")
                 })
-              require(maxNs.nonEmpty,
-                s"events.ts is plain int64 with no footer statistics in " +
-                  s"$file — cannot verify a nanosecond encoding")
-              require(maxNs.max >= 100000000000000000L, // 1e17 ≈ 1973 in ns
-                s"events.ts is plain int64 but its footer max " +
-                  s"${maxNs.max} is below nanosecond magnitude — refusing " +
-                  "the div-1000 nanos read (micros/millis fixture?)")
-              "int64_nanos"
-            }
-          case other => sys.error(
-            s"events.ts has unrecognized parquet logical type $other in " +
-              s"$file — refusing the div-1000 nanos read")
+              if (fileMax.nonEmpty)
+                statsMax = Some(statsMax.fold(fileMax.max)(_ max fileMax.max))
+            case other => sys.error(
+              s"events.ts has unrecognized parquet logical type $other in " +
+                s"$file — refusing the div-1000 nanos read")
+          }
+        } finally reader.close()
+      }
+      require(!(sawNanosAnnotation && sawPlainInt64),
+        s"events.ts part files under $root mix TIMESTAMP(NANOS) and plain " +
+          "int64 annotations — refusing the div-1000 nanos read")
+      val enc =
+        if (sawNanosAnnotation) "timestamp_nanos"
+        else if (totalRows == 0L) "int64_empty" // vacuous: no rows anywhere
+        else {
+          require(statsMax.nonEmpty,
+            s"events.ts is plain int64 with no footer statistics in any " +
+              s"part under $root — cannot verify a nanosecond encoding")
+          require(statsMax.get >= 100000000000000000L, // 1e17 ≈ 1973 in ns
+            s"events.ts is plain int64 but its aggregate footer max " +
+              s"${statsMax.get} is below nanosecond magnitude — refusing " +
+              "the div-1000 nanos read (micros/millis fixture?)")
+          "int64_nanos"
         }
-      } finally reader.close()
       System.err.println(s"[tables] events.ts at $base read as $enc")
       enc
     })

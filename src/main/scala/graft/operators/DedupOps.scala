@@ -562,7 +562,8 @@ object DedupOps extends OpModule {
     * executor loss must not silently recompute a nondeterministic
     * lineage).
     */
-  private[graft] def clustersFromEdges(pairs: DataFrame): DataFrame = {
+  private[graft] def clustersFromEdges(pairs: DataFrame,
+      roundCap: Int = 20): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs
@@ -573,7 +574,7 @@ object DedupOps extends OpModule {
       .localCheckpoint()
     var changed = 1L
     var round = 0
-    while (changed > 0 && round < 20) {
+    while (changed > 0 && round < roundCap) {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")),
           "dst")
@@ -598,6 +599,22 @@ object DedupOps extends OpModule {
       changed = jumped.filter(col("label") < col("old")).count()
       labels = jumped.select(col("doc_id"), col("label"))
       round += 1
+    }
+    // `changed` counts labels LOWERED DURING the final round — a fixpoint
+    // reached exactly ON the cap round still reports changed > 0. One
+    // extra would-anything-still-change probe separates "converged on the
+    // last permitted round" (fine) from "genuinely unconverged" (refuse):
+    // at a propagation fixpoint no neighbor carries a smaller label, which
+    // forces labels uniform per component (adjacent u,v bound each other),
+    // i.e. the component min — so this single check is sufficient.
+    if (changed > 0) {
+      val probe = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")),
+          "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("mnl"))
+      changed = labels
+        .join(probe.select(col("src").as("doc_id"), col("mnl")), "doc_id")
+        .filter(col("mnl") < col("label")).count()
     }
     edges.unpersist()
     require(changed == 0,

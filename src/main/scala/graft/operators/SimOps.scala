@@ -179,8 +179,14 @@ object SimOps extends OpModule {
   val srpBands = 4
   val srpTargetBucket = 128L
   def srpBitsPerBand(n: Long): Int = {
-    val buckets = math.max(1L, (n + srpTargetBucket - 1) / srpTargetBucket)
-    math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1))
+    // ceil-div written overflow-safe: n + (target-1) wraps negative near
+    // Long.MaxValue and would silently collapse bits to the floor of 4
+    val buckets =
+      if (n <= 0L) 1L else (n - 1L) / srpTargetBucket + 1L
+    // capped at 62 so the Long bucket id (1L << (bits-1)) never wraps —
+    // past ~5.9e20 vectors the bucket target just grows instead
+    math.min(62,
+      math.max(4, 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)))
   }
 
   /** The row's `probes` nearest cells of the broadcast quantizer, as one
@@ -606,28 +612,46 @@ object SimOps extends OpModule {
       srpAssigned(s, planes, bits, withNorm(Tables.embeddings(s, dir))))
   }
 
-  /** The persisted LSH table — (band, bucket, vec_id, embedding, norm),
-    * what a corpus snapshot writes ONCE (bucketed by (band, bucket) at
-    * scale, the serving layout) so query batches never re-hash the
-    * corpus. The [[annSrp]] query form builds it inline; round-trip
-    * equivalence is asserted in Round6bOpsSpec.
+  /** The persisted LSH table — (band, bucket, vec_id, embedding, norm,
+    * bits), what a corpus snapshot writes ONCE (bucketed by
+    * (band, bucket) at scale, the serving layout) so query batches never
+    * re-hash the corpus. `bits` records the build-time bits-per-band:
+    * the layout parameter IS part of the artifact, so a query side can
+    * never hash against a different band width than the stored buckets
+    * were built with. The [[annSrp]] query form builds it inline;
+    * round-trip equivalence is asserted in Round6bOpsSpec.
     */
   def srpTableArtifact(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val bits = srpBitsPerBand(Tables.vectorCount(s, dir))
     srpAssigned(s, driverSeeds(s, dir, srpBands * bits), bits,
       withNorm(Tables.embeddings(s, dir)))
+      .withColumn("bits", lit(bits))
   }
 
   /** [[annSrp]] reading a PERSISTED [[srpTableArtifact]] — the serving
     * form: only the (tiny) query side is hashed at query time; the
-    * corpus contributes one artifact scan.
+    * corpus contributes one artifact scan. Bits-per-band comes FROM the
+    * artifact, never re-derived from the live corpus count: if the
+    * corpus grew past a power-of-two boundary since the table was
+    * built, a re-derivation would hash queries into a band layout the
+    * stored buckets don't have — silent recall collapse. A mixed-bits
+    * table (two builds concatenated) fails loudly.
     */
   def annSrpFromStore(s: SparkSession, dir: String,
       table: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val bits = srpBitsPerBand(Tables.vectorCount(s, dir))
-    srpSearch(s, dir, driverSeeds(s, dir, srpBands * bits), bits, table)
+    require(table.columns.contains("bits"),
+      "persisted SRP table lacks the 'bits' layout column — rebuild the " +
+        "artifact with srpTableArtifact (build-time bits must travel " +
+        "with the buckets they produced)")
+    val stored = table.select(col("bits")).distinct().collect()
+    require(stored.length == 1,
+      s"persisted SRP table carries ${stored.length} distinct bits " +
+        "values — refusing a mixed-layout artifact")
+    val bits = stored.head.getInt(0)
+    srpSearch(s, dir, driverSeeds(s, dir, srpBands * bits), bits,
+      table.drop("bits"))
   }
 
   /** The SRP query-time search: hash the query batch against the SAME
@@ -704,8 +728,11 @@ object SimOps extends OpModule {
         explode(transform(sequence(lit(0), lit(srpBands - 1)), k =>
           struct(k.as("band"),
             (0 until bits).map(j =>
-              element_at(col("bits"), k * bits + j + 1) *
-                lit(1 << (bits - 1 - j)): Column)
+              // Long weights: an Int shift wraps past 31 bits, silently
+              // corrupting bucket ids at exactly the corpus sizes the
+              // adaptive sizing exists for (srpBitsPerBand caps at 62)
+              element_at(col("bits"), k * bits + j + 1).cast("long") *
+                lit(1L << (bits - 1 - j)): Column)
               .reduce(_ + _).as("bucket")))))
       .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
         col("vec_id"), col("embedding"), col("norm"))

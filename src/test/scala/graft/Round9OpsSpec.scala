@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, SimOps}
+
+/** Round-9 additions: the ADVICE-driven hardening — convergence-cap
+  * off-by-one in connected components, SRP Long bucket weights + the
+  * bits-per-band layout parameter traveling with the persisted table.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  test("clustersFromEdges: fixpoint reached exactly ON the cap round is " +
+    "accepted, not spuriously refused") {
+    import spark.implicits._
+    // A 2-node path converges in exactly one label-lowering round (node 1
+    // takes label 0); the loop's change counter reports changed=1 for
+    // that round, so under cap=1 the old `require(changed == 0)` refused
+    // a perfectly converged result. The post-cap probe must accept it.
+    val edges = Seq((0L, 1L)).toDF("doc_a", "doc_b")
+    val rows = DedupOps.clustersFromEdges(edges, roundCap = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(rows === Map(0L -> 0L, 1L -> 0L))
+  }
+
+  test("clustersFromEdges: genuinely unconverged at the cap still fails " +
+    "loudly") {
+    import spark.implicits._
+    // A 60-node path cannot close in one round even with the pointer
+    // jump; the post-cap probe must find labels that would still lower
+    // and refuse to emit.
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.clustersFromEdges(edges, roundCap = 1).collect()
+    }
+    assert(e.getMessage.contains("without converging"))
+  }
+
+  test("srpBitsPerBand: caps at 62 so Long bucket weights cannot wrap") {
+    assert(SimOps.srpBitsPerBand(2000L) === 4) // shipped fixtures frozen
+    assert(SimOps.srpBitsPerBand(20000L) === 8)
+    // 2^63-1 vectors / 128-target → 2^56 buckets → 56 bits: no Long
+    // corpus can push bits past 56 at this target, and the explicit 62
+    // cap guards any smaller target. Crucially the old ceil-div overflow
+    // (n + 127 wrapping negative) returned 4 here — brute-force bands at
+    // the largest corpora. The weight of the top bit stays a positive
+    // Long across the whole admissible range.
+    assert(SimOps.srpBitsPerBand(Long.MaxValue) === 56)
+    (4 to 62).foreach(b => assert((1L << (b - 1)) > 0L))
+  }
+
+  test("annSrpFromStore: refuses a table missing the bits layout column") {
+    val bare = SimOps.srpTableArtifact(spark, sf0001).drop("bits")
+    val e = intercept[IllegalArgumentException] {
+      SimOps.annSrpFromStore(spark, sf0001, bare)
+    }
+    assert(e.getMessage.contains("bits"))
+  }
+
+  test("annSrpFromStore: refuses a mixed-bits artifact (two builds " +
+    "concatenated)") {
+    val t = SimOps.srpTableArtifact(spark, sf0001)
+    val mixed = t.unionByName(t.withColumn("bits", lit(9)))
+    val e = intercept[IllegalArgumentException] {
+      SimOps.annSrpFromStore(spark, sf0001, mixed)
+    }
+    assert(e.getMessage.contains("mixed-layout"))
+  }
+}
