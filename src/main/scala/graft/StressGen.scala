@@ -206,6 +206,18 @@ object StressGen {
       println(s"[stressgen] wrote relational star at ${relX}x sf0.1 " +
         s"($nLine lineitem / $nOrders orders) to $out")
     }
+    // Register the fixture's boundary constants NEXT TO the data
+    // (Tables.snapshotBoundary / vectorCount read this): a snapshot
+    // boundary is config — the generator that decided the id space is
+    // the thing that knows it, so it ships the constant and the
+    // driver-side max() probe stays the cold path everywhere.
+    val meta = new java.util.Properties()
+    meta.setProperty("documents.maxId", (docCount - 1).toString)
+    meta.setProperty("embeddings.maxId", (vecCount - 1).toString)
+    val metaOut = new java.io.FileWriter(
+      s"$out/${Tables.fixtureMetaFile}")
+    try meta.store(metaOut, "graft fixture boundary constants (StressGen)")
+    finally metaOut.close()
     println(s"[stressgen] wrote $docCount docs + $vecCount vectors + " +
       s"$evCount events to $out")
     spark.stop()

@@ -116,6 +116,40 @@ object StressProbe {
       if (bitsAdaptive == 4) candFixed
       else graft.operators.SimOps.srpCandidateCount(spark, dir, bitsAdaptive)
     val (tSrp, srp) = topSets(graft.operators.SimOps.annSrp(spark, dir))
+    // PLANTED near-dup recall — the claim the adaptive sizing rests on,
+    // measured instead of asserted: every 400th embedding is its
+    // predecessor plus tiny noise (cos ≈ 0.999, the StressGen plant), and
+    // SRP's per-bit collision probability 1−θ/π ≈ 0.986 at that angle
+    // makes an 8-bit band collide with p ≈ 0.89, some-of-4-bands with
+    // p ≈ 0.9999. Query side = the planted copies; a pair is RECALLED
+    // when its partner appears in the copy's top-5 (at cos ≈ 0.999 the
+    // partner outranks every iid candidate, so recall isolates exactly
+    // band-collision survival — the half of the adaptive-bits trade the
+    // r8 probe didn't measure; iid `recall_srp` above is the other half).
+    val plantedQs = (1L until n by 400L).toSeq
+    def plantedRecall(bits: Int, bands: Int): Double = {
+      val got = graft.operators.SimOps.annSrpWith(spark, dir, bits, bands,
+        org.apache.spark.sql.functions.col("vec_id") % 400 === 1)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      plantedQs.count(q =>
+        got.getOrElse(q, Set.empty).contains(q - 1)).toDouble /
+        plantedQs.size
+    }
+    val plantedFixed = plantedRecall(4, graft.operators.SimOps.srpBands)
+    val plantedAdaptive =
+      if (bitsAdaptive == 4) plantedFixed
+      else plantedRecall(bitsAdaptive, graft.operators.SimOps.srpBands)
+    // the band-count KNOB: doubling bands at adaptive bits buys iid
+    // recall back (each band is an independent collision chance) at 2×
+    // table rows — the recall lever a corpus turns after a bits step-up
+    val knobBands = 2 * graft.operators.SimOps.srpBands
+    val (tKnob, srpKnob) = topSets(graft.operators.SimOps.annSrpWith(
+      spark, dir, bitsAdaptive, knobBands,
+      org.apache.spark.sql.functions.col("vec_id") < 20))
+    val candKnob = graft.operators.SimOps.srpCandidateCount(
+      spark, dir, bitsAdaptive, knobBands)
+    val plantedKnob = plantedRecall(bitsAdaptive, knobBands)
     println(s"""{"metric":"stress_probe","n_vectors":$n,""" +
       s""""pairs_exact":${ref.size},"true_dups":${trueDups.size},""" +
       s"""$defScore,$sqrtScore,""" +
@@ -126,7 +160,13 @@ object StressProbe {
       s""""recall_served_pruned":${recallOf(pruned)}},""" +
       s""""srp":{"bits_fixed":4,"cand_fixed":$candFixed,""" +
       s""""bits_adaptive":$bitsAdaptive,"cand_adaptive":$candAdaptive,""" +
-      s""""sec_srp":$tSrp,"recall_srp":${recallOf(srp)}}}""")
+      s""""sec_srp":$tSrp,"recall_srp":${recallOf(srp)},""" +
+      s""""planted_pairs":${plantedQs.size},""" +
+      s""""planted_recall_fixed":$plantedFixed,""" +
+      s""""planted_recall_adaptive":$plantedAdaptive,""" +
+      s""""bands_knob":{"bands":$knobBands,"bits":$bitsAdaptive,""" +
+      s""""recall_iid":${recallOf(srpKnob)},"sec":$tKnob,""" +
+      s""""cand":$candKnob,"planted_recall":$plantedKnob}}}""")
     spark.stop()
   }
 }

@@ -197,17 +197,54 @@ object Tables {
     (s"$testdataRoot/sf0.1", "documents") -> 4999L,
     (s"$testdataRoot/sf0.1", "embeddings") -> 1999L)
 
+  /** Name of the boundary-constants file a fixture GENERATOR ships next
+    * to its parquet ([[graft.StressGen]] writes it; `<table>.maxId`
+    * keys). The generator is the thing that decided the id space, so it
+    * registers the constant — reading it here keeps the driver max()
+    * probe the cold path even for generated fixtures.
+    */
+  private[graft] val fixtureMetaFile = "graft_fixture.properties"
+
+  private val registeredMeta =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      Map[String, Long]]()
+  private def registeredMaxId(s: SparkSession, dir: String,
+      table: String): Option[Long] = {
+    val base = new java.io.File(dir).getCanonicalPath
+    registeredMeta.computeIfAbsent(base, { _ =>
+      // Hadoop FS, not java.io — a fixture dir on a real cluster is
+      // HDFS/S3, and the constants file travels with the parquet
+      val path = new org.apache.hadoop.fs.Path(dir, fixtureMetaFile)
+      val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+      if (!fs.exists(path)) Map.empty
+      else {
+        val p = new java.util.Properties()
+        val in = fs.open(path)
+        try p.load(in) finally in.close()
+        import scala.jdk.CollectionConverters._
+        val m = p.asScala.collect {
+          case (k, v) if k.endsWith(".maxId") =>
+            k.stripSuffix(".maxId") -> v.toLong
+        }.toMap
+        System.err.println(
+          s"[tables] boundary constants registered at $base: $m")
+        m
+      }
+    }).get(table)
+  }
+
   /** Embedding-corpus row count, for sizing the coarse quantizer
     * ([[graft.operators.SimOps.scaledCells]]). Same config-not-derived
     * stance as [[snapshotBoundary]]: the shipped fixtures' ids are dense
-    * 0..max, so the count is a known constant (maxId + 1); an
-    * unrecognized dir (a generated stress fixture) pays one
-    * metadata-only parquet count — footers carry exact row counts, no
-    * data pages are read.
+    * 0..max, so the count is a known constant (maxId + 1); a generated
+    * fixture registers its constant ([[fixtureMetaFile]]); only an
+    * unrecognized dir pays one metadata-only parquet count — footers
+    * carry exact row counts, no data pages are read.
     */
   def vectorCount(s: SparkSession, dir: String): Long = {
     val base = new java.io.File(dir).getCanonicalPath
-    fixtureMaxIds.get((base, "embeddings")).map(_ + 1)
+    fixtureMaxIds.get((base, "embeddings"))
+      .orElse(registeredMaxId(s, dir, "embeddings")).map(_ + 1)
       .getOrElse(t(s, dir, "embeddings").count())
   }
 
@@ -218,16 +255,23 @@ object Tables {
     * a driver-blocking max() action per run and (as an embedded one-row
     * aggregate) would block the literal pushdown that prunes row groups in
     * every store/batch subtree. The shipped fixtures' max ids are known
-    * constants; an unrecognized dir (a generated stress fixture) falls
-    * back to one tiny max() probe — the documented non-production path.
+    * constants; a generated fixture registers its own
+    * ([[fixtureMetaFile]], written by its generator); only a dir with
+    * neither falls back to one tiny max() probe — the logged,
+    * non-production path.
     */
   def snapshotBoundary(s: SparkSession, dir: String, table: String): Long = {
     val base = new java.io.File(dir).getCanonicalPath
-    val maxId = fixtureMaxIds.getOrElse((base, table), {
-      val idCol = if (table == "documents") "doc_id" else "vec_id"
-      val r = t(s, dir, table).agg(expr(s"max($idCol)")).head()
-      if (r.isNullAt(0)) -1L else r.getLong(0)
-    })
+    val maxId = fixtureMaxIds.get((base, table))
+      .orElse(registeredMaxId(s, dir, table))
+      .getOrElse {
+        val idCol = if (table == "documents") "doc_id" else "vec_id"
+        System.err.println(s"[tables] no registered boundary for " +
+          s"$base/$table — falling back to a driver max() probe " +
+          "(non-production path)")
+        val r = t(s, dir, table).agg(expr(s"max($idCol)")).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
     // empty corpus → boundary 0: both sides empty, verdicts empty (the
     // oracle's NULL boundary admits no rows either)
     if (maxId < 0) 0L else maxId * 4 / 5

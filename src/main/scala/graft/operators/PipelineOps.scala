@@ -73,7 +73,7 @@ object PipelineOps extends OpModule {
       .withColumn("shingles", DedupOps.shingleCol)
       .select(col("doc_id"), col("n_tokens"), col("quality"),
         col("predicted_lang"), col("digest"), col("mh"), col("shingles"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.truncate)
     val exactKeepers = art.groupBy(col("digest"))
       .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
     val nearDupLosers = DedupOps.nearPairsFromArtifacts(art)

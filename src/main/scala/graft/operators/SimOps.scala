@@ -654,18 +654,39 @@ object SimOps extends OpModule {
       table.drop("bits"))
   }
 
+  /** [[annSrp]] with the full sizing exposed — the band-count KNOB next
+    * to the bits knob: bits bound per-bucket candidate volume
+    * ([[srpBitsPerBand]]); BANDS are the recall lever (each extra band
+    * is one more independent chance to collide, at one more table row
+    * per vector — recall 1−(1−p^bits)^bands for per-bit collision p).
+    * A corpus that needs recall back after a bits increase grows bands,
+    * not bucket size. Query batch is an arbitrary vec_id predicate so
+    * stress probes can search from planted near-duplicates, not just
+    * the oracle-frozen first-20 batch.
+    */
+  private[graft] def annSrpWith(s: SparkSession, dir: String, bits: Int,
+      bands: Int, queryPred: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val planes = driverSeeds(s, dir, bands * bits)
+    srpSearch(s, dir, planes, bits,
+      srpAssigned(s, planes, bits,
+        withNorm(Tables.embeddings(s, dir)), bands),
+      bands, queryPred)
+  }
+
   /** The SRP query-time search: hash the query batch against the SAME
     * frozen planes, band-bucket equi-join into the LSH table, collapse
     * multi-band collisions, exact cosine + bounded-heap top-5.
     */
   private def srpSearch(s: SparkSession, dir: String,
       planes: Seq[(Long, Seq[Double])], bits: Int,
-      corpus: DataFrame): DataFrame = {
+      corpus: DataFrame, bands: Int = srpBands,
+      queryPred: Column = col("vec_id") < 20): DataFrame = {
     import graft.functions.TopKByScore
     val topk = udaf(TopKByScore.TopKAgg(5),
       Encoders.product[TopKByScore.ScoredId])
     val qs = srpAssigned(s, planes, bits,
-      withNorm(Tables.embeddings(s, dir).filter(col("vec_id") < 20)))
+      withNorm(Tables.embeddings(s, dir).filter(queryPred)), bands)
       .select(col("band"), col("bucket"), col("vec_id").as("q_id"),
         col("embedding").as("q_emb"), col("norm").as("q_norm"))
     broadcast(qs).join(corpus, Seq("band", "bucket"))
@@ -692,13 +713,13 @@ object SimOps extends OpModule {
     * the index's proposal work before the exact-cosine verify.
     */
   private[graft] def srpCandidateCount(s: SparkSession, dir: String,
-      bits: Int): Long = {
+      bits: Int, bands: Int = srpBands): Long = {
     graft.functions.GraftFunctions.register(s)
-    val planes = driverSeeds(s, dir, srpBands * bits)
+    val planes = driverSeeds(s, dir, bands * bits)
     val corpus = srpAssigned(s, planes, bits,
-      withNorm(Tables.embeddings(s, dir)))
+      withNorm(Tables.embeddings(s, dir)), bands)
     val qs = srpAssigned(s, planes, bits,
-      withNorm(Tables.embeddings(s, dir).filter(col("vec_id") < 20)))
+      withNorm(Tables.embeddings(s, dir).filter(col("vec_id") < 20)), bands)
       .select(col("band"), col("bucket"), col("vec_id").as("q_id"))
     broadcast(qs)
       .join(corpus.select(col("band"), col("bucket"), col("vec_id")),
@@ -714,10 +735,10 @@ object SimOps extends OpModule {
     * sorted by id 0..15, so plane_id = array position − 1.
     */
   private def srpAssigned(s: SparkSession, planes: Seq[(Long, Seq[Double])],
-      bits: Int, df: DataFrame): DataFrame = {
+      bits: Int, df: DataFrame, bands: Int = srpBands): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    require(planes.size == srpBands * bits,
-      s"SRP needs ${srpBands * bits} planes for $bits-bit bands, " +
+    require(planes.size == bands * bits,
+      s"SRP needs ${bands * bits} planes for $bands $bits-bit bands, " +
         s"got ${planes.size}")
     val planesLit = typedlit(planes)
     df
@@ -725,7 +746,7 @@ object SimOps extends OpModule {
         when(dot(col("embedding"), p.getField("_2")) >= lit(0.0), lit(1))
           .otherwise(lit(0))))
       .withColumn("bb",
-        explode(transform(sequence(lit(0), lit(srpBands - 1)), k =>
+        explode(transform(sequence(lit(0), lit(bands - 1)), k =>
           struct(k.as("band"),
             (0 until bits).map(j =>
               // Long weights: an Int shift wraps past 31 bits, silently

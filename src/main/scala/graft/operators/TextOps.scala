@@ -576,10 +576,11 @@ object TextOps extends OpModule {
     * The chosen pair is ONE row collected driver-side (a model
     * parameter, the [[graft.operators.SimOps]] quantizer-seed stance)
     * and re-embedded as a literal, so the per-round plan is
-    * literal-parameterized, not correlated. Round streams are
-    * localCheckpoint-ed: N rounds of window lineage would otherwise
-    * stack into one giant plan, and the eager cut lets the previous
-    * round's shuffle files drop. The oracle replays all N rounds as
+    * literal-parameterized, not correlated. Round streams pass through
+    * [[graft.Checkpoints.truncate]] (reliable-checkpoint upgradable): N
+    * rounds of window lineage would otherwise stack into one giant
+    * plan, and the eager cut lets the previous round's shuffle files
+    * drop. The oracle replays all N rounds as
     * unrolled DuckDB CTEs generated from the same [[bpeTrainMerges]], so
     * round count cannot drift between engines.
     */
@@ -591,7 +592,7 @@ object TextOps extends OpModule {
         posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("tok"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.truncate)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -627,7 +628,7 @@ object TextOps extends OpModule {
             row_number().over(Window.partitionBy(col("doc_id"))
               .orderBy(col("oldpos"))).cast("long").as("pos"),
             col("tok"))
-          .localCheckpoint()
+          .transform(graft.Checkpoints.truncate)
       }
       round += 1
     }

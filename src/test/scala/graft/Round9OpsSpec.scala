@@ -50,12 +50,63 @@ class Round9OpsSpec extends SparkSpec {
     (4 to 62).foreach(b => assert((1L << (b - 1)) > 0L))
   }
 
+  test("served query forms equal their standalone recomputes (persisted " +
+    "label artifact round-trips)") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(DedupOps.clusterKeepBestServed(spark, sf0001)) ===
+      rows(DedupOps.clusterKeepBest(spark, sf0001)))
+    assert(rows(DedupOps.trainEvalSplitServed(spark, sf0001)) ===
+      rows(DedupOps.trainEvalSplit(spark, sf0001)))
+  }
+
   test("annSrpFromStore: refuses a table missing the bits layout column") {
     val bare = SimOps.srpTableArtifact(spark, sf0001).drop("bits")
     val e = intercept[IllegalArgumentException] {
       SimOps.annSrpFromStore(spark, sf0001, bare)
     }
     assert(e.getMessage.contains("bits"))
+  }
+
+  test("clustersFromEdges under a reliable checkpoint dir: identical " +
+    "labels, checkpoint files actually written") {
+    import spark.implicits._
+    val edges = ((0L until 30L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L))).toDF("doc_a", "doc_b")
+    def labelsOf() = DedupOps.clustersFromEdges(edges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    val viaLocal = labelsOf()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckpt)
+    try {
+      val viaReliable = labelsOf()
+      assert(viaReliable === viaLocal)
+      val wrote = new java.io.File(
+        spark.sparkContext.getCheckpointDir.get.stripPrefix("file:"))
+      assert(wrote.getPath.startsWith(ckpt) && wrote.exists(),
+        "reliable checkpoint dir was not used")
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
+
+  test("snapshotBoundary: a generator-registered constant wins over the " +
+    "data probe; the probe stays the fallback") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta").toString
+    Seq((0L, "a"), (9L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // no constants file → driver max() probe: boundary = 9*4/5
+    assert(Tables.snapshotBoundary(spark, dir, "documents") === 7L)
+    // registered constant (deliberately ≠ data max) must win — proving
+    // the config path is taken, not the probe
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_meta2").toString
+    Seq((0L, "a"), (9L, "b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val w = new java.io.FileWriter(s"$dir2/${Tables.fixtureMetaFile}")
+    try w.write("documents.maxId=99\n") finally w.close()
+    assert(Tables.snapshotBoundary(spark, dir2, "documents") === 79L)
   }
 
   test("annSrpFromStore: refuses a mixed-bits artifact (two builds " +
