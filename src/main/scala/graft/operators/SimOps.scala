@@ -871,6 +871,26 @@ object SimOps extends OpModule {
       .orderBy(col("vec_id"))
   }
 
+  /** Persisted SRP table artifact backing `llm_ann_srp_served`: built
+    * once per fixture dir ([[srpTableArtifact]] → parquet, bits column
+    * included) and consumed through [[annSrpFromStore]]'s
+    * read-bits-from-artifact path — so the serve-time layout validation
+    * is exercised by the oracle gate every round, and the bench records
+    * the query-side-only serving cost next to the inline build+search.
+    */
+  private val srpStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def annSrpServed(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir).getCanonicalPath
+    val path = srpStoreCache.computeIfAbsent(base, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_srp_store")
+        .resolve("srp_table.parquet").toString
+      srpTableArtifact(s, dir).write.mode("overwrite").parquet(out)
+      out
+    })
+    annSrpFromStore(s, dir, s.read.parquet(path))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_sim_topk" -> simTopk,
     "llm_dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
@@ -878,6 +898,7 @@ object SimOps extends OpModule {
     "llm_ann_ivf" -> annIvf,
     "llm_ann_frozen" -> annFrozen,
     "llm_ann_srp" -> annSrp,
+    "llm_ann_srp_served" -> annSrpServed,
     "llm_cluster_assign" -> clusterAssign,
     "llm_semantic_dedup" -> ((s, dir) => semanticDedup(s, dir)),
     "llm_semantic_dedup_incremental" ->
@@ -954,49 +975,10 @@ object SimOps extends OpModule {
     // The SRP-LSH pipeline replayed in SQL: unit planes, sign bits,
     // 4-bit band buckets, distinct band collisions, exact cosine,
     // windowed top-5 — strict-ordered double sums throughout, same as
-    // the llm_ann_frozen replay above.
-    "llm_ann_srp" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
-        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
-        |                        for i in range(1, 65)])) AS norm
-        |  FROM embeddings),
-        |planes AS (
-        |  SELECT vec_id AS plane_id,
-        |         [embedding[i]::DOUBLE / norm for i in range(1, 65)]
-        |           AS unit
-        |  FROM e WHERE vec_id < 16),
-        |bits AS (
-        |  SELECT e.vec_id, p.plane_id,
-        |         CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.unit[i]
-        |                             for i in range(1, 65)]) >= 0
-        |              THEN 1 ELSE 0 END AS bit
-        |  FROM e CROSS JOIN planes p),
-        |bk AS (
-        |  SELECT vec_id, plane_id // 4 AS band,
-        |         sum(bit * CASE plane_id % 4
-        |                   WHEN 0 THEN 8 WHEN 1 THEN 4
-        |                   WHEN 2 THEN 2 ELSE 1 END) AS bucket
-        |  FROM bits GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
-        |  FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
-        |  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id),
-        |scored AS (
-        |  SELECT cand.q_id, cand.neighbor_id,
-        |         list_sum([q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE
-        |                   for i in range(1, 65)]) / (q.norm * n.norm)
-        |           AS cosine
-        |  FROM cand
-        |  JOIN e q ON q.vec_id = cand.q_id
-        |  JOIN e n ON n.vec_id = cand.neighbor_id),
-        |ranked AS (
-        |  SELECT q_id, neighbor_id, cosine,
-        |         row_number() OVER (PARTITION BY q_id
-        |                            ORDER BY cosine DESC, neighbor_id) AS rnk
-        |  FROM scored)
-        |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // the llm_ann_frozen replay above. The _served form consumes the
+    // persisted table but emits the same result — shared oracle.
+    "llm_ann_srp" -> annSrpSql,
+    "llm_ann_srp_served" -> annSrpSql,
     "llm_semantic_dedup_incremental" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
@@ -1125,4 +1107,47 @@ object SimOps extends OpModule {
         |                for i in range(1, 65)]) / (a.norm * b.norm) >= 0.45
         |ORDER BY va, vb""".stripMargin
   )
+
+  private lazy val annSrpSql: String =
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |planes AS (
+        |  SELECT vec_id AS plane_id,
+        |         [embedding[i]::DOUBLE / norm for i in range(1, 65)]
+        |           AS unit
+        |  FROM e WHERE vec_id < 16),
+        |bits AS (
+        |  SELECT e.vec_id, p.plane_id,
+        |         CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.unit[i]
+        |                             for i in range(1, 65)]) >= 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM e CROSS JOIN planes p),
+        |bk AS (
+        |  SELECT vec_id, plane_id // 4 AS band,
+        |         sum(bit * CASE plane_id % 4
+        |                   WHEN 0 THEN 8 WHEN 1 THEN 4
+        |                   WHEN 2 THEN 2 ELSE 1 END) AS bucket
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+        |  FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.neighbor_id,
+        |         list_sum([q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE
+        |                   for i in range(1, 65)]) / (q.norm * n.norm)
+        |           AS cosine
+        |  FROM cand
+        |  JOIN e q ON q.vec_id = cand.q_id
+        |  JOIN e n ON n.vec_id = cand.neighbor_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 }

@@ -58,6 +58,8 @@ class Round9OpsSpec extends SparkSpec {
       rows(DedupOps.clusterKeepBest(spark, sf0001)))
     assert(rows(DedupOps.trainEvalSplitServed(spark, sf0001)) ===
       rows(DedupOps.trainEvalSplit(spark, sf0001)))
+    assert(rows(SimOps.annSrpServed(spark, sf0001)) ===
+      rows(SimOps.annSrp(spark, sf0001)))
   }
 
   test("annSrpFromStore: refuses a table missing the bits layout column") {
