@@ -629,6 +629,35 @@ object SimOps extends OpModule {
       .withColumn("bits", lit(bits))
   }
 
+  /** Incremental SRP table maintenance: the LSH rows for a NEW crawl's
+    * vectors (`vec_id >= boundary`), hashed under the PERSISTED table's
+    * OWN bits-per-band — never a re-derivation from the grown corpus
+    * count, which could cross a power-of-two boundary and fork the
+    * layout mid-table. Union the result onto the stored artifact and the
+    * serve path ([[annSrpFromStore]]) keeps working unchanged: at 100 TB
+    * the corpus is never re-hashed — each snapshot appends its batch's
+    * 4 rows/vector, and a bits step-up is an explicit REBUILD decision
+    * (with the recall/bands trade measured in STRESSPROBE_r9), not a
+    * silent side effect of data growth. Equivalence append(store) ∪
+    * batch ≡ full rebuild is asserted in Round9OpsSpec.
+    */
+  def srpTableAppend(s: SparkSession, dir: String,
+      table: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    require(table.columns.contains("bits"),
+      "persisted SRP table lacks the 'bits' layout column — cannot " +
+        "append under an unknown band layout")
+    val stored = table.select(col("bits")).distinct().collect()
+    require(stored.length == 1,
+      s"persisted SRP table carries ${stored.length} distinct bits " +
+        "values — refusing to append to a mixed-layout artifact")
+    val bits = stored.head.getInt(0)
+    val boundary = Tables.snapshotBoundary(s, dir, "embeddings")
+    srpAssigned(s, driverSeeds(s, dir, srpBands * bits), bits,
+      withNorm(Tables.embeddings(s, dir).filter(col("vec_id") >= boundary)))
+      .withColumn("bits", lit(bits))
+  }
+
   /** [[annSrp]] reading a PERSISTED [[srpTableArtifact]] — the serving
     * form: only the (tiny) query side is hashed at query time; the
     * corpus contributes one artifact scan. Bits-per-band comes FROM the

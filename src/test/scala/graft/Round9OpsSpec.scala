@@ -111,6 +111,31 @@ class Round9OpsSpec extends SparkSpec {
     assert(Tables.snapshotBoundary(spark, dir2, "documents") === 79L)
   }
 
+  test("srpTableAppend: store ∪ batch rows equal a full rebuild, and " +
+    "the batch is hashed under the STORED bits") {
+    val full = SimOps.srpTableArtifact(spark, sf0001)
+    val boundary = Tables.snapshotBoundary(spark, sf0001, "embeddings")
+    val store = full.filter(col("vec_id") < boundary)
+    val appended = SimOps.srpTableAppend(spark, sf0001, store)
+    def keyRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("band", "bucket", "vec_id", "bits").collect()
+        .map(_.toSeq).toSet
+    assert(keyRows(store.unionByName(appended)) === keyRows(full))
+    // the batch must hash under the STORE's layout, not the
+    // corpus-derived one: forge a 5-bit store (the derivation from the
+    // 500-vector corpus would say 4) and the appended rows must come
+    // back 5-bit — bits column 5, buckets spanning past the 4-bit
+    // ceiling of 15
+    val forged = store.withColumn("bits", lit(5))
+    val rows5 = SimOps.srpTableAppend(spark, sf0001, forged)
+      .select("bucket", "bits").collect()
+    assert(rows5.nonEmpty && rows5.forall(_.getInt(1) == 5))
+    val buckets = rows5.map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 32))
+    assert(buckets.exists(_ > 15),
+      "5-bit append never used the top bit — still hashing 4-bit?")
+  }
+
   test("annSrpFromStore: refuses a mixed-bits artifact (two builds " +
     "concatenated)") {
     val t = SimOps.srpTableArtifact(spark, sf0001)
