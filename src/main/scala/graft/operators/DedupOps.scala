@@ -295,6 +295,44 @@ object DedupOps extends OpModule {
     dupClustersIncremental(s, priorLabels, artStore, artBatch)
   }
 
+  /** [[dupClustersIncremental]] over PERSISTED prior-run outputs — the
+    * production serving shape: the prior snapshot's cluster labels and
+    * artifact store are parquet reads (built once per fixture dir, the
+    * [[labelStore]] stance), so the only computed work is the BATCH's
+    * artifacts, the incremental pair hunt, and one star-edge CC loop
+    * that converges in ~2 rounds (star edges have depth 1 by
+    * construction). The standalone query form pays two full CC loops —
+    * prior-label rebuild plus the incremental merge — which is exactly
+    * the recompute a real pipeline amortizes away; this entry makes that
+    * difference a committed bench number. Same oracle as the standalone
+    * form (identical output by construction).
+    */
+  private val incrClusterStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def dupClustersIncrementalServed(s: SparkSession,
+      dir: String): DataFrame = {
+    val base = new java.io.File(dir).getCanonicalPath
+    val root = incrClusterStoreCache.computeIfAbsent(base, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_incr_clusters").toString
+      val docs = Tables.documents(s, dir)
+      val k = Tables.snapshotBoundary(s, dir, "documents")
+      val artStore = snapshotArtifacts(s, docs.filter(col("doc_id") < k))
+      artStore.write.mode("overwrite").parquet(s"$out/art_store.parquet")
+      clustersFromEdges(nearPairsFromArtifacts(artStore)
+        .select(col("doc_a"), col("doc_b")))
+        .select(col("doc_id"), col("cluster_id"))
+        .write.mode("overwrite").parquet(s"$out/prior_labels.parquet")
+      out
+    })
+    val docs = Tables.documents(s, dir)
+    val k = Tables.snapshotBoundary(s, dir, "documents")
+    dupClustersIncremental(s,
+      s.read.parquet(s"$root/prior_labels.parquet"),
+      s.read.parquet(s"$root/art_store.parquet"),
+      snapshotArtifacts(s, docs.filter(col("doc_id") >= k)))
+  }
+
   /** Directional containment |A∩B|/|A| and |A∩B|/|B| for the near-dup
     * pairs (jaccard ≥ 0.9 precondition keeps the LSH candidate set exact
     * by construction — a containment-only threshold could admit pairs the
@@ -785,7 +823,10 @@ object DedupOps extends OpModule {
     "llm_cluster_keep_best" -> clusterKeepBest,
     "llm_train_eval_split" -> trainEvalSplit,
     "llm_cluster_keep_best_served" -> clusterKeepBestServed,
-    "llm_train_eval_split_served" -> trainEvalSplitServed
+    "llm_train_eval_split_served" -> trainEvalSplitServed,
+    "llm_dup_clusters_incremental_served" ->
+      ((s: SparkSession, dir: String) =>
+        dupClustersIncrementalServed(s, dir))
   )
 
   /** The WITH body of the full-closure connected-components derivation,
@@ -994,6 +1035,7 @@ object DedupOps extends OpModule {
     // maintenance must reproduce the full recompute bit-for-bit.
     "llm_dup_clusters" -> dupClustersClosureSql,
     "llm_dup_clusters_incremental" -> dupClustersClosureSql,
+    "llm_dup_clusters_incremental_served" -> dupClustersClosureSql,
     // keep-policy: the same closure + the llm_quality_score signal math,
     // pick via a window (DuckDB's arg_max takes only scalar keys)
     "llm_cluster_keep_best" -> keepBestSql,

@@ -37,6 +37,47 @@ class Round9OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("without converging"))
   }
 
+  test("clustersFromEdges: 15 random graphs agree with a driver-side " +
+    "union-find (labels, sizes, keepers)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 15).foreach { trial =>
+      val n = 2 + rnd.nextInt(40)
+      val m = 1 + rnd.nextInt(60)
+      // ids sparse and shuffled, not 0..n — labels must not depend on
+      // density or contiguity of the id space
+      val ids = rnd.shuffle((0 until 200).toList).take(n)
+        .map(_.toLong * 7 + 3)
+      val edges = Seq.fill(m) {
+        val a = ids(rnd.nextInt(n)); val b = ids(rnd.nextInt(n))
+        (a, b)
+      }.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // driver union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(ra max rb) = ra min rb
+        }
+        val members = parent.keys.toSeq
+        val expect = members.groupBy(find).flatMap { case (_, ms) =>
+          val cid = ms.min
+          ms.map(v => v -> (cid, ms.size.toLong, v == cid))
+        }
+        val got = DedupOps.clustersFromEdges(
+          edges.toDF("doc_a", "doc_b")).collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+              r.getAs[Boolean]("keeper"))).toMap
+        assert(got === expect, s"trial $trial: edges=$edges")
+      }
+    }
+  }
+
   test("srpBitsPerBand: caps at 62 so Long bucket weights cannot wrap") {
     assert(SimOps.srpBitsPerBand(2000L) === 4) // shipped fixtures frozen
     assert(SimOps.srpBitsPerBand(20000L) === 8)
@@ -60,6 +101,8 @@ class Round9OpsSpec extends SparkSpec {
       rows(DedupOps.trainEvalSplit(spark, sf0001)))
     assert(rows(SimOps.annSrpServed(spark, sf0001)) ===
       rows(SimOps.annSrp(spark, sf0001)))
+    assert(rows(DedupOps.dupClustersIncrementalServed(spark, sf0001)) ===
+      rows(DedupOps.dupClustersIncrementalQuery(spark, sf0001)))
   }
 
   test("annSrpFromStore: refuses a table missing the bits layout column") {
