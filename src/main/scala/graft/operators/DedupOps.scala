@@ -607,9 +607,10 @@ object DedupOps extends OpModule {
       .unionByName(pairs
         .select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    var checkpointed = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
       .transform(graft.Checkpoints.truncate)
+    var labels = checkpointed
     var changed = 1L
     var round = 0
     while (changed > 0 && round < roundCap) {
@@ -635,6 +636,15 @@ object DedupOps extends OpModule {
           coalesce(col("gl"), col("label")).as("label"))
         .transform(graft.Checkpoints.truncate)
       changed = jumped.filter(col("label") < col("old")).count()
+      // DETERMINISTIC cleanup: `jumped` is materialized (eager truncate)
+      // and the count above consumed it, so the previous round's labels
+      // and this round's intermediate are dead — drop their blocks NOW
+      // instead of waiting for the GC-driven context cleaner, which
+      // falls behind when CC loops run back-to-back and lets dead
+      // round-frames crowd the block manager.
+      merged.unpersist(false)
+      checkpointed.unpersist(false)
+      checkpointed = jumped
       labels = jumped.select(col("doc_id"), col("label"))
       round += 1
     }

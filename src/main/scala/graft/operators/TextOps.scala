@@ -609,6 +609,7 @@ object TextOps extends OpModule {
         val (a, b, n) = (chosen(0).getString(0), chosen(0).getString(1),
           chosen(0).getLong(2))
         merges += ((round, a, b, n))
+        val prev = stream
         val tagged = withNext
           .withColumn("m", col("tok") === lit(a) && col("nxt") === lit(b))
         val kept = tagged.filter(col("m"))
@@ -629,6 +630,10 @@ object TextOps extends OpModule {
               .orderBy(col("oldpos"))).cast("long").as("pos"),
             col("tok"))
           .transform(graft.Checkpoints.truncate)
+        // new stream is materialized (eager truncate) — the previous
+        // round's blocks are dead; drop them deterministically rather
+        // than letting dead round-frames pile up on the context cleaner
+        prev.unpersist(false)
       }
       round += 1
     }
