@@ -104,7 +104,12 @@ object GraphOps extends OpModule {
     * by vertex, and the a<b<c ordering caps each edge's join fan-out at
     * its higher-endpoint degree.
     */
-  def triangles(s: SparkSession, dir: String): DataFrame = {
+  /** Undirected strong-tie edge list (weights summed over both
+    * directions, self-loops dropped, kept at ≥ the exact-integer mean
+    * weight) — the thresholded graph [[triangles]] and [[components]]
+    * share, so the two analyses cannot drift on what "strong" means.
+    */
+  private def strongEdges(s: SparkSession, dir: String): DataFrame = {
     val und = tradeEdges(s, dir)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
@@ -112,9 +117,13 @@ object GraphOps extends OpModule {
       .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
     // one-row mean weight, broadcast onto the edge list (exact integers)
     val meanW = und.agg(expr("sum(w) DIV count(*)").as("mean_w"))
-    val strong = und.crossJoin(broadcast(meanW))
+    und.crossJoin(broadcast(meanW))
       .filter(col("w") >= col("mean_w"))
       .select(col("a"), col("b"))
+  }
+
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val strong = strongEdges(s, dir)
     val tri = strong.as("ab")
       .join(strong.as("bc"), col("ab.b") === col("bc.a"))
       .join(strong.as("ac"),
@@ -131,9 +140,39 @@ object GraphOps extends OpModule {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Connected components over the strong-tie trade graph — the graph
+    * family's third analysis, riding the engine's ONE components
+    * implementation ([[DedupOps.clustersFromEdges]]: min-label +
+    * pointer-jump, loud-fail cap) on a graph shape unlike the near-dup
+    * clusters it was built for. Nations outside every strong edge are
+    * their own singleton component (component_id = own key), so the
+    * output partitions all 25 nations. The scale story is the edge
+    * CENSUS: fact volume collapses to ≤ |entities|² weighted edges
+    * before any iteration, and the CC loop runs on that census — at
+    * 100 TB the iterations never touch fact data.
+    */
+  def components(s: SparkSession, dir: String): DataFrame = {
+    val labeled = DedupOps.clustersFromEdges(
+      strongEdges(s, dir)
+        .select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .select(col("doc_id"), col("cluster_id"))
+    val assigned = Tables.nation(s, dir)
+      .join(labeled, col("n_nationkey") === col("doc_id"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("cluster_id"), col("n_nationkey"))
+          .as("component_id"))
+    val sizes = assigned.groupBy(col("component_id"))
+      .agg(count(lit(1)).as("component_size"))
+    assigned.join(broadcast(sizes), "component_id")
+      .select(col("n_nationkey"), col("n_name"), col("component_id"),
+        col("component_size"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerank,
-    "graph_triangles" -> triangles
+    "graph_triangles" -> triangles,
+    "graph_components" -> components
   )
 
   val oracle: Map[String, String] = Map(
@@ -212,6 +251,45 @@ object GraphOps extends OpModule {
         |SELECT n_nationkey, n_name,
         |       COALESCE(pn.tri_count, 0) AS tri_count
         |FROM nation LEFT JOIN pn ON n_nationkey = pn.node
+        |ORDER BY n_nationkey""".stripMargin,
+    // Components via recursive transitive closure over the same strong
+    // edge census — the independent route to the min-label fixpoint the
+    // Spark pointer-jump loop converges to.
+    "graph_components" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(w) AS BIGINT) AS w
+        |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+        |m AS (SELECT CAST(sum(w) // count(*) AS BIGINT) AS mean_w FROM und),
+        |strong AS (
+        |  SELECT a, b FROM und, m WHERE w >= mean_w),
+        |sym AS (
+        |  SELECT a AS u, b AS v FROM strong
+        |  UNION ALL SELECT b, a FROM strong),
+        |reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+        |lab AS (
+        |  SELECT u AS node, least(u, min(v)) AS comp
+        |  FROM reach GROUP BY u),
+        |assigned AS (
+        |  SELECT n_nationkey, n_name,
+        |         COALESCE(l.comp, n_nationkey) AS component_id
+        |  FROM nation LEFT JOIN lab l ON n_nationkey = l.node),
+        |sizes AS (
+        |  SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+        |  FROM assigned GROUP BY 1)
+        |SELECT a.n_nationkey, a.n_name, a.component_id, s.component_size
+        |FROM assigned a JOIN sizes s USING (component_id)
         |ORDER BY n_nationkey""".stripMargin
   )
 }

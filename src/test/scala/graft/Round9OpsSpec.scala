@@ -78,6 +78,22 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("graph_components: partitions all 25 nations, sizes consistent, " +
+    "component id is the min member") {
+    val rows = graft.operators.GraphOps.components(spark, sf0001).collect()
+      .map(r => (r.getAs[Int]("n_nationkey"), r.getAs[Int]("component_id"),
+        r.getAs[Long]("component_size")))
+    assert(rows.length === 25)
+    assert(rows.map(_._1).toSet === (0 until 25).toSet)
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (cid, ms) =>
+      assert(ms.map(_._1).min === cid, s"component $cid min is not id")
+      assert(ms.forall(_._3 == ms.length), s"component $cid size mismatch")
+    }
+    assert(rows.map(_._3).sum === byComp.map { case (_, ms) =>
+      ms.length.toLong * ms.length }.sum)
+  }
+
   test("srpBitsPerBand: caps at 62 so Long bucket weights cannot wrap") {
     assert(SimOps.srpBitsPerBand(2000L) === 4) // shipped fixtures frozen
     assert(SimOps.srpBitsPerBand(20000L) === 8)
