@@ -945,7 +945,43 @@ object EventOps extends OpModule {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** CUSUM changepoint scores over the daily per-type volume series —
+    * "when did this event stream's level shift", the monitoring primitive
+    * behind drift alarms on ingestion volume. One-sided CUSUM is a
+    * recurrence (S_t = max(0, S_{t-1} + dev_t)) that looks
+    * window-inexpressible, but has the classic prefix closed form
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the running sum of
+    * deviations — so both the high and low CUSUM ride ONE ordered window
+    * frame, no iteration and no UDF. Deviations are exact integers
+    * (n·T − total, i.e. scaled by the per-type day count T instead of
+    * dividing by it), so Spark and DuckDB agree bit-for-bit.
+    *
+    * Scale shape: the only fact-volume pass is the daily groupBy; the
+    * windows run on the aggregated |types|·|days| frame partitioned by
+    * event_type — at 100 TB that frame is still ~years·|enum| rows, and
+    * each type's series lands in one task (window partition), which is
+    * the algorithm's inherent serial dimension, not a shuffle problem.
+    */
+  def changepointCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("dev",
+        col("n") * count(lit(1)).over(wAll) - sum(col("n")).over(wAll))
+      .withColumn("p", sum(col("dev")).over(wOrd))
+      .withColumn("cusum_hi", col("p") - least(lit(0L), min(col("p")).over(wOrd)))
+      .withColumn("cusum_lo", greatest(lit(0L), max(col("p")).over(wOrd)) - col("p"))
+      .select(col("event_type"), col("day"), col("n"),
+        col("cusum_hi"), col("cusum_lo"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_changepoint_cusum" -> changepointCusum,
     "event_user_overlap" -> userOverlap,
     "event_pattern_match" -> patternMatch,
     "event_top_paths" -> topPaths,
@@ -1039,6 +1075,33 @@ object EventOps extends OpModule {
         |       CAST(sum(n_events) AS BIGINT) AS n_events
         |FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "ts_changepoint_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(date_trunc('day', CAST(ts AS TIMESTAMP))
+        |              AS TIMESTAMP) AS day,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, day, n,
+        |         CAST(n * count(*) OVER (PARTITION BY event_type)
+        |              - sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+        |           AS dev
+        |  FROM daily),
+        |p AS (
+        |  SELECT event_type, day, n,
+        |         CAST(sum(dev) OVER (
+        |           PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS p
+        |  FROM d)
+        |SELECT event_type, day, n,
+        |       CAST(p - least(0, min(p) OVER w) AS BIGINT) AS cusum_hi,
+        |       CAST(greatest(0, max(p) OVER w) - p AS BIGINT) AS cusum_lo
+        |FROM p
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     "ts_seasonal_naive" ->
       """WITH daily AS (
         |  SELECT event_type,
