@@ -109,7 +109,7 @@ object GraphOps extends OpModule {
     * weight) — the thresholded graph [[triangles]] and [[components]]
     * share, so the two analyses cannot drift on what "strong" means.
     */
-  private def strongEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def strongEdges(s: SparkSession, dir: String): DataFrame = {
     val und = tradeEdges(s, dir)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
@@ -169,10 +169,81 @@ object GraphOps extends OpModule {
       .orderBy(col("n_nationkey"))
   }
 
+  /** BFS hop distance from a deterministic seed (the smallest endpoint in
+    * the strong edge census) over the strong-tie trade graph — "how many
+    * strong-partnership steps away is every nation", the reachability
+    * radius next to [[components]]' reachability partition. Frontier
+    * relaxation: every settled node re-offers `hops+1` to its neighbors
+    * each round and nodes take the minimum, so the frame after round r
+    * holds exact ≤r-hop distances; convergence is detected by a
+    * changed-count, capped with the same post-cap fixpoint probe as
+    * [[DedupOps.clustersFromEdges]] (a fixpoint reached exactly ON the
+    * cap round is accepted, genuine non-convergence refuses loudly).
+    * Nations outside the reachable component keep NULL hops — the honest
+    * answer, not a sentinel.
+    *
+    * Scale shape: identical to the CC loop — fact volume collapses to the
+    * ≤|entities|² census once, and each BFS round is a census-sized join
+    * + min-aggregate with [[graft.Checkpoints]] lineage cuts; rounds are
+    * bounded by the graph diameter, the algorithm's inherent serial
+    * dimension.
+    */
+  def bfsHops(s: SparkSession, dir: String): DataFrame = {
+    val strong = strongEdges(s, dir)
+    val sym = strong.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(strong.select(col("b").as("u"), col("a").as("v")))
+      .persist()
+    val seed = sym.agg(min(col("u")).as("seed"))
+    var checkpointed = sym.select(col("u").as("node")).distinct()
+      .crossJoin(broadcast(seed))
+      .select(col("node"),
+        when(col("node") === col("seed"), lit(0L)).as("hops"))
+      .transform(graft.Checkpoints.truncate)
+    var dist = checkpointed
+    var changed = 1L
+    var round = 0
+    val roundCap = 30
+    def relaxCandidates(d: DataFrame): DataFrame = d
+      .filter(col("hops").isNotNull)
+      .select(col("node").as("u"), col("hops"))
+      .join(sym, "u")
+      .groupBy(col("v")).agg(min(col("hops") + 1).as("cand"))
+      .select(col("v").as("node"), col("cand"))
+    while (changed > 0 && round < roundCap) {
+      val merged = dist.select(col("node"), col("hops").as("old"))
+        .join(relaxCandidates(dist), Seq("node"), "left")
+        .select(col("node"), col("old"),
+          least(col("old"), col("cand")).as("hops"))
+        .transform(graft.Checkpoints.truncate)
+      changed = merged.filter(
+        (col("old").isNull && col("hops").isNotNull) ||
+          col("hops") < col("old")).count()
+      checkpointed.unpersist(false)
+      checkpointed = merged
+      dist = merged.select(col("node"), col("hops"))
+      round += 1
+    }
+    if (changed > 0) {
+      changed = dist.select(col("node"), col("hops").as("old"))
+        .join(relaxCandidates(dist), Seq("node"), "left")
+        .filter((col("old").isNull && col("cand").isNotNull) ||
+          col("cand") < col("old")).count()
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"bfsHops hit the $round-round cap without converging — refusing " +
+        "to emit non-shortest hop distances")
+    Tables.nation(s, dir)
+      .join(dist, col("n_nationkey") === col("node"), "left")
+      .select(col("n_nationkey"), col("n_name"), col("hops"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
-    "graph_components" -> components
+    "graph_components" -> components,
+    "graph_bfs_hops" -> bfsHops
   )
 
   val oracle: Map[String, String] = Map(
@@ -290,6 +361,39 @@ object GraphOps extends OpModule {
         |  FROM assigned GROUP BY 1)
         |SELECT a.n_nationkey, a.n_name, a.component_id, s.component_size
         |FROM assigned a JOIN sizes s USING (component_id)
+        |ORDER BY n_nationkey""".stripMargin,
+    // BFS via bounded recursive walk over the same strong edge census —
+    // UNION dedups (node, h) pairs and the h < 25 guard bounds cycles,
+    // so min(h) per node is the exact hop distance.
+    "graph_bfs_hops" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(w) AS BIGINT) AS w
+        |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+        |m AS (SELECT CAST(sum(w) // count(*) AS BIGINT) AS mean_w FROM und),
+        |strong AS (
+        |  SELECT a, b FROM und, m WHERE w >= mean_w),
+        |sym AS (
+        |  SELECT a AS u, b AS v FROM strong
+        |  UNION ALL SELECT b, a FROM strong),
+        |walk AS (
+        |  SELECT (SELECT min(u) FROM sym) AS node, 0 AS h
+        |  UNION
+        |  SELECT sym.v, walk.h + 1
+        |  FROM walk JOIN sym ON walk.node = sym.u
+        |  WHERE walk.h < 25),
+        |d AS (SELECT node, CAST(min(h) AS BIGINT) AS hops
+        |      FROM walk GROUP BY 1)
+        |SELECT n_nationkey, n_name, d.hops
+        |FROM nation LEFT JOIN d ON n_nationkey = d.node
         |ORDER BY n_nationkey""".stripMargin
   )
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.EventOps
+import graft.operators.{EventOps, GraphOps}
 
 /** Round-9 wave-10 additions. */
 class Wave10OpsSpec extends SparkSpec {
@@ -30,6 +30,33 @@ class Wave10OpsSpec extends SparkSpec {
       // deviations are centered: a full-series CUSUM ends at P_T = 0, so
       // the final hi score equals -min prefix and lo equals +max prefix
       assert(dev.sum === 0L)
+    }
+  }
+
+  test("graph_bfs_hops: hop distances match a driver-side BFS over the " +
+    "same strong edge census") {
+    val got = GraphOps.bfsHops(spark, sf0001).collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val edges = GraphOps.strongEdges(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(edges.nonEmpty)
+    val adj = (edges ++ edges.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seed = edges.flatMap(e => Seq(e._1, e._2)).min
+    var frontier = Set(seed)
+    var dist = Map(seed -> 0L)
+    var level = 0L
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      level += 1
+      next.foreach(n => dist += n -> level)
+      frontier = next
+    }
+    assert(got.nonEmpty)
+    got.foreach { case (node, hops) =>
+      assert(hops === dist.get(node), s"node $node")
     }
   }
 }
