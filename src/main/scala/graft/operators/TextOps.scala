@@ -787,7 +787,61 @@ object TextOps extends OpModule {
       .limit(20)
   }
 
+  /** Clipped ROUGE-2 overlap between prefix-blocked document pairs — the
+    * eval-side n-gram metric (summarization/decontamination audits run
+    * exactly this arithmetic between candidate and reference texts).
+    * Blocking: docs sharing their first-5-token prefix pair up (the
+    * template/boilerplate signal — same opener, how much of the body is
+    * shared?), so the quadratic step is per-block like join_fuzzy_name's
+    * levenshtein blocking, never corpus×corpus. Overlap is the standard
+    * CLIPPED bigram count Σ_g min(c_a(g), c_b(g)) — a multiset
+    * intersection, which is why the per-doc bigram MULTISET (with
+    * counts) joins on the gram string; F1 collapses to
+    * 2·o·10⁴ DIV (n_a + n_b) in exact basis points because P and R share
+    * the overlap numerator.
+    *
+    * Scale shape: one corpus pass builds (blk, n2) per doc; pairs form
+    * within blocks only; bigram multisets are computed ONLY for docs in
+    * some pair (the pairStats semi-join-reduction pattern) and join on
+    * (doc, gram) — fan-out bounded by per-doc length, never quadratic in
+    * the corpus.
+    */
+  def rougeOverlap(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 5)
+      .withColumn("blk", concat_ws(" ", slice(col("toks"), 1, 5)))
+      .withColumn("n2", (size(col("toks")) - 1).cast("long"))
+    val pairs = base
+      .select(col("blk"), col("doc_id").as("doc_a"), col("n2").as("n2_a"))
+      .join(base.select(col("blk"), col("doc_id").as("doc_b"),
+        col("n2").as("n2_b")), "blk")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n2_a"), col("n2_b"))
+    val candIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val grams = base.join(candIds, "doc_id")
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(toks[i], ' ', toks[i + 1]))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val ov = pairs
+      .join(grams.select(col("doc_id").as("doc_a"), col("g"),
+        col("c").as("ca")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b2"), col("g").as("gb"),
+        col("c").as("cb")),
+        col("doc_b") === col("doc_b2") && col("g") === col("gb"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("ca"), col("cb"))).as("o"))
+    pairs.join(ov, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("n2_a"), col("n2_b"),
+        coalesce(col("o"), lit(0L)).as("overlap2"),
+        expr("2 * coalesce(o, 0L) * 10000 DIV (n2_a + n2_b)").as("f1_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_rouge_overlap" -> rougeOverlap,
     "llm_bm25_topk" -> bm25Topk,
     "llm_bpe_merge_step" -> bpeMergeStep,
     "llm_bpe_train" -> bpeTrain,
@@ -902,6 +956,44 @@ object TextOps extends OpModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "llm_rouge_overlap" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, toks, array_to_string(toks[1:5], ' ') AS blk,
+        |         CAST(len(toks) - 1 AS BIGINT) AS n2
+        |  FROM docs WHERE len(toks) >= 5),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         a.n2 AS n2_a, b.n2 AS n2_b
+        |  FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+        |cand AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_a AS doc_id FROM pairs
+        |    UNION ALL SELECT doc_b FROM pairs)),
+        |zipped AS (
+        |  SELECT b.doc_id,
+        |         unnest(list_zip(b.toks[1:len(b.toks) - 1],
+        |                         b.toks[2:len(b.toks)])) AS z
+        |  FROM base b JOIN cand USING (doc_id)),
+        |grams AS (
+        |  SELECT doc_id, z[1] || ' ' || z[2] AS g,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM zipped GROUP BY 1, 2),
+        |ov AS (
+        |  SELECT p.doc_a, p.doc_b,
+        |         CAST(sum(least(ga.c, gb.c)) AS BIGINT) AS o
+        |  FROM pairs p
+        |  JOIN grams ga ON ga.doc_id = p.doc_a
+        |  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+        |  GROUP BY 1, 2)
+        |SELECT p.doc_a, p.doc_b, p.n2_a, p.n2_b,
+        |       COALESCE(ov.o, 0) AS overlap2,
+        |       CAST(2 * COALESCE(ov.o, 0) * 10000 // (p.n2_a + p.n2_b)
+        |            AS BIGINT) AS f1_bp
+        |FROM pairs p LEFT JOIN ov
+        |  ON ov.doc_a = p.doc_a AND ov.doc_b = p.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "llm_bm25_topk" -> bm25OracleSql,
     "llm_bpe_train" -> bpeTrainOracleSql,
     "llm_bpe_merge_step" ->

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, GraphOps}
+import graft.operators.{EventOps, GraphOps, TextOps}
 
 /** Round-9 wave-10 additions. */
 class Wave10OpsSpec extends SparkSpec {
@@ -57,6 +57,32 @@ class Wave10OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.foreach { case (node, hops) =>
       assert(hops === dist.get(node), s"node $node")
+    }
+  }
+
+  test("llm_rouge_overlap: clipped bigram overlap and F1 match a " +
+    "driver-side multiset recompute for every blocked pair") {
+    val rows = TextOps.rougeOverlap(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def bigrams(t: String): Map[String, Long] = {
+      val toks = t.split(" ", -1)
+      toks.sliding(2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ga, gb) = (bigrams(texts(a)), bigrams(texts(b)))
+      val o = ga.keySet.intersect(gb.keySet).toSeq
+        .map(g => math.min(ga(g), gb(g))).sum
+      assert(r.getLong(2) === ga.values.sum, s"n2_a pair ($a,$b)")
+      assert(r.getLong(3) === gb.values.sum, s"n2_b pair ($a,$b)")
+      assert(r.getLong(4) === o, s"overlap pair ($a,$b)")
+      assert(r.getLong(5) ===
+        2L * o * 10000L / (ga.values.sum + gb.values.sum),
+        s"f1 pair ($a,$b)")
     }
   }
 }
