@@ -407,7 +407,71 @@ object JoinOps extends OpModule {
     (build, probePred)
   }
 
+  /** Bucketed CO-LOCATED join — the shuffle-free fact⋈fact pattern that
+    * bucketing exists for: both sides are written as parquet tables
+    * bucketed (and sorted) by the join key, so the sort-merge join reads
+    * each bucket pair directly and NO exchange appears anywhere in the
+    * join+aggregate pipeline (plan-asserted in JoinBucketedSpec: zero
+    * `Exchange hashpartitioning` — the bucketed scan satisfies the join's
+    * distribution requirement AND the downstream per-order aggregate's,
+    * since both key on o_orderkey). At 100 TB this is the difference
+    * between shuffling the fact table on every join and shuffling it
+    * ONCE at write time: a nightly-bucketed lineitem serves every
+    * orderkey join and orderkey rollup for free. The `merge` hint pins
+    * SMJ so tiny test SFs can't silently fall back to a broadcast join
+    * and vacuously pass the no-exchange audit. Result is value-identical
+    * to the plain join (bucketing only changes layout) — the oracle is
+    * the direct SQL; quantity sums go through DECIMAL for bit-exact
+    * cross-engine agreement.
+    */
+  /** Per-JVM scratch root for the bucketed tables (the sink_roundtrip
+    * pattern): system tmp + process nonce so concurrent JVMs never
+    * collide on a table LOCATION (a managed table's warehouse dir
+    * outlives the in-memory catalog that knew about it, so a second JVM
+    * would refuse the name), recursively removed on JVM exit.
+    */
+  private lazy val bucketBase: java.io.File = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-bkt-${java.util.UUID.randomUUID().toString.take(8)}")
+    d.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(d)
+    }))
+    d
+  }
+
+  def bucketedColocated(s: SparkSession, dir: String): DataFrame = {
+    val nb = 8
+    val tagO = s"graft_bkt_orders_${Tables.dirTag(dir)}"
+    val tagL = s"graft_bkt_lineitem_${Tables.dirTag(dir)}"
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", new java.io.File(bucketBase, tagO).getAbsolutePath)
+      .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(tagO)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").format("parquet")
+      .option("path", new java.io.File(bucketBase, tagL).getAbsolutePath)
+      .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(tagL)
+    s.table(tagL).hint("merge")
+      .join(s.table(tagO), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_qty"),
+        min(col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bucketed_colocated" -> bucketedColocated,
     "join_bloom_prefilter" -> bloomPrefilter,
     "join_fuzzy_name" -> fuzzyName,
     "join_null_safe" -> nullSafe,
@@ -427,6 +491,13 @@ object JoinOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_bucketed_colocated" ->
+      """SELECT o.o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |       CAST(CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2)))
+        |                 AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |       min(o.o_totalprice) AS o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
         |FROM customer c
