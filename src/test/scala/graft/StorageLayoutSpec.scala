@@ -185,4 +185,20 @@ class StorageLayoutSpec extends SparkSpec {
       .select("day").distinct().count()
     assert(allDays > 1, "fixture spans multiple days")
   }
+
+  test("layout_partition_prune (the registered query) prunes at the " +
+    "scan and matches an unpartitioned recompute") {
+    val df = graft.operators.RelationalOps.partitionPrune(spark, sf0001)
+    val p = finalPlan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(day"), p)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")) === lit("2024-01-07").cast("date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("user_id")).as("sum_uid"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
 }
