@@ -584,7 +584,12 @@ object TextOps extends OpModule {
     * unrolled DuckDB CTEs generated from the same [[bpeTrainMerges]], so
     * round count cannot drift between engines.
     */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The shared training loop: returns the chosen merges AND the final
+    * encoded token stream (the corpus after all merges applied) —
+    * [[bpeTrain]] emits the former, [[bpeApply]] aggregates the latter.
+    */
+  private def bpeLoop(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var stream = Tables.documents(s, dir)
@@ -637,13 +642,47 @@ object TextOps extends OpModule {
       }
       round += 1
     }
+    (merges.result(), stream)
+  }
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val (ms, _) = bpeLoop(s, dir)
     val s2 = s
     import s2.implicits._
-    merges.result().toDF("merge_rank", "a", "b", "n")
+    ms.toDF("merge_rank", "a", "b", "n")
       .withColumn("merge_token", concat(col("a"), col("b")))
       .select(col("merge_rank"), col("a"), col("b"), col("merge_token"),
         col("n"))
       .orderBy(col("merge_rank"))
+  }
+
+  /** BPE ENCODE — the production counterpart of [[bpeTrain]]: the corpus
+    * re-tokenized under the trained merges, reported as per-doc token
+    * counts before/after and the exact basis-point compression ratio
+    * (`enc·10⁴ DIV orig`). This is the tokenizer's serving question —
+    * "how many tokens does this doc cost after BPE" — and it rides the
+    * SAME loop as training (apply = train minus nothing here, since the
+    * merges come from this corpus; a frozen-vocabulary encode against a
+    * stored merge table is the [[bpeLoop]] mechanics with the argmax
+    * replaced by a rank-ordered broadcast lookup — same plan shape, same
+    * cost). Every doc appears: a 1-token doc simply never merges.
+    *
+    * Scale shape: inherited from [[bpeTrain]] — per-round cost is one
+    * windowed pass over the positional stream with Checkpoints lineage
+    * cuts; the final rollup is one per-doc count. The oracle replays the
+    * identical unrolled rounds and aggregates stream_N per doc.
+    */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val (_, finalStream) = bpeLoop(s, dir)
+    val enc = finalStream.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks_enc"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks_orig"))
+      .join(enc, "doc_id")
+      .withColumn("compression_bp",
+        expr("n_toks_enc * 10000 DIV n_toks_orig"))
+      .orderBy(col("doc_id"))
   }
 
   /** [[bpeTrain]]'s DuckDB twin: all [[bpeTrainMerges]] rounds unrolled
@@ -705,6 +744,31 @@ object TextOps extends OpModule {
        |$rounds
        |$arms
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** [[bpeApply]]'s DuckDB twin: the SAME unrolled training rounds
+    * (regenerated from the same roundSql shape), aggregated per doc from
+    * the final stream instead of union-ing the chosen pairs.
+    */
+  private val bpeApplyOracleSql: String = {
+    val trainSql = bpeTrainOracleSql
+    // reuse the generated WITH...rounds prefix verbatim: cut at the
+    // train-specific final-select arms ("SELECT 1 AS merge_rank...")
+    val cut = trainSql.indexOf("SELECT 1 AS merge_rank")
+    require(cut > 0, "bpeTrainOracleSql shape changed")
+    val prefix = trainSql.substring(0, cut).reverse
+      .dropWhile(c => c == '\n' || c == ' ').reverse
+    s"""$prefix,
+       |orig AS (
+       |  SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks_orig FROM toks),
+       |enc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks_enc
+       |  FROM stream_$bpeTrainMerges GROUP BY 1)
+       |SELECT o.doc_id, o.n_toks_orig, e.n_toks_enc,
+       |       CAST(e.n_toks_enc * 10000 // o.n_toks_orig AS BIGINT)
+       |         AS compression_bp
+       |FROM orig o JOIN enc e USING (doc_id)
+       |ORDER BY o.doc_id""".stripMargin
   }
 
   /** The fixed retrieval query [[bm25Topk]] scores — config, like the RFM
@@ -841,6 +905,7 @@ object TextOps extends OpModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_bpe_apply" -> bpeApply,
     "llm_rouge_overlap" -> rougeOverlap,
     "llm_bm25_topk" -> bm25Topk,
     "llm_bpe_merge_step" -> bpeMergeStep,
@@ -956,6 +1021,7 @@ object TextOps extends OpModule {
   }
 
   val oracle: Map[String, String] = Map(
+    "llm_bpe_apply" -> bpeApplyOracleSql,
     "llm_rouge_overlap" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -60,6 +60,36 @@ class Wave10OpsSpec extends SparkSpec {
     }
   }
 
+  test("llm_bpe_apply: encoded token counts match a driver-side greedy " +
+    "replay of the trained merges") {
+    val merges = TextOps.bpeTrain(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(merges.nonEmpty)
+    val applied = TextOps.bpeApply(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(applied.keySet === texts.keySet)
+    applied.foreach { case (id, (orig, enc, bp)) =>
+      var toks = texts(id).split(" ", -1).toVector
+      assert(orig === toks.length.toLong, s"orig doc $id")
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      assert(enc === toks.length.toLong, s"enc doc $id")
+      assert(bp === enc * 10000L / orig, s"bp doc $id")
+    }
+  }
+
   test("llm_rouge_overlap: clipped bigram overlap and F1 match a " +
     "driver-side multiset recompute for every blocked pair") {
     val rows = TextOps.rougeOverlap(spark, sf0001).collect()
