@@ -980,7 +980,47 @@ object EventOps extends OpModule {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Bot/automation detection via inter-event gap REGULARITY — humans
+    * are bursty, schedulers are metronomes. Per user: consecutive-event
+    * gaps in whole seconds (integer truncation of the µs difference,
+    * identical in both engines), their exact second-moment numerator
+    * `var_num = n·Σg² − (Σg)²` (≥ 0, the n²-scaled variance — no
+    * division, no doubles), and the regularity flag
+    * `4·var_num ≤ (Σg)²`, which is exactly CV² ≤ 1/4 (coefficient of
+    * variation ≤ 0.5) because var/mean² = var_num/(Σg)². A training-data
+    * pipeline runs this shape to drop machine-generated event/text
+    * streams before they pollute the corpus. Overflow headroom: gaps are
+    * bounded by the fixture's 30-day span in SECONDS (≤2.6·10⁶), so
+    * n·Σg² stays far inside int64 even for thousands of events per user.
+    *
+    * Scale shape: one shuffle on user_id (the sessionize exchange), one
+    * ordered-window lag, one per-user aggregate — fact-linear, no joins.
+    */
+  def botDetect(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_s",
+        expr("(unix_micros(ts) - prev_us) DIV 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_gap_s"),
+        sum(col("gap_s") * col("gap_s")).as("sumsq"))
+      .filter(col("n_gaps") >= 2)
+      .select(col("user_id"), col("n_gaps"), col("sum_gap_s"),
+        (col("n_gaps") * col("sumsq") - col("sum_gap_s") * col("sum_gap_s"))
+          .as("var_num"),
+        (lit(4) * (col("n_gaps") * col("sumsq") -
+          col("sum_gap_s") * col("sum_gap_s")) <=
+          col("sum_gap_s") * col("sum_gap_s")).as("is_regular"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_bot_detect" -> botDetect,
     "ts_changepoint_cusum" -> changepointCusum,
     "event_user_overlap" -> userOverlap,
     "event_pattern_match" -> patternMatch,
@@ -1075,6 +1115,26 @@ object EventOps extends OpModule {
         |       CAST(sum(n_events) AS BIGINT) AS n_events
         |FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "event_bot_detect" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         (epoch_us(CAST(ts AS TIMESTAMP)) -
+        |          lag(epoch_us(CAST(ts AS TIMESTAMP)))
+        |            OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |           // 1000000 AS gap_s
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |         CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+        |         CAST(sum(gap_s * gap_s) AS BIGINT) AS sumsq
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, sum_gap_s,
+        |       CAST(n_gaps * sumsq - sum_gap_s * sum_gap_s AS BIGINT)
+        |         AS var_num,
+        |       4 * (n_gaps * sumsq - sum_gap_s * sum_gap_s)
+        |         <= sum_gap_s * sum_gap_s AS is_regular
+        |FROM a WHERE n_gaps >= 2
+        |ORDER BY user_id""".stripMargin,
     "ts_changepoint_cusum" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -60,6 +60,30 @@ class Wave10OpsSpec extends SparkSpec {
     }
   }
 
+  test("event_bot_detect: var_num is the exact n-scaled variance and " +
+    "the regularity flag is CV^2 <= 1/4, driver-recomputed") {
+    val rows = EventOps.botDetect(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val gaps = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        r.getTimestamp(1).getNanos / 1000 % 1000, r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3))
+        .map(_._2).toVector.sliding(2).collect { case Seq(a, b) =>
+          (b - a) / 1000000L }.toVector).toMap
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val g = gaps(u)
+      val (n, s2, sq) = (g.length.toLong, g.sum, g.map(x => x * x).sum)
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === s2)
+      val varNum = n * sq - s2 * s2
+      assert(varNum >= 0L)
+      assert(r.getLong(3) === varNum, s"user $u")
+      assert(r.getBoolean(4) === (4 * varNum <= s2 * s2), s"user $u")
+    }
+  }
+
   test("llm_bpe_apply: encoded token counts match a driver-side greedy " +
     "replay of the trained merges") {
     val merges = TextOps.bpeTrain(spark, sf0001).collect()
