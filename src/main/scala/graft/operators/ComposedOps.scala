@@ -211,7 +211,169 @@ object ComposedOps extends OpModule {
       .limit(100)
   }
 
+  /** Q1 shape (pricing summary report): the canonical full-scan aggregate —
+    * eight aggregates over two low-cardinality group keys with a date
+    * predicate that pushes to the parquet scan. The plan IS the 100 TB
+    * plan: partial HashAggregate on every input partition collapses each
+    * to ≤ (3×2) rows before the one tiny shuffle, so the exchange carries
+    * O(groups × partitions) rows regardless of fact size. Money math in
+    * exact DECIMAL (sums are associative, partial-agg-safe), DOUBLE only
+    * at the edge; the three averages divide the same exact sum by the
+    * same count in both engines, so every double is bit-identical.
+    */
+  def q1Shape(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_qty"),
+        expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_base_price"),
+        expr(
+          """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            | (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"""
+            .stripMargin).as("sum_disc_price"),
+        expr(
+          """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            | (1 - CAST(l_discount AS DECIMAL(18,2))) *
+            | (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)"""
+            .stripMargin).as("sum_charge"),
+        expr(
+          """CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            | / COUNT(*)""".stripMargin).as("avg_qty"),
+        expr(
+          """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            | / COUNT(*)""".stripMargin).as("avg_price"),
+        expr(
+          """CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+            | / COUNT(*)""".stripMargin).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q10 shape (returned-item revenue): which customers returned the most
+    * merchandise in one quarter. Fact spine lineitem(R-flag)→orders(date
+    * window)→customer→nation: both fact filters push to their scans
+    * BEFORE the join (the R flag keeps ~1/3 of lineitem, the quarter
+    * keeps ~1/8 of orders), the nation dimension is an explicit
+    * broadcast, and the customer join is left to size estimation — at
+    * 100 TB customers are fact-sized and must shuffle. Top-20 lands as
+    * TakeOrderedAndProject.
+    */
+  def q10Shape(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(expr(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Q14 shape (promo-class revenue share): one month of lineitem joined
+    * to its part, reduced to a single conditional-share row. The month
+    * filter pushes to the fact scan; the part side carries only
+    * (p_partkey, p_type) after pruning and is explicitly broadcast — at
+    * any scale the part dimension is orders of magnitude smaller than
+    * the fact, and the share itself needs no shuffle at all beyond the
+    * one-row final aggregate. Numerics: both CASE legs sum in exact
+    * DECIMAL; the single 100·x/y division happens once in DOUBLE on
+    * bit-identical operands.
+    */
+  def q14Shape(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-03-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        expr(
+          """CAST(100 * SUM(CASE WHEN p_type = 'ECONOMY'
+            |   THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |        (1 - CAST(l_discount AS DECIMAL(18,2)))
+            |   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+            |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+            |   (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"""
+            .stripMargin).as("promo_share"),
+        count(lit(1)).as("n_items"))
+
+  /** Q19 shape (disjunctive-predicate join): revenue from three
+    * brand/size/quantity bands OR-ed together — the classic test of
+    * whether an optimizer can factor a disjunction. The factoring is done
+    * the way a 100 TB plan wants it: the predicate's common ENVELOPE
+    * (brand ∈ {…} ∧ size ≤ 15 on the part side, quantity ≤ 30 on the
+    * fact side) is hoisted conjunctively so both halves push into their
+    * parquet scans and the part side shrinks to a broadcastable sliver
+    * BEFORE the join; the exact three-way OR (which straddles both
+    * tables) stays as the residual filter on the joined rows. No
+    * fact-side shuffle at all: scan → broadcast-hash-join → filter →
+    * one-row aggregate.
+    */
+  def q19Shape(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3") &&
+        col("p_size") >= 1 && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size") <= 5 &&
+          col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#23" && col("p_size") <= 10 &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#3" &&
+          col("l_quantity") >= 20))
+      .agg(expr(revenue).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** Q22 shape (global-sales-opportunity): market segments of well-funded
+    * customers gone DORMANT — a scalar subquery (global positive-balance
+    * average) feeding an anti join. Q22's literal "never ordered" is
+    * vacuous on this fixture (every customer has orders), so the anti
+    * side is the customers with an order since 1998-01-01 — same join
+    * graph, non-degenerate answer. The scalar is a one-row
+    * broadcast-joined aggregate (physically a tiny separate job whose
+    * result ships to every partition — no driver collect); the NOT EXISTS
+    * is a left-anti hash join of customer against the filtered o_custkey
+    * projection (the date filter pushes to the orders scan), which at
+    * 100 TB shuffles only the two key columns. The average divides an
+    * exact DECIMAL sum by a count, so the threshold is the identical
+    * double in both engines and the qualifying row set matches exactly.
+    */
+  def q22Shape(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(expr(
+        """CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+          | / COUNT(*)""".stripMargin).as("avg_bal"))
+    cust
+      .join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        expr("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("totacctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q1_shape" -> q1Shape,
+    "tpch_q10_shape" -> q10Shape,
+    "tpch_q14_shape" -> q14Shape,
+    "tpch_q19_shape" -> q19Shape,
+    "tpch_q22_shape" -> q22Shape,
     "tpch_q3_shape" -> q3Shape,
     "tpch_q5_shape" -> q5Shape,
     "tpch_q8_shape" -> q8Shape,
@@ -221,6 +383,81 @@ object ComposedOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "tpch_q1_shape" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (1 - CAST(l_discount AS DECIMAL(18,2))) *
+        |    (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "tpch_q10_shape" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+        |       $revenue AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "tpch_q14_shape" ->
+      """SELECT
+        |  CAST(100 * SUM(CASE WHEN p_type = 'ECONOMY'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_share,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "tpch_q19_shape" ->
+      s"""SELECT $revenue AS revenue, COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "tpch_q22_shape" ->
+      """WITH avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |           / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, COUNT(*) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS totacctbal
+        |FROM customer, avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "tpch_q21_shape" ->
       """WITH late AS (
         |  SELECT l_orderkey, l_suppkey,

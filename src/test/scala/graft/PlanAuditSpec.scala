@@ -264,6 +264,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("tpch_q1: single shuffle — partial+final aggregate, nothing else") {
+    val df = ComposedOps.q1Shape(spark, sf0001)
+    val p = plan(df)
+    // the full-scan report is ONE partial + ONE final HashAggregate; the
+    // only hash exchange carries the ≤6 group rows per input partition
+    // (the presentation orderBy adds a range exchange over those 6 rows)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("Join"), p)
+    // date predicate reaches the parquet scan
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("tpch_q14/q19: part dimension broadcasts; fact side never shuffles " +
+    "for the join") {
+    for (q <- Seq(ComposedOps.q14Shape _, ComposedOps.q19Shape _)) {
+      val p = plan(q(spark, sf0001))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // no hash-partitioned exchange anywhere: broadcast join + one-row
+      // aggregate means the fact table is scanned once, shuffle-free
+      assert(!p.contains("Exchange hashpartitioning"), p)
+    }
+  }
+
+  test("tpch_q22: scalar broadcasts, dormancy anti-join is a hash join") {
+    // INITIAL plan: at sf0.001 the dormant set is empty and AQE folds the
+    // whole tree to EmptyRelation — the shape that runs at scale is the
+    // pre-runtime one
+    val p = ComposedOps.q22Shape(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sort_limit_topk: TakeOrderedAndProject, no global sort") {
     val p = plan(SortSetOps.sortLimitTopk(spark, sf0001))
     assert(p.contains("TakeOrderedAndProject"), p)

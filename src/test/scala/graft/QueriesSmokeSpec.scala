@@ -53,10 +53,14 @@ class QueriesSmokeSpec extends SparkSpec {
   // llm_bm25_topk (round 6): the corpus avgdl/N denominators are the same
   // broadcast ONE-ROW scalar aggregate as llm_tfidf, crossed onto the
   // ≤|query|-term frames (justified in TextOps.bm25Topk's doc).
+  // tpch_q22_shape (round 9): Q22's global balance threshold is the same
+  // broadcast ONE-ROW scalar aggregate as llm_tfidf — the `>` comparison
+  // against it plans as a 1-row-build BNLJ, linear in customers
+  // (justified in ComposedOps.q22Shape's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
-    "graph_triangles", "llm_bm25_topk")
+    "graph_triangles", "llm_bm25_topk", "tpch_q22_shape")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {
