@@ -910,6 +910,83 @@ object EventOps extends OpModule {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Autocorrelation function of each event type's daily-volume series at
+    * lags 1–3 — the seasonality detector feeding [[seasonalNaive]]:
+    * a strong lag-7 beats lag-1 ⇒ weekly structure; ACF(1)≈0 ⇒ the
+    * series is noise and forecasting it is pointless. Pearson r between
+    * the series and its row-lagged self, with every moment (n, Σx, Σy,
+    * Σxy, Σx², Σy²) an EXACT integer on the daily counts; the one
+    * (num / (√vx·√vy)) division happens once in DOUBLE on bit-identical
+    * operands, so both engines emit the identical double.
+    *
+    * Scale shape: one map-side-combined daily census is the only
+    * fact-volume pass; the three lags ride ONE sort of that tiny ≤
+    * |types|·|days| frame (a single window, three lag offsets), and the
+    * moment aggregate collapses it to |types|·3 rows.
+    */
+  def tsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lagged = daily
+      .withColumn("l1", lag(col("cnt"), 1).over(w))
+      .withColumn("l2", lag(col("cnt"), 2).over(w))
+      .withColumn("l3", lag(col("cnt"), 3).over(w))
+    lagged
+      .select(col("event_type"), col("cnt").as("x"),
+        expr("stack(3, 1, l1, 2, l2, 3, l3) AS (lag, y)"))
+      .filter(col("y").isNotNull)
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        expr(
+          """CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+            | (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+            |  sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))"""
+            .stripMargin).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** Weekly stickiness: WAU / trailing-4-week MAU per calendar week — the
+    * engagement ratio ("of everyone active this month, how many came back
+    * this week"). Each (user, week) presence row CONTRIBUTES to the four
+    * windows ending at week..week+3 via a 4-element sequence explode —
+    * turning the sliding distinct-count into a plain groupBy so no window
+    * re-scans the fact table; windows are then clipped to weeks that
+    * exist in the data (an inner join against the WAU frame, so a
+    * trailing presence row never fabricates an empty future week).
+    * Stickiness is exact integer permille: 1000·wau DIV mau4.
+    *
+    * Scale shape: one (user, week) distinct pass is the only fact-volume
+    * shuffle; the explode quadruples the AGGREGATED presence frame, the
+    * distinct-user recount shuffles only (user, week) keys, and the final
+    * WAU⋈MAU join is on the ≤|weeks| frame.
+    */
+  def stickiness(s: SparkSession, dir: String): DataFrame = {
+    val presence = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).as("week")).distinct()
+    val wau = presence.groupBy(col("week"))
+      .agg(count(lit(1)).as("wau"))
+    val mau = presence
+      .select(col("user_id"), explode(expr(
+        "sequence(week, week + INTERVAL 21 DAY, INTERVAL 7 DAY)"))
+        .as("week"))
+      .distinct()
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("mau4"))
+    wau.join(mau, "week")
+      .select(col("week"), col("wau"), col("mau4"),
+        expr("1000 * wau DIV mau4").as("stickiness_milli"))
+      .orderBy(col("week"))
+  }
+
   /** Audience overlap: for every event-type pair, the distinct-user
     * intersection and the Jaccard overlap in fixed-point basis points —
     * "how much of the click audience also purchases", the segmentation
@@ -1020,6 +1097,8 @@ object EventOps extends OpModule {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_autocorr" -> tsAutocorr,
+    "event_stickiness" -> stickiness,
     "event_bot_detect" -> botDetect,
     "ts_changepoint_cusum" -> changepointCusum,
     "event_user_overlap" -> userOverlap,
@@ -1279,6 +1358,60 @@ object EventOps extends OpModule {
         |SELECT a, b, n_ab, n_a,
         |       CAST(n_ab * 10000 // n_a AS DOUBLE) / 10000.0 AS p
         |FROM tot ORDER BY a, b""".stripMargin,
+    "ts_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP))
+        |           AS day,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, cnt AS x,
+        |         lag(cnt, 1) OVER w AS l1,
+        |         lag(cnt, 2) OVER w AS l2,
+        |         lag(cnt, 3) OVER w AS l3
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |pairs AS (
+        |  SELECT event_type, 1 AS lag, x, l1 AS y FROM lagged
+        |  UNION ALL
+        |  SELECT event_type, 2, x, l2 FROM lagged
+        |  UNION ALL
+        |  SELECT event_type, 3, x, l3 FROM lagged),
+        |s AS (
+        |  SELECT event_type, lag,
+        |         CAST(count(*) AS BIGINT) AS n_pairs,
+        |         CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+        |       CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |         (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |          sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
+        |FROM s ORDER BY event_type, lag""".stripMargin,
+    "event_stickiness" ->
+      """WITH presence AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+        |           AS TIMESTAMP) AS week
+        |  FROM events),
+        |wau AS (
+        |  SELECT week, CAST(count(*) AS BIGINT) AS wau
+        |  FROM presence GROUP BY 1),
+        |contrib AS (
+        |  SELECT DISTINCT p.user_id, w.week
+        |  FROM presence p
+        |  JOIN wau w ON w.week >= p.week
+        |            AND w.week <= p.week + INTERVAL 21 DAY),
+        |mau AS (
+        |  SELECT week, CAST(count(*) AS BIGINT) AS mau4
+        |  FROM contrib GROUP BY 1)
+        |SELECT wau.week, wau.wau, mau.mau4,
+        |       1000 * wau.wau // mau.mau4 AS stickiness_milli
+        |FROM wau JOIN mau USING (week)
+        |ORDER BY week""".stripMargin,
     "ts_ewma" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,

@@ -53,6 +53,10 @@ class QueriesSmokeSpec extends SparkSpec {
   // llm_bm25_topk (round 6): the corpus avgdl/N denominators are the same
   // broadcast ONE-ROW scalar aggregate as llm_tfidf, crossed onto the
   // ≤|query|-term frames (justified in TextOps.bm25Topk's doc).
+  // graph_jaccard_neighbors (round 9): consumes strongEdges, whose
+  // strong-tie threshold is the same broadcast ONE-ROW mean-weight
+  // scalar crossed onto the ≤|entities|² edge census as graph_triangles
+  // (justified in GraphOps.strongEdges's doc).
   // tpch_q22_shape (round 9): Q22's global balance threshold is the same
   // broadcast ONE-ROW scalar aggregate as llm_tfidf — the `>` comparison
   // against it plans as a 1-row-build BNLJ, linear in customers
@@ -60,7 +64,8 @@ class QueriesSmokeSpec extends SparkSpec {
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
-    "graph_triangles", "llm_bm25_topk", "tpch_q22_shape")
+    "graph_triangles", "llm_bm25_topk", "tpch_q22_shape",
+    "graph_jaccard_neighbors")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {
