@@ -920,7 +920,53 @@ object SimOps extends OpModule {
     annSrpFromStore(s, dir, s.read.parquet(path))
   }
 
+  /** Embedding-space outlier census: the 25 documents whose vectors point
+    * furthest from the corpus centroid — the curation signal for "this
+    * sample doesn't belong to the distribution" (mislabeled scrapes, OCR
+    * garbage, wrong-language shards survive every text heuristic but sit
+    * in the tail of exactly this score).
+    *
+    * Determinism at any parallelism: a distributed DOUBLE sum is
+    * partition-order-dependent, so the centroid is built from EXACT
+    * integers — each component quantized once to micro-units
+    * (round(x·10⁶) as BIGINT) and summed per dimension (order-free).
+    * Cosine is scale-invariant, so the un-normalized micro-SUM vector IS
+    * the centroid (no division anywhere; components stay < 2⁵³ up to
+    * ~10⁹ vectors). The per-doc cosine then runs in DOUBLE on the
+    * codegen'd strict-sequential [[graft.functions.DotProduct]] — the
+    * same bit-identical-replay contract as every other embedding op.
+    *
+    * Plan: one posexplode pass with map-side combine (64 partial rows
+    * per partition reach the tiny dimension shuffle), the 64-row frame
+    * collapses to a ONE-ROW broadcast centroid (the llm_tfidf scalar
+    * pattern — sanctioned 1-row BNLJ), then a narrow scoring map and
+    * TakeOrderedAndProject for the bottom-25.
+    */
+  def docOutlier(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val sums = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(sum(expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"))
+        .as("csum"))
+    val centroid = sums
+      .agg(expr(
+        """transform(
+          |  array_sort(collect_list(struct(pos, CAST(csum AS DOUBLE) AS c))),
+          |  s -> s.c)""".stripMargin).as("centroid"))
+    withNorm(emb)
+      .crossJoin(broadcast(centroid))
+      .withColumn("cos_centroid",
+        dot(col("embedding"), col("centroid")) /
+          (col("norm") * sqrt(dot(col("centroid"), col("centroid")))))
+      .select(col("vec_id"), col("label"), col("cos_centroid"))
+      .orderBy(col("cos_centroid").asc, col("vec_id"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_doc_outlier" -> docOutlier,
     "llm_sim_topk" -> simTopk,
     "llm_dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
     "llm_dedup_embed_incremental" -> dedupEmbedIncremental,
@@ -938,6 +984,31 @@ object SimOps extends OpModule {
     "list_sum([%s.embedding[i]::DOUBLE * %s.embedding[i]::DOUBLE for i in range(1, 65)])"
 
   val oracle: Map[String, String] = Map(
+    // Independent route: per-dimension micro-sums via a lateral range
+    // join (vs Spark's posexplode), centroid list rebuilt ORDER BY pos,
+    // cosines replayed with the same strict-sequential list_sum.
+    "llm_doc_outlier" ->
+      """WITH sums AS (
+        |  SELECT i AS pos,
+        |         CAST(sum(CAST(round(embedding[i]::DOUBLE * 1000000)
+        |                       AS BIGINT)) AS BIGINT) AS csum
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY 1),
+        |cent AS (
+        |  SELECT list(CAST(csum AS DOUBLE) ORDER BY pos) AS c FROM sums),
+        |e AS (
+        |  SELECT vec_id, label, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings)
+        |SELECT e.vec_id, e.label,
+        |       list_sum([e.embedding[i]::DOUBLE * c[i]
+        |                 for i in range(1, 65)]) /
+        |         (e.norm * sqrt(list_sum([c[i] * c[i]
+        |                                  for i in range(1, 65)])))
+        |         AS cos_centroid
+        |FROM e, cent
+        |ORDER BY cos_centroid, vec_id LIMIT 25""".stripMargin,
     "llm_sim_topk" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
