@@ -904,7 +904,64 @@ object TextOps extends OpModule {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Zipf exponent of the corpus token-frequency distribution — the
+    * one-number health check of a training corpus' lexical statistics: a
+    * natural-language corpus fits ln f ≈ c − s·ln r with s ≈ 1; boilerplate
+    * floods or template spam push s far from 1, and the fit R² collapsing
+    * says the distribution isn't Zipfian at all (synthetic/garbled text).
+    * OLS over the top-200 ranks of the SAME census frame as
+    * [[vocabCensus]]: each ln(rank)/ln(freq) — logs of small INTEGERS —
+    * is quantized ONCE to integer micro-nats (the [[charEntropy]]
+    * precedent), every OLS moment is then an exact BIGINT sum, and
+    * slope/R² divide those integers in DOUBLE at the edge, so both
+    * engines emit identical doubles.
+    *
+    * Scale shape: one map-side-combined token census is the only
+    * fact-volume pass (identical to vocab_census); the top-200 lands via
+    * TakeOrderedAndProject and the 200-row OLS aggregate is driver-free.
+    */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    counts.orderBy(col("n").desc, col("token")).limit(200)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("token"))).cast("long"))
+      .select(
+        expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("lr"),
+        expr("CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)")
+          .as("lf"))
+      // moments in DECIMAL(38,0): lf grows with ln(corpus) and the
+      // n·Σlf² cross term would graze BIGINT's 9.2e18 ceiling on a
+      // large corpus — 38-digit decimals (HUGEINT on the DuckDB side)
+      // keep every moment exact at any scale
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("lr")).as("slr"), sum(col("lf")).as("slf"),
+        sum(expr("CAST(lr * lf AS DECIMAL(38,0))")).as("slrlf"),
+        sum(expr("CAST(lr * lr AS DECIMAL(38,0))")).as("slrlr"),
+        sum(expr("CAST(lf * lf AS DECIMAL(38,0))")).as("slflf"))
+      .select(col("n_ranks"),
+        expr(
+          """-(CAST(n_ranks * slrlf - CAST(slr AS DECIMAL(38,0)) * slf
+            |       AS DOUBLE) /
+            |  CAST(n_ranks * slrlr - CAST(slr AS DECIMAL(38,0)) * slr
+            |       AS DOUBLE))""".stripMargin).as("zipf_slope"),
+        expr(
+          """CAST(n_ranks * slrlf - CAST(slr AS DECIMAL(38,0)) * slf
+            |     AS DOUBLE) *
+            |CAST(n_ranks * slrlf - CAST(slr AS DECIMAL(38,0)) * slf
+            |     AS DOUBLE) /
+            | (CAST(n_ranks * slrlr - CAST(slr AS DECIMAL(38,0)) * slr
+            |       AS DOUBLE) *
+            |  CAST(n_ranks * slflf - CAST(slf AS DECIMAL(38,0)) * slf
+            |       AS DOUBLE))""".stripMargin).as("fit_r2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_zipf_slope" -> zipfSlope,
     "llm_bpe_apply" -> bpeApply,
     "llm_rouge_overlap" -> rougeOverlap,
     "llm_bm25_topk" -> bm25Topk,
@@ -1021,6 +1078,41 @@ object TextOps extends OpModule {
   }
 
   val oracle: Map[String, String] = Map(
+    // Independent OLS replay: same micro-nat quantized logs, moments in
+    // HUGEINT (the DuckDB twin of Spark's DECIMAL(38,0) sums), identical
+    // edge-division formulas.
+    "llm_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (
+        |  SELECT token, count(*) AS n FROM toks
+        |  WHERE len(token) > 0 GROUP BY token),
+        |top AS (
+        |  SELECT token, n,
+        |         row_number() OVER (ORDER BY n DESC, token) AS rank
+        |  FROM (SELECT token, n FROM c ORDER BY n DESC, token LIMIT 200)),
+        |q AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS lr,
+        |    CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS lf
+        |  FROM top),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+        |         CAST(sum(lr) AS HUGEINT) AS slr,
+        |         CAST(sum(lf) AS HUGEINT) AS slf,
+        |         sum(CAST(lr AS HUGEINT) * lf) AS slrlf,
+        |         sum(CAST(lr AS HUGEINT) * lr) AS slrlr,
+        |         sum(CAST(lf AS HUGEINT) * lf) AS slflf
+        |  FROM q)
+        |SELECT n_ranks,
+        |       -(CAST(n_ranks * slrlf - slr * slf AS DOUBLE) /
+        |         CAST(n_ranks * slrlr - slr * slr AS DOUBLE)) AS zipf_slope,
+        |       CAST(n_ranks * slrlf - slr * slf AS DOUBLE) *
+        |       CAST(n_ranks * slrlf - slr * slf AS DOUBLE) /
+        |        (CAST(n_ranks * slrlr - slr * slr AS DOUBLE) *
+        |         CAST(n_ranks * slflf - slf * slf AS DOUBLE)) AS fit_r2
+        |FROM m""".stripMargin,
     "llm_bpe_apply" -> bpeApplyOracleSql,
     "llm_rouge_overlap" ->
       """WITH docs AS (
