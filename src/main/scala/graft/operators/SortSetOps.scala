@@ -37,6 +37,32 @@ object SortSetOps extends OpModule {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** The same top-3-per-customer answer through the NATIVE bounded-heap
+    * operator ([[graft.plans.TopKPerGroup]]: custom logical node →
+    * planner strategy → partial+final physical exec). The partial pass
+    * caps the exchange at k·groups·partitions rows and the final pass
+    * never sorts a whole group — vs [[topkPerGroup]]'s window form,
+    * which shuffles EVERY order row and full-sorts each customer's
+    * orders at the reducer; at 100 TB with hot customers, that is the
+    * operator's reason to exist. The rank column is attached AFTER the
+    * top-k (a window over the already-k-bounded result — ≤ 3 rows per
+    * customer reach it), so the query shares [[topkPerGroup]]'s oracle
+    * SQL verbatim and the driver certifies native ≡ window value-for-
+    * value. Plan shape + randomized equivalence: TopKPerGroupSpec.
+    */
+  def topkPerGroupNative(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val top = graft.plans.TopKPerGroup(base, Seq("o_custkey"),
+      "o_totalprice", descending = true, "o_orderkey", 3)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    top.withColumn("rn", row_number().over(w))
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
   private def custSide(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(lit("cust").as("src"),
       col("c_nationkey").as("nkey"), col("c_custkey").as("id"))
@@ -105,6 +131,7 @@ object SortSetOps extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sort_limit_topk" -> sortLimitTopk,
     "topk_per_group" -> topkPerGroup,
+    "topk_per_group_native" -> topkPerGroupNative,
     "set_union_all" -> unionAll,
     "set_union_distinct" -> unionDistinct,
     "set_intersect" -> intersectKeys,
@@ -119,6 +146,15 @@ object SortSetOps extends OpModule {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // identical answer contract as topk_per_group — the native operator
+    // must reproduce the window form value-for-value
+    "topk_per_group_native" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |         row_number() OVER (PARTITION BY o_custkey

@@ -1,0 +1,182 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlShims, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Native top-k-per-group: the per-group generalization of Spark's
+  * `TakeOrderedAndProject`, built as the full custom-operator stack —
+  * logical node → planner [[SparkStrategy]] → partial+final physical
+  * [[TopKPerGroupExec]] — the §2b preference-order rung (c) that
+  * composition can't reach.
+  *
+  * Why a custom operator at all: the built-in form
+  * (`row_number().over(partitionBy(g).orderBy(o)) <= k`) must shuffle
+  * EVERY row to its group's reducer and sort entire groups there, even
+  * though all but k rows per group are discarded. This operator runs a
+  * bounded k-heap per group BEFORE the exchange (the map-side-combine
+  * idea applied to top-k), so the shuffle carries at most
+  * k · groups · partitions rows and the reducer never sorts a full
+  * group — at 100 TB with hot groups (skewed keys), the difference
+  * between shuffling k rows and shuffling the group.
+  *
+  * Execution contract: score is DOUBLE, tie-break is a UNIQUE LONG —
+  * (score desc|asc, tie asc) is then a TOTAL order, which makes the
+  * kept set deterministic and the partial pass exact (the best k of a
+  * union is always a subset of the union of per-part best k).
+  * Output rows are the child's rows unchanged; within-group emission is
+  * best-first.
+  *
+  * Install via [[TopKPerGroup.install]] (live session,
+  * `experimental.extraStrategies` — same route as the RewriteDotProduct
+  * optimizer rule) or cluster-wide through
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+case class TopKPerGroupNode(
+    groupExprs: Seq[Expression],
+    scoreExpr: Expression,
+    descending: Boolean,
+    tieExpr: Expression,
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan)
+      : TopKPerGroupNode = copy(child = c)
+}
+
+object TopKPerGroupStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(g, o, d, t, k, child) =>
+      val partial = TopKPerGroupExec(g, o, d, t, k, partial = true,
+        planLater(child))
+      TopKPerGroupExec(g, o, d, t, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical bounded-heap pass. `partial = true` runs on whatever
+  * partitioning the child has (the map side); `partial = false` demands
+  * [[ClusteredDistribution]] on the group keys, so the planner inserts
+  * exactly one hash exchange between the two — the HashAggregate
+  * partial/final shape, with a k-heap where the aggregation buffer
+  * would be. Memory per task is k rows per group resident in that
+  * partition — the same budget class as a hash aggregate over the same
+  * keys.
+  */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    scoreExpr: Expression,
+    descending: Boolean,
+    tieExpr: Expression,
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+
+  override protected def withNewChildInternal(c: SparkPlan)
+      : TopKPerGroupExec = copy(child = c)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    val gExprs = groupExprs
+    val sExpr = scoreExpr
+    val tExpr = tieExpr
+    val desc = descending
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(gExprs, schema)
+      val boundScore = BindReferences.bindReference(sExpr, schema)
+      val boundTie = BindReferences.bindReference(tExpr, schema)
+      // positive ⟺ a beats b in the keep-order (total: unique tie)
+      final case class Entry(score: Double, tie: Long, row: InternalRow)
+      val keepOrder: Ordering[Entry] = new Ordering[Entry] {
+        def compare(a: Entry, b: Entry): Int = {
+          val s = java.lang.Double.compare(a.score, b.score)
+          val c = if (desc) s else -s
+          if (c != 0) c else -java.lang.Long.compare(a.tie, b.tie)
+        }
+      }
+      // reversed queue ⇒ head/dequeue = the WORST retained entry, so a
+      // better arrival replaces it in O(log k)
+      val heaps = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[Entry]]()
+      iter.foreach { row =>
+        // NULL score or tie has no defined rank — refuse loudly rather
+        // than silently dropping or sorting nulls differently per engine
+        val scoreV = boundScore.eval(row)
+        val tieV = boundTie.eval(row)
+        require(scoreV != null && tieV != null,
+          "top-k score/tie-break must be non-null")
+        val score = scoreV match {
+          case d: java.lang.Double => d.doubleValue()
+          case other => sys.error(
+            s"top-k score must evaluate to DOUBLE, got $other")
+        }
+        val tie = tieV match {
+          case l: java.lang.Long => l.longValue()
+          case other => sys.error(
+            s"top-k tie-break must evaluate to BIGINT, got $other")
+        }
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = scala.collection.mutable.PriorityQueue
+            .empty(keepOrder.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        val e = Entry(score, tie, row.copy())
+        if (heap.size < kk) heap.enqueue(e)
+        else if (keepOrder.compare(e, heap.head) > 0) {
+          heap.dequeue(); heap.enqueue(e)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().asScala.iterator.flatMap { heap =>
+        // dequeueAll drains weakest-first; reverse → best-first emission
+        heap.dequeueAll[Entry].reverseIterator.map(e => e.row)
+      }
+    }
+  }
+}
+
+object TopKPerGroup {
+
+  /** Idempotent live-session install of the planner strategy (the
+    * extension route covers cluster-wide config). */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+
+  /** Top `k` rows per `groupCols` by `scoreCol` (DOUBLE), ties broken by
+    * the unique LONG `tieCol`. Returns the child's rows unchanged.
+    */
+  def apply(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      descending: Boolean, tieCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    install(spark)
+    val analyzed = df.queryExecution.analyzed
+    def resolve(n: String): Attribute = analyzed.output
+      .find(a => spark.sessionState.conf.resolver(a.name, n))
+      .getOrElse(sys.error(
+        s"column $n not found in ${analyzed.output.map(_.name)}"))
+    GraftSqlShims.ofRows(spark,
+      TopKPerGroupNode(groupCols.map(resolve(_)), resolve(scoreCol),
+        descending, resolve(tieCol), k, analyzed))
+  }
+}
