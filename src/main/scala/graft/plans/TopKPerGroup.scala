@@ -24,10 +24,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * group — at 100 TB with hot groups (skewed keys), the difference
   * between shuffling k rows and shuffling the group.
   *
-  * Execution contract: score is DOUBLE, tie-break is a UNIQUE LONG —
-  * (score desc|asc, tie asc) is then a TOTAL order, which makes the
-  * kept set deterministic and the partial pass exact (the best k of a
-  * union is always a subset of the union of per-part best k).
+  * Execution contract: score is any ORDERABLE column (compared with the
+  * type's own interpreted ordering — double, decimal, long, string, …),
+  * tie-break is a UNIQUE integer — (score desc|asc, tie asc) is then a
+  * TOTAL order, which makes the kept set deterministic and the partial
+  * pass exact (the best k of a union is always a subset of the union of
+  * per-part best k). NULL score/tie refuses loudly.
   * Output rows are the child's rows unchanged; within-group emission is
   * best-first.
   *
@@ -100,13 +102,25 @@ case class TopKPerGroupExec(
     val kk = k
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(gExprs, schema)
-      val boundScore = BindReferences.bindReference(sExpr, schema)
-      val boundTie = BindReferences.bindReference(tExpr, schema)
+      // CODEGEN'd (score, tie) evaluation — one compiled projection per
+      // partition instead of two interpreted Expression.eval per row
+      val scoreTieProj = UnsafeProjection.create(Seq(sExpr, tExpr), schema)
+      val scoreType = sExpr.dataType
+      // the score's own type ordering (double, decimal, long, string, …)
+      val scoreOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(scoreType)
+        .asInstanceOf[Ordering[Any]]
+      val tieGetter: UnsafeRow => Long = tExpr.dataType match {
+        case org.apache.spark.sql.types.LongType => _.getLong(1)
+        case org.apache.spark.sql.types.IntegerType => _.getInt(1).toLong
+        case other => sys.error(
+          s"top-k tie-break must be an integral column, got $other")
+      }
       // positive ⟺ a beats b in the keep-order (total: unique tie)
-      final case class Entry(score: Double, tie: Long, row: InternalRow)
+      final case class Entry(score: Any, tie: Long, row: InternalRow)
       val keepOrder: Ordering[Entry] = new Ordering[Entry] {
         def compare(a: Entry, b: Entry): Int = {
-          val s = java.lang.Double.compare(a.score, b.score)
+          val s = scoreOrd.compare(a.score, b.score)
           val c = if (desc) s else -s
           if (c != 0) c else -java.lang.Long.compare(a.tie, b.tie)
         }
@@ -116,22 +130,19 @@ case class TopKPerGroupExec(
       val heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[Entry]]()
       iter.foreach { row =>
+        val st = scoreTieProj(row)
         // NULL score or tie has no defined rank — refuse loudly rather
         // than silently dropping or sorting nulls differently per engine
-        val scoreV = boundScore.eval(row)
-        val tieV = boundTie.eval(row)
-        require(scoreV != null && tieV != null,
+        require(!st.isNullAt(0) && !st.isNullAt(1),
           "top-k score/tie-break must be non-null")
-        val score = scoreV match {
-          case d: java.lang.Double => d.doubleValue()
-          case other => sys.error(
-            s"top-k score must evaluate to DOUBLE, got $other")
+        // st is the projection's reused buffer — extract stable values
+        // (UTF8String/Decimal getters materialize fresh objects; the
+        // UTF8String one still points into the buffer, so copy it)
+        val score = st.get(0, scoreType) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+          case other => other
         }
-        val tie = tieV match {
-          case l: java.lang.Long => l.longValue()
-          case other => sys.error(
-            s"top-k tie-break must evaluate to BIGINT, got $other")
-        }
+        val tie = tieGetter(st)
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {

@@ -101,6 +101,20 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(native.count() == 3)
   }
 
+  test("DECIMAL score orders by the type's own ordering (stress fixture " +
+    "regression: orders.o_totalprice ships as DECIMAL there)") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, "10.10"), (1L, 2L, "10.05"), (1L, 3L, "9.99"),
+      (2L, 4L, "3.50"))
+      .toDF("g", "id", "s")
+      .withColumn("score", col("s").cast("decimal(18,2)")).drop("s")
+    val native = TopKPerGroup(df, Seq("g"), "score", descending = true,
+      "id", 2)
+    val got = native.select("g", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L), (1L, 2L), (2L, 4L)))
+  }
+
   test("null score refuses loudly instead of ranking nulls") {
     import spark.implicits._
     val df = Seq((1L, 1L, Some(2.0)), (1L, 2L, None))
