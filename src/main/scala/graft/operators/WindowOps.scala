@@ -290,7 +290,45 @@ object WindowOps extends OpModule {
       .orderBy(col("event_id"))
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE same-type events per
+    * user (streaks) — the canonical SQL shape behind "3 errors in a
+    * row", habit streaks, and sensor-state episodes, and the standalone
+    * form of the run-collapse [[graft.operators.TextOps]]' BPE merge and
+    * [[graft.operators.EventOps]].scd2 use internally. The island id is
+    * the running count of type-CHANGE flags (lag ≠ current), so both
+    * window passes (the lag and the running sum) ride ONE
+    * (user_id)-exchange and ONE (ts, event_id) sort; the per-island
+    * collapse is a map-side-combinable aggregate keyed (user, island).
+    * Only streaks of length ≥ 3 are emitted (the interesting tail —
+    * bounds the output without changing determinism: ordering inside a
+    * user is total via (ts, event_id)).
+    */
+  def gapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w) === col("event_type"), 0L)
+          .otherwise(1L))
+      .withColumn("island", sum(col("chg")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("event_type")).as("event_type"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("streak_len"))
+      .filter(col("streak_len") >= 3)
+      .select(col("user_id"), col("island"), col("event_type"),
+        col("start_ts"), col("end_ts"), col("first_event_id"),
+        col("streak_len"))
+      .orderBy(col("user_id"), col("island"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_gaps_islands" -> gapsIslands,
     "win_sliding_distinct" -> slidingDistinct,
     "win_row_number" -> rowNumber,
     "win_rank_dense" -> rankDense,
@@ -303,6 +341,32 @@ object WindowOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "win_gaps_islands" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         event_type
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *,
+        |         CASE WHEN lag(event_type, 1) OVER w = event_type
+        |              THEN 0 ELSE 1 END AS chg
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |                      ORDER BY ts, event_id)),
+        |islands AS (
+        |  SELECT *,
+        |         CAST(sum(chg) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS island
+        |  FROM flagged)
+        |SELECT user_id, island, min(event_type) AS event_type,
+        |       min(ts) AS start_ts, max(ts) AS end_ts,
+        |       min(event_id) AS first_event_id,
+        |       count(*) AS streak_len
+        |FROM islands
+        |GROUP BY user_id, island
+        |HAVING count(*) >= 3
+        |ORDER BY user_id, island""".stripMargin,
     "win_sliding_distinct" ->
       """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         |       CAST(count(DISTINCT event_type) OVER (

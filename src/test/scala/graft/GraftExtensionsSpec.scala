@@ -94,4 +94,25 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(df.queryExecution.optimizedPlan.toString.contains("graft_dot"))
     }
   }
+
+  test("extensions-only session plans TopKPerGroupNode (strategy injected)") {
+    withExtensionOnlySession { s =>
+      // build the logical node DIRECTLY — no TopKPerGroup.install call,
+      // so only the injected planner strategy can make this executable
+      val base = Tables.orders(s, sf0001)
+        .select(org.apache.spark.sql.functions.col("o_custkey"),
+          org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.col("o_totalprice"))
+      val analyzed = base.queryExecution.analyzed
+      def attr(n: String) = analyzed.output.find(_.name == n).get
+      val df = org.apache.spark.sql.GraftSqlShims.ofRows(s,
+        graft.plans.TopKPerGroupNode(Seq(attr("o_custkey")),
+          attr("o_totalprice"), descending = true, attr("o_orderkey"), 3,
+          analyzed))
+      assert(df.count() > 0)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroupPartial") &&
+        p.contains("TopKPerGroupFinal"), p)
+    }
+  }
 }
