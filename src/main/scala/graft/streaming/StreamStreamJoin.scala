@@ -33,9 +33,17 @@ object StreamStreamJoin {
   /** Attach to two event streams (or batch frames — the logic is
     * identical, which is what the spec exploits). `views`/`purchases`
     * must carry (user_id, event_id, ts).
+    *
+    * `joinType`: "inner" emits matched pairs only; "left_outer"
+    * additionally emits each UNMATCHED view with NULL purchase columns —
+    * in streaming, only once the purchase-side watermark proves no
+    * matching purchase can still arrive (the state-store eviction point),
+    * which is exactly the batch LEFT JOIN answer delivered
+    * incrementally.
     */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
-      watermark: String = "1 hour", maxGapMinutes: Int = 30): DataFrame = {
+      watermark: String = "1 hour", maxGapMinutes: Int = 30,
+      joinType: String = "inner"): DataFrame = {
     val v = views
       .select(col("user_id"), col("event_id").as("view_id"),
         col("ts").as("view_ts"))
@@ -48,7 +56,8 @@ object StreamStreamJoin {
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("view_ts") &&
         col("purchase_ts") <=
-          col("view_ts") + expr(s"INTERVAL $maxGapMinutes MINUTES"))
+          col("view_ts") + expr(s"INTERVAL $maxGapMinutes MINUTES"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("view_ts"),
         col("purchase_id"), col("purchase_ts"))
   }

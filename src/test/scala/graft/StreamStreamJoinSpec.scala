@@ -56,6 +56,48 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(got.sameElements(want))
   }
 
+  test("streamed LEFT OUTER join == batch left join: unmatched views " +
+    "flush with null purchase columns once the watermark passes") {
+    val base = Files.createTempDirectory("graft_ssjoin_outer").toString
+    val (vsrc, psrc) = split(base)
+    val q = StreamStreamJoin.attributionJoin(stream(vsrc), stream(psrc),
+      joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssjoin_outer")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.mkString("|")
+    val got = spark.table("ssjoin_outer").collect()
+    val want = StreamStreamJoin.attributionJoin(
+      spark.read.parquet(vsrc), spark.read.parquet(psrc),
+      joinType = "left_outer").collect()
+    // the outer side must actually contribute — some views have no
+    // purchase inside the interval on this fixture
+    assert(got.exists(_.isNullAt(3)),
+      "stream must emit at least one unmatched view")
+    // streamed rows are always a subset of the batch answer …
+    val wantSet = want.map(key).toSet
+    got.foreach(r => assert(wantSet.contains(key(r)), key(r)))
+    // … and every FINALIZED view (older than the terminal watermark —
+    // max event time − watermark delay − join interval) must have been
+    // delivered; views inside that tail window are legitimately still
+    // buffered when the bounded replay ends (Structured Streaming's
+    // documented outer-join semantics: results emit when the watermark
+    // proves them final, and nothing advances it past the last batch)
+    val maxTs = spark.read.parquet(vsrc).unionByName(
+      spark.read.parquet(psrc))
+      .agg(max(col("ts"))).collect().head.getTimestamp(0).getTime
+    val cutoff = maxTs - (60 + 30 + 1) * 60 * 1000L
+    val gotSet = got.map(key).toSet
+    val missed = want.filter(r =>
+      r.getTimestamp(2).getTime < cutoff && !gotSet.contains(key(r)))
+    assert(missed.isEmpty,
+      s"${missed.length} finalized rows not delivered: " +
+        missed.take(3).map(key).mkString("; "))
+  }
+
   test("plan is a symmetric hash join on the user_id anchor, no cartesian") {
     val base = Files.createTempDirectory("graft_ssjoin_plan").toString
     val (vsrc, psrc) = split(base)
