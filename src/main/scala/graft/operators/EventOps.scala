@@ -145,6 +145,65 @@ object EventOps extends OpModule {
       .orderBy(col("channel"))
   }
 
+  /** Exponential time-decay attribution — the third model in the family
+    * ([[attribution]] last-touch, [[attributionPosition]] U-shaped):
+    * each purchase's credit decays by half per DAY of touch age, so a
+    * same-day touch earns 2× yesterday's and 4× the day before's. The
+    * weights are EXACT dyadic integers — w = 2^(cap − min(Δdays, cap))
+    * with cap = 30 (a >30-day-old touch flattens to weight 1; Δ is a
+    * calendar-date difference, identical in both engines) — and credit
+    * is integer basis points `10000·w DIV Σw` with the division
+    * remainder assigned to the MOST RECENT touch, so every converted
+    * purchase's credits sum to exactly 10000 (the
+    * [[attributionPosition]] conservation contract, unit-asserted).
+    *
+    * Scale shape: identical to the position model — the same one
+    * user_id window pass stamps segments, the touch↔purchase join and
+    * the per-purchase sum/rank windows key on user_id supersets reusing
+    * the first exchange, per-purchase touch counts are human-bounded.
+    */
+  def attributionDecay(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val isTouch = col("event_type").isin(touchTypes.map(x => x: Any): _*)
+    val isPurchase = col("event_type") === "purchase"
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("seg", coalesce(
+        sum(when(isPurchase, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val touches = ev.filter(isTouch)
+      .select(col("user_id"), col("seg"), col("event_id"),
+        col("event_type"), col("ts"))
+    val purchases = ev.filter(isPurchase)
+      .select(col("user_id"), col("seg"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val byPurchase = Window.partitionBy(col("user_id"), col("purchase_id"))
+    val ranked = touches
+      .join(purchases, Seq("user_id", "seg"))
+      .withColumn("delta", least(
+        datediff(col("purchase_ts"), col("ts")).cast("long"), lit(30L)))
+      .withColumn("weight",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(30 - delta AS INT))"))
+      .withColumn("total_w", sum(col("weight")).over(byPurchase))
+      .withColumn("recency", row_number().over(byPurchase
+        .orderBy(col("ts").desc, col("event_id").desc)).cast("long"))
+    ranked
+      .withColumn("base_bps", expr("10000 * weight DIV total_w"))
+      .withColumn("sum_base", sum(col("base_bps")).over(byPurchase))
+      .withColumn("credit_bps", col("base_bps") +
+        when(col("recency") === 1, lit(10000L) - col("sum_base"))
+          .otherwise(lit(0L)))
+      .select(col("event_type").as("channel"), col("purchase_id"),
+        col("credit_bps"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("purchase_id")).as("n_conversions"),
+        sum(col("credit_bps")).as("credit_bps"))
+      .orderBy(col("channel"))
+  }
+
   /** Time-grid gap-fill: resample each user's first-week metric to an
     * hourly grid (first to last active hour) with
     * last-observation-carried-forward. The observation an hour keeps is
@@ -1099,6 +1158,7 @@ object EventOps extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ts_autocorr" -> tsAutocorr,
     "event_stickiness" -> stickiness,
+    "event_attribution_decay" -> attributionDecay,
     "event_bot_detect" -> botDetect,
     "ts_changepoint_cusum" -> changepointCusum,
     "event_user_overlap" -> userOverlap,
@@ -1662,6 +1722,49 @@ object EventOps extends OpModule {
     // incremental query must reproduce dim_scd2's output bit for bit, so
     // it shares the rebuild oracle verbatim.
     "dim_scd2_merge" -> scd2OracleSql,
+    "event_attribution_decay" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |seg AS (
+        |  SELECT *, COALESCE(sum(CASE WHEN event_type = 'purchase'
+        |                             THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS seg
+        |  FROM e),
+        |t AS (
+        |  SELECT user_id, seg, event_id, event_type, ts FROM seg
+        |  WHERE event_type IN ('click', 'view')),
+        |p AS (
+        |  SELECT user_id, seg, event_id AS purchase_id, ts AS purchase_ts
+        |  FROM seg WHERE event_type = 'purchase'),
+        |r AS (
+        |  SELECT t.event_type, t.user_id, p.purchase_id,
+        |         (CAST(1 AS BIGINT) << CAST(30 - least(
+        |            date_diff('day', CAST(t.ts AS DATE),
+        |                      CAST(p.purchase_ts AS DATE)), 30) AS INT))
+        |           AS weight,
+        |         row_number() OVER (PARTITION BY t.user_id, p.purchase_id
+        |                            ORDER BY t.ts DESC, t.event_id DESC)
+        |           AS recency
+        |  FROM t JOIN p ON t.user_id = p.user_id AND t.seg = p.seg),
+        |b AS (
+        |  SELECT event_type, purchase_id, recency,
+        |         10000 * weight // (sum(weight)
+        |           OVER (PARTITION BY user_id, purchase_id)) AS base_bps
+        |  FROM r),
+        |c AS (
+        |  SELECT event_type AS channel, purchase_id,
+        |         base_bps + CASE WHEN recency = 1
+        |           THEN 10000 - sum(base_bps)
+        |             OVER (PARTITION BY purchase_id)
+        |           ELSE 0 END AS credit_bps
+        |  FROM b)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |       CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_conversions,
+        |       CAST(sum(credit_bps) AS BIGINT) AS credit_bps
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "event_attribution_position" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

