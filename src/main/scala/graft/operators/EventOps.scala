@@ -1046,6 +1046,34 @@ object EventOps extends OpModule {
       .orderBy(col("week"))
   }
 
+  /** Weekly new-vs-returning split: each week's active users partitioned
+    * into first-ever-seen-this-week vs returning — the growth-accounting
+    * twin of [[stickiness]] (is the WAU line new acquisition or
+    * retention?). A user's cohort week is min(week) over the same
+    * (user, week) presence frame; the flag is one broadcast-free join
+    * back on user_id and the split is a plain conditional count.
+    *
+    * Scale shape: the (user, week) distinct pass is the only fact-volume
+    * shuffle; first-week is a map-side-combinable min over that frame;
+    * the presence⋈first join keys on user_id (both sides are the
+    * aggregated frame, already co-partitioned from the distinct).
+    */
+  def newVsReturning(s: SparkSession, dir: String): DataFrame = {
+    val presence = Tables.events(s, dir)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).as("week")).distinct()
+    val first = presence.groupBy(col("user_id"))
+      .agg(min(col("week")).as("first_week"))
+    presence.join(first, "user_id")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("active_users"),
+        sum(when(col("week") === col("first_week"), 1L).otherwise(0L))
+          .as("new_users"))
+      .withColumn("returning_users",
+        col("active_users") - col("new_users"))
+      .orderBy(col("week"))
+  }
+
   /** Audience overlap: for every event-type pair, the distinct-user
     * intersection and the Jaccard overlap in fixed-point basis points —
     * "how much of the click audience also purchases", the segmentation
@@ -1159,6 +1187,7 @@ object EventOps extends OpModule {
     "ts_autocorr" -> tsAutocorr,
     "event_stickiness" -> stickiness,
     "event_attribution_decay" -> attributionDecay,
+    "event_new_vs_returning" -> newVsReturning,
     "event_bot_detect" -> botDetect,
     "ts_changepoint_cusum" -> changepointCusum,
     "event_user_overlap" -> userOverlap,
@@ -1451,6 +1480,25 @@ object EventOps extends OpModule {
         |         (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
         |          sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
         |FROM s ORDER BY event_type, lag""".stripMargin,
+    "event_new_vs_returning" ->
+      """WITH presence AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+        |           AS TIMESTAMP) AS week
+        |  FROM events),
+        |first AS (
+        |  SELECT user_id, min(week) AS first_week
+        |  FROM presence GROUP BY 1)
+        |SELECT p.week,
+        |       CAST(count(*) AS BIGINT) AS active_users,
+        |       CAST(sum(CASE WHEN p.week = f.first_week
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |       CAST(count(*) - sum(CASE WHEN p.week = f.first_week
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS returning_users
+        |FROM presence p JOIN first f USING (user_id)
+        |GROUP BY p.week
+        |ORDER BY p.week""".stripMargin,
     "event_stickiness" ->
       """WITH presence AS (
         |  SELECT DISTINCT user_id,
