@@ -368,7 +368,159 @@ object ComposedOps extends OpModule {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Q4 shape (order-priority checking): orders in one quarter having at
+    * least one SLOW lineitem — the fixture carries no commit/receipt
+    * dates, so "slow" is a ship date more than 60 days after the order
+    * date, which preserves Q4's exact plan shape: an EXISTS whose
+    * correlated predicate references BOTH tables (it can't be pushed to
+    * either scan alone), planned as a left-semi hash join on orderkey
+    * with the cross-table date test as the residual condition. The
+    * quarter filter pushes to the orders scan; the aggregate is the tiny
+    * 5-row priority census.
+    */
+  def q4Shape(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-10-01")))
+      .join(Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Q6 shape (forecasting revenue change): the canonical scan-filter-
+    * aggregate — one year of mid-discount small-quantity lineitems
+    * collapsed to a single revenue number. All three predicates push to
+    * the parquet scan (row-group statistics prune most of the fact at
+    * 100 TB when date-sorted); no join, no shuffle beyond the one-row
+    * final aggregate. Revenue = Σ price·discount in exact DECIMAL.
+    */
+  def q6Shape(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(expr(
+        """CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          | CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)"""
+          .stripMargin).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Q7 shape (volume shipping): trade volume between two nations by
+    * year, in BOTH directions — supplier nation and customer nation must
+    * be the ordered pair (N1,N2) or (N2,N1). The two nation arms are
+    * 1-row broadcast slivers joined to supplier/customer BEFORE the
+    * fact spine, so the disjunctive pair test collapses to an equi-join
+    * residual on two tiny dimension columns; the only shuffles are the
+    * fact joins on orderkey/custkey. Volume in exact DECIMAL per
+    * (supp_nation, cust_nation, year).
+    */
+  def q7Shape(s: SparkSession, dir: String): DataFrame = {
+    val n1 = "NATION_3"; val n2 = "NATION_7"
+    val nations = Tables.nation(s, dir)
+      .filter(col("n_name").isin(n1, n2))
+    val supp = Tables.supplier(s, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nations.select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("ck"))
+      .select(col("c_custkey"), col("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("l_year"))
+      .agg(expr(revenue).as("volume"), count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q12 shape (shipping-priority audit): per return-flag class (the
+    * fixture's stand-in for Q12's ship mode), how many 1997-shipped
+    * lineitems belonged to urgent/high-priority orders vs the rest. The
+    * classic conditional two-counter aggregate over a fact⋈dimension-
+    * projected join: the year filter pushes to the lineitem scan, orders
+    * contributes only (orderkey, priority), and the result is the 3-row
+    * flag census.
+    */
+  def q12Shape(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      .join(Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("""SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               | THEN 1 ELSE 0 END)""".stripMargin).as("high_line_count"),
+        expr("""SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               | THEN 1 ELSE 0 END)""".stripMargin).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+
+  /** Q13 shape (customer distribution): the histogram of customers by
+    * order count — including zero-order customers, which is why the
+    * LEFT OUTER join is load-bearing (an inner join silently drops the
+    * bucket every churn analysis cares about). Two-level aggregate: the
+    * outer join's per-customer count, then the count-of-counts; both
+    * aggregates are map-side combinable and the second runs on the
+    * ≤|distinct counts| frame.
+    */
+  def q13Shape(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Q15 shape (top supplier): suppliers achieving the MAXIMUM quarter
+    * revenue — the "create view then self-reference" query, here the
+    * revenue frame computed once and consumed twice (per-supplier rows +
+    * the 1-row max), with the scalar max broadcast back onto the frame
+    * (the llm_tfidf pattern; Catalyst additionally reuses the exchange
+    * under AQE). Revenue stays exact DECIMAL through BOTH the ranking
+    * and the equality test — comparing doubles for the tie set would be
+    * the classic Q15 wrong-answer; DOUBLE only in the output column.
+    */
+  def q15Shape(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-10-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .groupBy(col("l_suppkey"))
+      .agg(expr(
+        """SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          | (1 - CAST(l_discount AS DECIMAL(18,2))))""".stripMargin)
+        .as("total_rev"))
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(maxRev))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tpch_q4_shape" -> q4Shape,
+    "tpch_q6_shape" -> q6Shape,
+    "tpch_q7_shape" -> q7Shape,
+    "tpch_q12_shape" -> q12Shape,
+    "tpch_q13_shape" -> q13Shape,
+    "tpch_q15_shape" -> q15Shape,
     "tpch_q1_shape" -> q1Shape,
     "tpch_q10_shape" -> q10Shape,
     "tpch_q14_shape" -> q14Shape,
@@ -383,6 +535,73 @@ object ComposedOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "tpch_q4_shape" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "tpch_q6_shape" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |         CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "tpch_q7_shape" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(o_orderdate) AS l_year,
+        |       $revenue AS volume, count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "tpch_q12_shape" ->
+      """SELECT l_returnflag,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority
+        |                       NOT IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "tpch_q13_shape" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders
+        |                   WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+        |    ON c_custkey = o.o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "tpch_q15_shape" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |             (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-10-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "tpch_q1_shape" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -289,6 +289,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tpch_q4: cross-table EXISTS plans as left-semi with residual") {
+    val p = plan(ComposedOps.q4Shape(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch_q13: outer join preserved; both aggregates partial+final") {
+    val p = plan(ComposedOps.q13Shape(spark, sf0001))
+    assert(p.contains("Outer"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 3, p)
+  }
+
   test("tpch_q22: scalar broadcasts, dormancy anti-join is a hash join") {
     // INITIAL plan: at sf0.001 the dormant set is empty and AQE folds the
     // whole tree to EmptyRelation — the shape that runs at scale is the
