@@ -68,7 +68,12 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * partial/final shape, with a k-heap where the aggregation buffer
   * would be. Memory per task is k rows per group resident in that
   * partition — the same budget class as a hash aggregate over the same
-  * keys.
+  * keys, with one honest difference: HashAggregate can fall back to a
+  * sort-based spill and this operator (deliberately, for now) cannot.
+  * When groups-in-partition × k × row-width approaches task memory, use
+  * the window form; the operator's design regime is the opposite corner
+  * (few/hot groups, k ≪ group size — PERF.md's 3.6× case), where its
+  * state is tiny and the window form is the one that melts down.
   */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
