@@ -37,6 +37,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("prev")))
   }
 
+  test("round-9 event/ts/graph/text additions on empty inputs return " +
+    "empty, not errors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9e").toString
+    Tables.events(spark, sf0001).filter(lit(false))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.documents(spark, sf0001).filter(lit(false))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(EventOps.tsAutocorr(spark, dir).count() === 0)
+    assert(EventOps.stickiness(spark, dir).count() === 0)
+    assert(EventOps.newVsReturning(spark, dir).count() === 0)
+    assert(EventOps.attributionDecay(spark, dir).count() === 0)
+    assert(WindowOps.gapsIslands(spark, dir).count() === 0)
+    // single-token corpus: zipf's OLS on one rank has zero variance —
+    // NULL/NaN slope is acceptable, an exception is not
+    assert(TextOps.zipfSlope(spark, dir).count() === 0 ||
+      TextOps.zipfSlope(spark, dir).count() === 1)
+  }
+
+  test("doc_outlier on a single-vector corpus scores cosine 1 to itself") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r9v").toString
+    Tables.embeddings(spark, sf0001).limit(1)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SimOps.docOutlier(spark, dir).collect()
+    assert(rows.length === 1)
+    // centroid of one vector is (a quantized) itself — cosine ≈ 1
+    assert(math.abs(rows.head.getAs[Double]("cos_centroid") - 1.0) < 1e-3)
+  }
+
   // Regression for fn_map's collision handling: a props map that carries a
   // minted key ('type'/'uid') must not trip mapKeyDedupPolicy=EXCEPTION —
   // the pipeline filters pm before the concat, kv wins.
