@@ -95,6 +95,14 @@ case class TopKPerGroupExec(
   override def nodeName: String =
     if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
 
+  // SQL-UI metrics: output rows says how hard the partial pass squeezed
+  // the exchange; groups says how much heap state the task held
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   override protected def withNewChildInternal(c: SparkPlan)
       : TopKPerGroupExec = copy(child = c)
 
@@ -105,6 +113,8 @@ case class TopKPerGroupExec(
     val tExpr = tieExpr
     val desc = descending
     val kk = k
+    val rowsMetric = longMetric("numOutputRows")
+    val groupsMetric = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(gExprs, schema)
       // CODEGEN'd (score, tie) evaluation — one compiled projection per
@@ -162,9 +172,12 @@ case class TopKPerGroupExec(
         }
       }
       import scala.jdk.CollectionConverters._
+      groupsMetric += heaps.size()
       heaps.values().asScala.iterator.flatMap { heap =>
         // dequeueAll drains weakest-first; reverse → best-first emission
-        heap.dequeueAll[Entry].reverseIterator.map(e => e.row)
+        heap.dequeueAll[Entry].reverseIterator.map { e =>
+          rowsMetric += 1; e.row
+        }
       }
     }
   }
