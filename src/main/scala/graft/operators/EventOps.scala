@@ -1046,6 +1046,31 @@ object EventOps extends OpModule {
       .orderBy(col("week"))
   }
 
+  /** Week-over-week volume delta per event type — the KPI movement
+    * readout ("errors up 18% WoW") in exact integer basis points:
+    * (n − prev)·10⁴ DIV prev, NULL where no prior week exists (the
+    * [[seasonalNaive]] no-silent-zero-fill stance). The prior week
+    * aligns by a self-join on the AGGREGATED weekly frame keyed
+    * (type, week−7d) — calendar-true under gaps, no dense-grid
+    * assumption, no window needed at all.
+    *
+    * Scale shape: one map-side-combined weekly census is the only
+    * fact-volume pass; the self-join runs on the ≤|types|·|weeks|
+    * frame.
+    */
+  def wowDelta(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n"))
+    val prior = weekly.select(col("event_type"),
+      expr("week + INTERVAL 7 DAY").as("week"), col("n").as("prev_n"))
+    weekly.join(prior, Seq("event_type", "week"), "left")
+      .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+        expr("(n - prev_n) * 10000 DIV prev_n").as("wow_delta_bp"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
   /** Weekly new-vs-returning split: each week's active users partitioned
     * into first-ever-seen-this-week vs returning — the growth-accounting
     * twin of [[stickiness]] (is the WAU line new acquisition or
@@ -1188,6 +1213,7 @@ object EventOps extends OpModule {
     "event_stickiness" -> stickiness,
     "event_attribution_decay" -> attributionDecay,
     "event_new_vs_returning" -> newVsReturning,
+    "event_wow_delta" -> wowDelta,
     "event_bot_detect" -> botDetect,
     "ts_changepoint_cusum" -> changepointCusum,
     "event_user_overlap" -> userOverlap,
@@ -1480,6 +1506,24 @@ object EventOps extends OpModule {
         |         (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
         |          sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
         |FROM s ORDER BY event_type, lag""".stripMargin,
+    "event_wow_delta" ->
+      """WITH weekly AS (
+        |  SELECT event_type,
+        |         CAST(date_trunc('week', CAST(ts AS TIMESTAMP))
+        |           AS TIMESTAMP) AS week,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w.event_type, w.week, w.n, p.n AS prev_n,
+        |       -- Spark's DIV truncates toward zero; DuckDB's // floors —
+        |       -- split by sign so negative deltas agree exactly
+        |       CASE WHEN w.n >= p.n THEN (w.n - p.n) * 10000 // p.n
+        |            ELSE -((p.n - w.n) * 10000 // p.n) END
+        |         AS wow_delta_bp
+        |FROM weekly w
+        |LEFT JOIN weekly p
+        |  ON p.event_type = w.event_type
+        | AND p.week + INTERVAL 7 DAY = w.week
+        |ORDER BY w.event_type, w.week""".stripMargin,
     "event_new_vs_returning" ->
       """WITH presence AS (
         |  SELECT DISTINCT user_id,

@@ -120,6 +120,32 @@ object JoinOps extends OpModule {
       .orderBy(col("event_id"))
   }
 
+  /** Forward as-of join WITH TOLERANCE: for each event, the same user's
+    * NEXT 'signup' timestamp — but only if it lands within 24 hours,
+    * else NULL (the pandas `merge_asof(direction='forward',
+    * tolerance=…)` contract; untolerated forward as-of would claim a
+    * signup weeks later "follows" an event, which no attribution window
+    * accepts). Completes the as-of triple beside [[asOf]] (backward) and
+    * [[asOfNearest]]: same one-exchange-one-sort plan — the forward
+    * `first` over the following frame rides the identical (user_id)
+    * window, and the tolerance is a post-window scalar comparison in
+    * exact microseconds.
+    */
+  def asOfForward(s: SparkSession, dir: String): DataFrame = {
+    val sig = when(col("event_type") === "signup", col("ts"))
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .withColumn("next_sig", first(sig, ignoreNulls = true).over(fwd))
+      .withColumn("next_signup_ts",
+        when(unix_micros(col("next_sig")) - unix_micros(col("ts")) <=
+          86400L * 1000000L, col("next_sig")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("next_signup_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Nearest as-of join: for each event, the same user's CLOSEST 'signup'
     * timestamp in either direction (ties → the earlier one; the event
     * itself is excluded, so a signup event finds its nearest OTHER
@@ -486,6 +512,7 @@ object JoinOps extends OpModule {
     "join_anti" -> anti,
     "join_range_theta" -> rangeTheta,
     "join_asof" -> asOf,
+    "join_asof_forward" -> asOfForward,
     "join_asof_nearest" -> asOfNearest,
     "join_lateral_topn" -> lateralTopN
   )
@@ -614,6 +641,20 @@ object JoinOps extends OpModule {
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |         AS prev_signup_ts
         |FROM events ORDER BY event_id""".stripMargin,
+    "join_asof_forward" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |         first_value(CASE WHEN event_type = 'signup'
+        |                          THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |           AS next_sig
+        |  FROM events)
+        |SELECT event_id, user_id, ts,
+        |       CASE WHEN date_diff('microsecond', ts, next_sig)
+        |                 <= 86400000000 THEN next_sig END
+        |         AS next_signup_ts
+        |FROM b ORDER BY event_id""".stripMargin,
     "join_asof_nearest" ->
       """WITH b AS (
         |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
