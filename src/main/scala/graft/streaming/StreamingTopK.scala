@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming twin of the native batch top-k-per-group operator
+  * ([[graft.plans.TopKPerGroup]]): a live "current top k per key"
+  * maintained across micro-batches by `flatMapGroupsWithState` — the
+  * leaderboard / best-offers / worst-latencies view a monitoring
+  * pipeline keeps over the reference's sensor stream.
+  *
+  * State per key is the SAME bounded structure as the batch operator's
+  * heap — the k best (score, tie) pairs, kept sorted best-first — so
+  * state size is k entries per key regardless of stream length, and the
+  * merge of a new micro-batch is associative exactly like the batch
+  * partial pass (best-k of a union = best-k of union of best-ks), which
+  * is what makes replay order irrelevant to the final answer.
+  * Update-mode emission: each group emits its refreshed top-k only in
+  * batches where it received rows.
+  *
+  * Determinism: the keep-order is (score desc, tie asc) with a unique
+  * tie — the batch operator's total-order contract — so the streamed
+  * final state equals the batch answer row for row
+  * (StreamingTopKSpec asserts it across a multi-file replay).
+  */
+object StreamingTopK {
+
+  case class Scored(g: Long, tie: Long, score: Double)
+  case class TopK(g: Long, ties: Seq[Long], scores: Seq[Double])
+
+  def topKStream(rows: Dataset[Scored], k: Int): Dataset[TopK] = {
+    implicit val topkEnc = Encoders.product[TopK]
+    rows.groupByKey(_.g)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (g: Long, batch: Iterator[Scored], state: GroupState[TopK]) =>
+          val prev = state.getOption
+            .map(s => s.scores.zip(s.ties)).getOrElse(Seq.empty)
+          val merged = (prev ++ batch.map(r => (r.score, r.tie)))
+            .sortBy { case (s, t) => (-s, t) }
+            .take(k)
+          val next = TopK(g, merged.map(_._2), merged.map(_._1))
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}
