@@ -1046,6 +1046,38 @@ object EventOps extends OpModule {
       .orderBy(col("week"))
   }
 
+  /** Conversion latency by channel: how long after the last touch the
+    * purchase landed — the speed-to-convert readout on [[attribution]]'s
+    * exact frame (same one user-window pass). Latency in EXACT whole
+    * seconds (µs difference DIV 10⁶); the per-channel average is the
+    * exact integer mean of those seconds (sum DIV n — latencies are
+    * non-negative so truncation is floor, identical in both engines).
+    * Unattributed purchases (no prior touch) are excluded — they have
+    * no latency, not a zero one.
+    */
+  def conversionLatency(s: SparkSession, dir: String): DataFrame = {
+    val before = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes.map(x => x: Any): _*)
+    Tables.events(s, dir)
+      .withColumn("touch_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true)
+          .over(before))
+      .withColumn("touch_ts",
+        last(when(isTouch, col("ts")), ignoreNulls = true).over(before))
+      .filter(col("event_type") === "purchase" &&
+        col("touch_type").isNotNull)
+      .withColumn("latency_sec", expr(
+        "(unix_micros(ts) - unix_micros(touch_ts)) DIV 1000000"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        expr("SUM(latency_sec) DIV COUNT(*)").as("avg_latency_sec"),
+        min(col("latency_sec")).as("min_latency_sec"),
+        max(col("latency_sec")).as("max_latency_sec"))
+      .orderBy(col("touch_type"))
+  }
+
   /** Week-over-week volume delta per event type — the KPI movement
     * readout ("errors up 18% WoW") in exact integer basis points:
     * (n − prev)·10⁴ DIV prev, NULL where no prior week exists (the
@@ -1214,6 +1246,7 @@ object EventOps extends OpModule {
     "event_attribution_decay" -> attributionDecay,
     "event_new_vs_returning" -> newVsReturning,
     "event_wow_delta" -> wowDelta,
+    "event_conversion_latency" -> conversionLatency,
     "event_bot_detect" -> botDetect,
     "ts_changepoint_cusum" -> changepointCusum,
     "event_user_overlap" -> userOverlap,
@@ -1506,6 +1539,33 @@ object EventOps extends OpModule {
         |         (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
         |          sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS acf
         |FROM s ORDER BY event_type, lag""".stripMargin,
+    "event_conversion_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        |tagged AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER w AS touch_type,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN ts END IGNORE NULLS)
+        |           OVER w AS touch_ts
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |lat AS (
+        |  SELECT touch_type,
+        |         date_diff('microsecond', touch_ts, ts) // 1000000
+        |           AS latency_sec
+        |  FROM tagged
+        |  WHERE event_type = 'purchase' AND touch_type IS NOT NULL)
+        |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+        |       CAST(sum(latency_sec) // count(*) AS BIGINT)
+        |         AS avg_latency_sec,
+        |       CAST(min(latency_sec) AS BIGINT) AS min_latency_sec,
+        |       CAST(max(latency_sec) AS BIGINT) AS max_latency_sec
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
     "event_wow_delta" ->
       """WITH weekly AS (
         |  SELECT event_type,

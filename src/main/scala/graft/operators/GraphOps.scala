@@ -277,7 +277,27 @@ object GraphOps extends OpModule {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Strong-tie degree census: every nation's degree in the strong graph
+    * (0 for nations outside every strong edge — the LEFT join is
+    * load-bearing, isolated nodes are the interesting tail). The
+    * first-order structural readout next to [[triangles]]' second-order
+    * one; rides the same collapsed census, so the fact table is paid
+    * once and the degree aggregate runs on ≤|entities|² rows.
+    */
+  def degreeCensus(s: SparkSession, dir: String): DataFrame = {
+    val strong = strongEdges(s, dir)
+    val deg = strong.select(col("a").as("node"))
+      .unionByName(strong.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    Tables.nation(s, dir)
+      .join(deg, col("n_nationkey") === col("node"), "left")
+      .select(col("n_nationkey"), col("n_name"),
+        coalesce(col("degree"), lit(0L)).as("degree"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_census" -> degreeCensus,
     "graph_jaccard_neighbors" -> jaccardNeighbors,
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
@@ -286,6 +306,30 @@ object GraphOps extends OpModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "graph_degree_census" ->
+      """WITH edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(w) AS BIGINT) AS w
+        |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+        |m AS (SELECT CAST(sum(w) // count(*) AS BIGINT) AS mean_w FROM und),
+        |strong AS (
+        |  SELECT a, b FROM und, m WHERE w >= mean_w),
+        |deg AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT a AS node FROM strong
+        |    UNION ALL SELECT b FROM strong)
+        |  GROUP BY 1)
+        |SELECT n_nationkey, n_name, COALESCE(deg.degree, 0) AS degree
+        |FROM nation LEFT JOIN deg ON n_nationkey = deg.node
+        |ORDER BY n_nationkey""".stripMargin,
     "graph_jaccard_neighbors" ->
       """WITH edges AS (
         |  SELECT c_nationkey AS src, s_nationkey AS dst,

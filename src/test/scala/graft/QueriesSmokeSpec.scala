@@ -57,10 +57,11 @@ class QueriesSmokeSpec extends SparkSpec {
   // ONE-ROW frame (64 exact integer micro-sums) crossed onto the
   // scoring pass — the llm_tfidf scalar pattern (justified in
   // SimOps.docOutlier's doc).
-  // graph_jaccard_neighbors (round 9): consumes strongEdges, whose
-  // strong-tie threshold is the same broadcast ONE-ROW mean-weight
-  // scalar crossed onto the ≤|entities|² edge census as graph_triangles
-  // (justified in GraphOps.strongEdges's doc).
+  // graph_jaccard_neighbors + graph_degree_census (round 9): consume
+  // strongEdges, whose strong-tie threshold is the same broadcast
+  // ONE-ROW mean-weight scalar crossed onto the ≤|entities|² edge
+  // census as graph_triangles (justified in GraphOps.strongEdges's
+  // doc).
   // tpch_q22_shape (round 9): Q22's global balance threshold is the same
   // broadcast ONE-ROW scalar aggregate as llm_tfidf — the `>` comparison
   // against it plans as a 1-row-build BNLJ, linear in customers
@@ -69,7 +70,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
     "graph_triangles", "llm_bm25_topk", "tpch_q22_shape",
-    "graph_jaccard_neighbors", "llm_doc_outlier")
+    "graph_jaccard_neighbors", "llm_doc_outlier", "graph_degree_census")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {
