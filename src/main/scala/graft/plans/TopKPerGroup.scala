@@ -67,13 +67,16 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * exactly one hash exchange between the two — the HashAggregate
   * partial/final shape, with a k-heap where the aggregation buffer
   * would be. Memory per task is k rows per group resident in that
-  * partition — the same budget class as a hash aggregate over the same
-  * keys, with one honest difference: HashAggregate can fall back to a
-  * sort-based spill and this operator (deliberately, for now) cannot.
-  * When groups-in-partition × k × row-width approaches task memory, use
-  * the window form; the operator's design regime is the opposite corner
-  * (few/hot groups, k ≪ group size — PERF.md's 3.6× case), where its
-  * state is tiny and the window form is the one that melts down.
+  * partition, HARD-CAPPED on the partial side: past
+  * `spark.graft.topk.maxGroupsPerTask` distinct groups (default 4M) the
+  * partial pass flushes its heaps and streams the remaining rows
+  * through unabsorbed — always correct for a partial (the final pass
+  * trims, exactly as if the partial weren't there), so a near-unique
+  * group key degrades to the plain shuffle instead of OOM. The final
+  * pass holds k·groups-in-partition rows — its own output, which must
+  * materialize regardless. The operator's design regime remains
+  * few/hot groups with k ≪ group size (PERF.md's 9× case); for
+  * group-per-row workloads the window form's sort is the right plan.
   */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
@@ -101,7 +104,9 @@ case class TopKPerGroupExec(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
       .createMetric(sparkContext, "number of output rows"),
     "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of groups"))
+      .createMetric(sparkContext, "number of groups"),
+    "numPassthroughRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "rows passed through on group overflow"))
 
   override protected def withNewChildInternal(c: SparkPlan)
       : TopKPerGroupExec = copy(child = c)
@@ -115,6 +120,20 @@ case class TopKPerGroupExec(
     val kk = k
     val rowsMetric = longMetric("numOutputRows")
     val groupsMetric = longMetric("numGroups")
+    val passMetric = longMetric("numPassthroughRows")
+    // Bounded-memory guarantee for the PARTIAL pass: heap state is
+    // k rows × groups-in-partition, which explodes when the group key is
+    // near-unique. Past this many groups the partial pass STOPS absorbing
+    // — it flushes its heaps and streams the remaining rows through
+    // untouched, which is always CORRECT for a partial (extra rows just
+    // reach the final pass, exactly as if the partial weren't there) and
+    // caps its memory at maxGroups·k rows. The final pass never
+    // passes through: its state equals its output, which must
+    // materialize regardless.
+    val maxGroups =
+      if (!partial) Long.MaxValue
+      else conf.getConfString("spark.graft.topk.maxGroupsPerTask",
+        "4000000").toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(gExprs, schema)
       // CODEGEN'd (score, tie) evaluation — one compiled projection per
@@ -144,7 +163,9 @@ case class TopKPerGroupExec(
       // better arrival replaces it in O(log k)
       val heaps = new java.util.HashMap[UnsafeRow,
         scala.collection.mutable.PriorityQueue[Entry]]()
-      iter.foreach { row =>
+      var overflowed = false
+      while (iter.hasNext && !overflowed) {
+        val row = iter.next()
         val st = scoreTieProj(row)
         // NULL score or tie has no defined rank — refuse loudly rather
         // than silently dropping or sorting nulls differently per engine
@@ -164,6 +185,7 @@ case class TopKPerGroupExec(
           heap = scala.collection.mutable.PriorityQueue
             .empty(keepOrder.reverse)
           heaps.put(key.copy(), heap)
+          if (heaps.size() > maxGroups) overflowed = true
         }
         val e = Entry(score, tie, row.copy())
         if (heap.size < kk) heap.enqueue(e)
@@ -173,11 +195,17 @@ case class TopKPerGroupExec(
       }
       import scala.jdk.CollectionConverters._
       groupsMetric += heaps.size()
-      heaps.values().asScala.iterator.flatMap { heap =>
+      val buffered = heaps.values().asScala.iterator.flatMap { heap =>
         // dequeueAll drains weakest-first; reverse → best-first emission
         heap.dequeueAll[Entry].reverseIterator.map { e =>
           rowsMetric += 1; e.row
         }
+      }
+      if (!overflowed) buffered
+      else buffered ++ iter.map { r =>
+        // group-cardinality overflow (partial only): remaining rows
+        // stream through unabsorbed — the final pass trims them
+        rowsMetric += 1; passMetric += 1; r
       }
     }
   }

@@ -115,6 +115,43 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got === Set((1L, 1L), (1L, 2L), (2L, 4L)))
   }
 
+  test("group-cardinality overflow: partial pass degrades to passthrough " +
+    "with the answer unchanged") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = Seq.tabulate(3000)(i =>
+      (rng.nextInt(500).toLong, i.toLong, rng.nextInt(40).toDouble))
+    val df = rows.toDF("g", "id", "score").repartition(5)
+    val key = "spark.graft.topk.maxGroupsPerTask"
+    spark.conf.set(key, "7") // force overflow in every task
+    try {
+      val native = TopKPerGroup(df, Seq("g"), "score",
+        descending = true, "id", 2)
+      // collect the SAME plan whose metrics we inspect below (a derived
+      // select would execute a clone and leave these metrics at zero)
+      val got = native.collect()
+        .map(r => s"${r.getLong(0)}|${r.getLong(1)}|${r.getDouble(2)}")
+        .sorted
+      val want = sortedRows(
+        windowForm(df, "g", "score", desc = true, "id", 2),
+        "g", "id", "score")
+      assert(got.sameElements(want))
+      // the fallback actually fired: passthrough metric non-zero
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allNodes(p: SparkPlan): Seq[SparkPlan] =
+        (p +: p.children.flatMap(allNodes)) ++ (p match {
+          case q: QueryStageExec => allNodes(q.plan)
+          case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+          case _ => Nil
+        })
+      val passed = allNodes(native.queryExecution.executedPlan)
+        .collect { case e: graft.plans.TopKPerGroupExec if e.partial =>
+          e.metrics("numPassthroughRows").value }.sum
+      assert(passed > 0, "expected the overflow passthrough to fire")
+    } finally spark.conf.unset(key)
+  }
+
   test("null score refuses loudly instead of ranking nulls") {
     import spark.implicits._
     val df = Seq((1L, 1L, Some(2.0)), (1L, 2L, None))
