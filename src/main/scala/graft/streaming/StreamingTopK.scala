@@ -28,6 +28,16 @@ object StreamingTopK {
   case class Scored(g: Long, tie: Long, score: Double)
   case class TopK(g: Long, ties: Seq[Long], scores: Seq[Double])
 
+  /** The one state transition: best-k of (previous best-k ∪ batch),
+    * ordered (score desc, tie asc). Pure and ASSOCIATIVE — merge(merge
+    * (a,b),c) ≡ best-k(a∪b∪c) for any slicing, which is the whole
+    * replay-order-independence argument; StreamingTopKProps checks it
+    * on random streams and random slicings.
+    */
+  private[graft] def merge(prev: Seq[(Double, Long)],
+      batch: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+    (prev ++ batch).sortBy { case (s, t) => (-s, t) }.take(k)
+
   def topKStream(rows: Dataset[Scored], k: Int): Dataset[TopK] = {
     implicit val topkEnc = Encoders.product[TopK]
     rows.groupByKey(_.g)(Encoders.scalaLong)
@@ -36,9 +46,8 @@ object StreamingTopK {
         (g: Long, batch: Iterator[Scored], state: GroupState[TopK]) =>
           val prev = state.getOption
             .map(s => s.scores.zip(s.ties)).getOrElse(Seq.empty)
-          val merged = (prev ++ batch.map(r => (r.score, r.tie)))
-            .sortBy { case (s, t) => (-s, t) }
-            .take(k)
+          val merged = merge(prev,
+            batch.map(r => (r.score, r.tie)).toSeq, k)
           val next = TopK(g, merged.map(_._2), merged.map(_._1))
           state.update(next)
           Iterator(next)
