@@ -94,6 +94,35 @@ class Round9OpsSpec extends SparkSpec {
       ms.length.toLong * ms.length }.sum)
   }
 
+  test("win_gaps_islands: driver recount of maximal runs agrees on the " +
+    "fixture") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.WindowOps.gapsIslands(spark, sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(6)))
+    // independent reconstruction: sort each user's events on the driver,
+    // collapse consecutive same-type runs, keep length >= 3
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      val types = evs.sortBy(e => (e._4, e._2)).map(_._3)
+      val runs = scala.collection.mutable.ListBuffer.empty[(String, Int)]
+      types.foreach { t =>
+        if (runs.nonEmpty && runs.last._1 == t)
+          runs(runs.length - 1) = (t, runs.last._2 + 1)
+        else runs += ((t, 1))
+      }
+      runs.filter(_._2 >= 3).map { case (t, n) => (uid, t, n.toLong) }
+    }
+    assert(got.length == want.length,
+      s"${got.length} islands vs driver ${want.length}")
+    assert(got.map(r => (r._1, r._2, r._3)).sorted
+      .sameElements(want.sorted))
+  }
+
   test("srpBitsPerBand: caps at 62 so Long bucket weights cannot wrap") {
     assert(SimOps.srpBitsPerBand(2000L) === 4) // shipped fixtures frozen
     assert(SimOps.srpBitsPerBand(20000L) === 8)
