@@ -965,7 +965,56 @@ object SimOps extends OpModule {
       .limit(25)
   }
 
+  /** Int8 quantization audit — the ANN-serving memory lever (an int8
+    * store is a 4× cut of the 100 TB vector tier, and most recall loss
+    * stories start here): symmetric per-dimension quantization
+    * q = round(127·x/s_d) with s_d the dimension's max |x|, and the
+    * per-doc reconstruction MSE of the dequantized vector. The 20 worst
+    * docs surface — the ones a quantized serving tier would mis-rank
+    * first.
+    *
+    * Determinism: s_d comes from an EXACT integer micro-unit max
+    * (order-free under any parallelism), and the per-doc error fold is
+    * the strict sequential HOF both engines replay bit-identically
+    * (list_sum precedent); squaring by self-multiplication, no pow().
+    *
+    * Plan: one posexplode pass (map-side combined max per dim) → ONE-ROW
+    * broadcast scale vector (the llm_tfidf scalar pattern) → narrow
+    * per-doc error map → TakeOrderedAndProject. Zero-variance dims
+    * (s_d = 0) contribute zero error by definition.
+    */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val scales = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(max(expr(
+        "abs(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"))
+        .as("amax_micro"))
+    val scaleArr = scales
+      .agg(expr(
+        """transform(
+          |  array_sort(collect_list(struct(pos,
+          |    CAST(amax_micro AS DOUBLE) / 1000000 AS sd))),
+          |  t -> t.sd)""".stripMargin).as("scales"))
+    emb.crossJoin(broadcast(scaleArr))
+      .withColumn("mse", expr(
+        """aggregate(
+          |  zip_with(embedding, scales, (x, s) ->
+          |    CASE WHEN s = 0D THEN 0D ELSE
+          |      (CAST(x AS DOUBLE) -
+          |        round(127 * CAST(x AS DOUBLE) / s) * s / 127) *
+          |      (CAST(x AS DOUBLE) -
+          |        round(127 * CAST(x AS DOUBLE) / s) * s / 127)
+          |    END),
+          |  0D, (acc, v) -> acc + v) / size(embedding)""".stripMargin))
+      .select(col("vec_id"), col("label"), col("mse"))
+      .orderBy(col("mse").desc, col("vec_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_embed_quantize" -> embedQuantize,
     "llm_doc_outlier" -> docOutlier,
     "llm_sim_topk" -> simTopk,
     "llm_dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
@@ -984,6 +1033,29 @@ object SimOps extends OpModule {
     "list_sum([%s.embedding[i]::DOUBLE * %s.embedding[i]::DOUBLE for i in range(1, 65)])"
 
   val oracle: Map[String, String] = Map(
+    "llm_embed_quantize" ->
+      """WITH sc AS (
+        |  SELECT i AS pos,
+        |         CAST(max(abs(CAST(round(embedding[i]::DOUBLE * 1000000)
+        |                            AS BIGINT))) AS DOUBLE) / 1000000
+        |           AS sd
+        |  FROM embeddings, range(1, 65) t(i)
+        |  GROUP BY 1),
+        |sa AS (SELECT list(sd ORDER BY pos) AS scales FROM sc),
+        |e AS (
+        |  SELECT vec_id, label,
+        |         list_sum([
+        |           CASE WHEN scales[i] = 0 THEN 0
+        |           ELSE (embedding[i]::DOUBLE -
+        |                 round(127 * embedding[i]::DOUBLE / scales[i])
+        |                   * scales[i] / 127) *
+        |                (embedding[i]::DOUBLE -
+        |                 round(127 * embedding[i]::DOUBLE / scales[i])
+        |                   * scales[i] / 127) END
+        |           for i in range(1, 65)]) / 64 AS mse
+        |  FROM embeddings, sa)
+        |SELECT vec_id, label, mse FROM e
+        |ORDER BY mse DESC, vec_id LIMIT 20""".stripMargin,
     // Independent route: per-dimension micro-sums via a lateral range
     // join (vs Spark's posexplode), centroid list rebuilt ORDER BY pos,
     // cosines replayed with the same strict-sequential list_sum.

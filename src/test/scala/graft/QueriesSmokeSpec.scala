@@ -53,10 +53,11 @@ class QueriesSmokeSpec extends SparkSpec {
   // llm_bm25_topk (round 6): the corpus avgdl/N denominators are the same
   // broadcast ONE-ROW scalar aggregate as llm_tfidf, crossed onto the
   // ≤|query|-term frames (justified in TextOps.bm25Topk's doc).
-  // llm_doc_outlier (round 9): the corpus centroid is a broadcast
-  // ONE-ROW frame (64 exact integer micro-sums) crossed onto the
-  // scoring pass — the llm_tfidf scalar pattern (justified in
-  // SimOps.docOutlier's doc).
+  // llm_doc_outlier + llm_embed_quantize (round 9): the corpus centroid
+  // / per-dim scale vector is a broadcast ONE-ROW frame (64 exact
+  // integer micro-aggregates) crossed onto the scoring pass — the
+  // llm_tfidf scalar pattern (justified in SimOps.docOutlier's and
+  // SimOps.embedQuantize's docs).
   // graph_jaccard_neighbors + graph_degree_census (round 9): consume
   // strongEdges, whose strong-tie threshold is the same broadcast
   // ONE-ROW mean-weight scalar crossed onto the ≤|entities|² edge
@@ -70,7 +71,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
     "graph_triangles", "llm_bm25_topk", "tpch_q22_shape",
-    "graph_jaccard_neighbors", "llm_doc_outlier", "graph_degree_census")
+    "graph_jaccard_neighbors", "llm_doc_outlier", "graph_degree_census",
+    "llm_embed_quantize")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {
