@@ -81,6 +81,42 @@ class Wave9OpsSpec extends SparkSpec {
         "the two models must conserve over the same converted purchases")
   }
 
+  test("attribution_decay: conservation holds on randomized event logs, " +
+    "against a driver recount of converted purchases") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val types = Array("click", "view", "purchase", "error")
+    val rows = Seq.tabulate(4000) { i =>
+      (i.toLong, // event_id (unique)
+        new java.sql.Timestamp(1700000000000L + rng.nextInt(90) * 86400000L
+          + rng.nextInt(86400000)),
+        rng.nextInt(60).toLong, // user_id
+        types(rng.nextInt(types.length)),
+        rng.nextDouble() * 10, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_adr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val credit = EventOps.attributionDecay(spark, dir).collect()
+      .map(_.getAs[Long]("credit_bps")).sum
+    // driver recount: purchases with >= 1 touch since the prior purchase
+    val converted = rows.groupBy(_._3).values.map { evs =>
+      val sorted = evs.sortBy(e => (e._2.getTime, e._1))
+      var touches = 0; var conv = 0
+      sorted.foreach { e =>
+        if (e._4 == "click" || e._4 == "view") touches += 1
+        else if (e._4 == "purchase") {
+          if (touches > 0) conv += 1
+          touches = 0
+        }
+      }
+      conv
+    }.sum
+    assert(converted > 0)
+    assert(credit == 10000L * converted,
+      s"credit $credit != 10000 * $converted")
+  }
+
   test("graph_triangles: independent driver recount agrees per node") {
     val got = GraphOps.triangles(spark, sf0001).collect()
       .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[Long]("tri_count"))
