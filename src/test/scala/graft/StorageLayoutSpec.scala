@@ -59,6 +59,52 @@ class StorageLayoutSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  // The incremental-pipeline scenario: a bucketed fact table APPENDED to
+  // daily must keep its layout, or every downstream colocated join
+  // silently regains its shuffle. saveAsTable(Append) on an existing
+  // bucketed table writes the new files under the SAME bucket spec
+  // (hash(l_orderkey) % 4), so the join stays exchange-free after any
+  // number of append batches — the property that makes bucketing viable
+  // for a continuously-ingesting 100 TB fact, not just a one-shot load.
+  test("appending to a bucketed table preserves the shuffle-free join") {
+    spark.sql("DROP TABLE IF EXISTS li_app")
+    spark.sql("DROP TABLE IF EXISTS ord_app")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    Seq("li_app", "ord_app").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(wh, t))
+    }
+    val li = Tables.lineitem(spark, sf0001)
+    // initial load: orders < 800 — the "yesterday" partition of the fact
+    li.filter(col("l_orderkey") < 800)
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_app")
+    // daily append: today's slice, SAME bucket spec via Append mode
+    li.filter(col("l_orderkey") >= 800)
+      .write.mode("append").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("li_app")
+    Tables.orders(spark, sf0001)
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("ord_app")
+    assert(spark.table("li_app").count() === li.count(),
+      "append must not lose rows")
+    val joined = spark.table("li_app")
+      .join(spark.table("ord_app"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"appended bucketed join must stay shuffle-free:\n$p")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   // The dedup store's scale lever: snapshotArtifacts persisted bucketed on
   // digest lets the incremental exact-join run with NO store-side shuffle
   // even when the batch is too big to broadcast — only the batch
