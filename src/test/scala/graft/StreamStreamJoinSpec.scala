@@ -21,12 +21,32 @@ class StreamStreamJoinSpec extends SparkSpec {
     val events = Tables.events(spark, sf0001)
     val vsrc = s"$base/views"
     val psrc = s"$base/purchases"
-    // coalesce(3): several files per side so AvailableNow replays each
-    // side across multiple micro-batches
-    events.filter(col("event_type") === "view").coalesce(3)
+    // repartitionByRange on ts — several files per side (coalesce cannot
+    // grow the fixture's single partition) AND a time-ordered replay:
+    // part-00000 carries the earliest range, so maxFilesPerTrigger=1
+    // feeds micro-batches in event-time order, the way a real log
+    // (Kafka, time-partitioned files) arrives. A hash repartition here
+    // would scatter each time range across every file and the watermark
+    // would (correctly!) drop most rows as late — replay disorder the
+    // interval join is explicitly NOT designed to absorb beyond its
+    // 1-hour delay.
+    events.filter(col("event_type") === "view")
+      .repartitionByRange(3, col("ts"))
       .write.mode("overwrite").parquet(vsrc)
-    events.filter(col("event_type") === "purchase").coalesce(3)
+    events.filter(col("event_type") === "purchase")
+      .repartitionByRange(3, col("ts"))
       .write.mode("overwrite").parquet(psrc)
+    // FileStreamSource picks files by MODIFICATION time, not path — all
+    // parts land within the same millisecond, so without this the
+    // "earliest range first" replay order is luck. Stamp strictly
+    // increasing mtimes in part order.
+    Seq(vsrc, psrc).foreach { dir =>
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(1700000000000L + i * 60000L)
+        }
+    }
     (vsrc, psrc)
   }
 
@@ -96,6 +116,57 @@ class StreamStreamJoinSpec extends SparkSpec {
     assert(missed.isEmpty,
       s"${missed.length} finalized rows not delivered: " +
         missed.take(3).map(key).mkString("; "))
+  }
+
+  test("join state survives a checkpoint restart: second run resumes and " +
+    "the combined output equals the batch join") {
+    val base = Files.createTempDirectory("graft_ssjoin_rst").toString
+    val stage = Files.createTempDirectory("graft_ssjoin_stage").toString
+    val (vsrcAll, psrcAll) = split(stage)
+    val vsrc = s"$base/views"; val psrc = s"$base/purchases"
+    def parts(dir: String) = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def copy(files: Seq[java.io.File], to: String): Unit = {
+      new java.io.File(to).mkdirs()
+      files.foreach(f => java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(to, f.getName)))
+    }
+    val (v1, v2) = parts(vsrcAll).splitAt(1)
+    val (p1, p2) = parts(psrcAll).splitAt(1)
+    // phase 1: half of each side, run to completion (state checkpointed
+    // with buffered unmatched rows)
+    copy(v1.toSeq, vsrc); copy(p1.toSeq, psrc)
+    // parquet sink: the memory sink refuses checkpoint recovery — the
+    // durable-sink path is also the one a real pipeline restarts with
+    val out = s"$base/out"
+    def run(): Unit = {
+      val q = StreamStreamJoin.attributionJoin(stream(vsrc), stream(psrc),
+        maxGapMinutes = 1440)
+        .writeStream.format("parquet").option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val phase1 = spark.read.parquet(out).count()
+    // phase 2: the rest of the log lands; a NEW query instance restarts
+    // from the same checkpoint — buffered views from phase 1 must meet
+    // phase-2 purchases via the restored state store
+    copy(v2.toSeq, vsrc); copy(p2.toSeq, psrc)
+    run()
+    val got = spark.read.parquet(out)
+      .orderBy("user_id", "view_id", "purchase_id").collect()
+    val want = StreamStreamJoin.attributionJoin(
+      spark.read.parquet(vsrc), spark.read.parquet(psrc),
+      maxGapMinutes = 1440)
+      .orderBy("user_id", "view_id", "purchase_id").collect()
+    assert(phase1 > 0 && phase1 < want.length,
+      s"phase 1 must emit a strict subset ($phase1 of ${want.length})")
+    assert(got.length === want.length,
+      s"restarted stream emitted ${got.length} vs batch ${want.length}")
+    assert(got.sameElements(want))
   }
 
   test("plan is a symmetric hash join on the user_id anchor, no cartesian") {
