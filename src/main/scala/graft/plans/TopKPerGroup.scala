@@ -46,6 +46,9 @@ case class TopKPerGroupNode(
     k: Int,
     child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  require(groupExprs.nonEmpty,
+    "top-k-per-group needs at least one group column; for a global " +
+      "top-k use orderBy(...).limit(k) (TakeOrderedAndProject)")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan)
       : TopKPerGroupNode = copy(child = c)
@@ -171,13 +174,14 @@ case class TopKPerGroupExec(
         // than silently dropping or sorting nulls differently per engine
         require(!st.isNullAt(0) && !st.isNullAt(1),
           "top-k score/tie-break must be non-null")
-        // st is the projection's reused buffer — extract stable values
-        // (UTF8String/Decimal getters materialize fresh objects; the
-        // UTF8String one still points into the buffer, so copy it)
-        val score = st.get(0, scoreType) match {
-          case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
-          case other => other
-        }
+        // st is the projection's reused buffer — rawScore may be a VIEW
+        // into it (UTF8String, UnsafeRow struct, UnsafeArrayData, …).
+        // It is valid until the next scoreTieProj call, so compare with
+        // it for free and only materialize a stable copy
+        // (InternalRow.copyValue handles every buffer-backed type) for
+        // rows that actually enter the heap. Losing rows — the vast
+        // majority in the hot-group regime — allocate nothing.
+        val rawScore = st.get(0, scoreType)
         val tie = tieGetter(st)
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -187,10 +191,19 @@ case class TopKPerGroupExec(
           heaps.put(key.copy(), heap)
           if (heaps.size() > maxGroups) overflowed = true
         }
-        val e = Entry(score, tie, row.copy())
-        if (heap.size < kk) heap.enqueue(e)
-        else if (keepOrder.compare(e, heap.head) > 0) {
-          heap.dequeue(); heap.enqueue(e)
+        if (heap.size < kk) {
+          heap.enqueue(
+            Entry(InternalRow.copyValue(rawScore), tie, row.copy()))
+        } else {
+          val worst = heap.head
+          val s = scoreOrd.compare(rawScore, worst.score)
+          val c = if (desc) s else -s
+          val cmp = if (c != 0) c else -java.lang.Long.compare(tie, worst.tie)
+          if (cmp > 0) {
+            heap.dequeue()
+            heap.enqueue(
+              Entry(InternalRow.copyValue(rawScore), tie, row.copy()))
+          }
         }
       }
       import scala.jdk.CollectionConverters._

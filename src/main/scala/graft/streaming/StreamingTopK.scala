@@ -36,7 +36,17 @@ object StreamingTopK {
     */
   private[graft] def merge(prev: Seq[(Double, Long)],
       batch: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
-    (prev ++ batch).sortBy { case (s, t) => (-s, t) }.take(k)
+    // explicit comparator, NOT sortBy(-s, t): negating a NaN score
+    // yields NaN which sorts LAST ascending, while the batch operator's
+    // interpreted Double ordering ranks NaN as the LARGEST score.
+    // java.lang.Double.compare(b, a) gives the same NaN-greatest
+    // descending order, keeping the streamed==batch row-for-row contract
+    // even with NaN scores.
+    (prev ++ batch).sorted(Ordering.fromLessThan[(Double, Long)] {
+      case ((sa, ta), (sb, tb)) =>
+        val c = java.lang.Double.compare(sb, sa)
+        if (c != 0) c < 0 else ta < tb
+    }).take(k)
 
   def topKStream(rows: Dataset[Scored], k: Int): Dataset[TopK] = {
     implicit val topkEnc = Encoders.product[TopK]

@@ -179,16 +179,20 @@ class StreamStreamJoinSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val p = q.lastProgress.toString
-    // the executed streaming plan must be the bounded-state symmetric
-    // hash join; assert via the batch twin's physical plan shape AND the
-    // streaming query's successful append-mode run (unbounded-state
-    // conditions are rejected by Spark at analysis time in append mode)
+    // the executed STREAMING plan must be the bounded-state symmetric
+    // hash join — assert it directly from the query's own progress:
+    // every stateful streaming operator reports its operatorName, and
+    // the stream-stream join's is "symmetricHashJoin"
+    val stateOps = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.operatorName).toSet
+    assert(stateOps.contains("symmetricHashJoin"),
+      s"streaming query planned state operators $stateOps, " +
+        "expected a StreamingSymmetricHashJoin")
+    // and the batch twin's physical plan must not degrade either
     val batch = StreamStreamJoin.attributionJoin(
       spark.read.parquet(vsrc), spark.read.parquet(psrc))
     val plan = batch.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    assert(p.contains("numRowsTotal") || p.nonEmpty)
   }
 }

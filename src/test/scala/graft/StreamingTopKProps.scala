@@ -49,4 +49,15 @@ object StreamingTopKProps extends Properties("StreamingTopK") {
       val want = xs.sortBy { case (s, t) => (-s, t) }.take(k)
       got == want
     }
+
+  property("NaN scores rank LARGEST, matching the batch operator's " +
+    "interpreted Double ordering (not last, as sortBy key-negation would)") =
+    forAll(streamGen, kGen) { (xs, k) =>
+      val withNaN = (Double.NaN, -1L) :: (Double.NaN, -2L) :: xs
+      val got = StreamingTopK.merge(Seq.empty, withNaN, k)
+      // the two NaNs beat every finite score; between them tie asc wins
+      val wantTies = (List(-2L, -1L) ++
+        xs.sortBy { case (s, t) => (-s, t) }.map(_._2)).take(k)
+      got.map(_._2) == wantTies
+    }
 }

@@ -152,6 +152,55 @@ class TopKPerGroupSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("buffer-backed score types (struct, array) survive the reused " +
+    "projection buffer — copied per-entry, not aliased") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    // many rows per group with DISTINCT struct scores: if the heap held
+    // views into the reused UnsafeProjection buffer, later rows would
+    // silently overwrite earlier entries' scores and the kept set drifts
+    val rows = Seq.tabulate(4000)(i =>
+      (rng.nextInt(20).toLong, i.toLong, rng.nextInt(10), rng.nextInt(100)))
+    val base = rows.toDF("g", "id", "maj", "min")
+    val structDf = base.withColumn("score",
+      struct(col("maj"), col("min"))).drop("maj", "min")
+    val arrayDf = base.withColumn("score",
+      array(col("maj"), col("min"))).drop("maj", "min")
+    for ((df, label) <- Seq((structDf, "struct"), (arrayDf, "array"))) {
+      val native = TopKPerGroup(df, Seq("g"), "score",
+        descending = true, "id", 3)
+      val window = windowForm(df, "g", "score", desc = true, "id", 3)
+      // unique tie ⇒ the kept id set fully determines correctness
+      assert(sortedRows(native, "g", "id")
+        .sameElements(sortedRows(window, "g", "id")),
+        s"$label-scored top-k diverged from the window form")
+    }
+  }
+
+  test("NaN scores rank largest, matching the window form's ordering") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 2.0), (1L, 2L, Double.NaN), (1L, 3L, 5.0),
+      (1L, 4L, Double.NaN))
+      .toDF("g", "id", "score")
+    val native = TopKPerGroup(df, Seq("g"), "score", descending = true,
+      "id", 2)
+    val window = windowForm(df, "g", "score", desc = true, "id", 2)
+    assert(sortedRows(native, "g", "id")
+      .sameElements(sortedRows(window, "g", "id")))
+    // both NaNs (ties broken by id) beat every finite score
+    assert(native.select("id").collect().map(_.getLong(0)).toSet
+      === Set(2L, 4L))
+  }
+
+  test("empty group list refuses with a clear message") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 2.0)).toDF("g", "id", "score")
+    val ex = intercept[Exception] {
+      TopKPerGroup(df, Seq.empty, "score", descending = true, "id", 1)
+    }
+    assert(ex.getMessage.contains("at least one group column"))
+  }
+
   test("null score refuses loudly instead of ranking nulls") {
     import spark.implicits._
     val df = Seq((1L, 1L, Some(2.0)), (1L, 2L, None))
