@@ -9,8 +9,8 @@ object SparkEntry {
   private val modules: Seq[OpModule] = Seq(
     IngestOps, RelationalOps, JoinOps, AggOps, WindowOps, SortSetOps,
     ScalarFnOps, StreamTwinOps, UdfOps, TextOps, DedupOps, SimOps,
-    MultimodalOps, ComposedOps, SubqueryOps, ReshapeOps, DataQualityOps,
-    PipelineOps, CurationOps, EventOps, GraphOps)
+    MultimodalOps, ComposedOps, PartSuppOps, SubqueryOps, ReshapeOps,
+    DataQualityOps, PipelineOps, CurationOps, EventOps, GraphOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

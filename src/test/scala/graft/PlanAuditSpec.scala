@@ -336,4 +336,55 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ReadSchema"), p)
     assert(!p.contains("props"), "unused events.props must be pruned")
   }
+
+  // the partsupp derivation carries ONE BroadcastNestedLoopJoin: the
+  // 1-row supplier-count scalar cross join (the q15/q22 pattern —
+  // constant work per row, scale-safe). The audits below allow exactly
+  // that one and ban any data-sized nested loop or cartesian.
+  private def assertOnlyScalarBnlj(p: String, maxBnlj: Int = 1): Unit = {
+    assert(!p.contains("CartesianProduct"), p)
+    val bnlj = p.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).size
+    assert(bnlj <= maxBnlj,
+      s"expected at most $maxBnlj 1-row scalar BNLJ(s), got $bnlj\n$p")
+  }
+
+  test("tpch_q9: multi-fact join tree — part sliver broadcasts, " +
+    "lineitem⋈partsupp is an equi join, no cartesian anywhere") {
+    val p = plan(PartSuppOps.q9Shape(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assertOnlyScalarBnlj(p)
+  }
+
+  test("tpch_q2: decorrelated min-cost join, top-100 without global sort") {
+    val df = PartSuppOps.q2Shape(spark, sf0001)
+    val p = finalPlan(df)
+    // the candidate subtree (and its scalar cross join) feeds BOTH the
+    // output arm and the min-cost aggregate arm → two scalar BNLJs
+    assertOnlyScalarBnlj(p, maxBnlj = 2)
+    // the per-part min is a partial+final aggregate joined back, not a
+    // re-aggregation per outer row
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("TakeOrderedAndProject"), full)
+  }
+
+  test("tpch_q11: threshold is a one-row broadcast scalar, not a driver " +
+    "collect; q16's complaints exclusion plans as a LEFT ANTI") {
+    val p11 = plan(PartSuppOps.q11Shape(spark, sf0001))
+    assert(p11.contains("BroadcastHashJoin") ||
+      p11.contains("BroadcastExchange"), p11)
+    assert(!p11.contains("CartesianProduct"), p11)
+    val p16 = plan(PartSuppOps.q16Shape(spark, sf0001))
+    assert(p16.contains("LeftAnti"), p16)
+    assert(!p16.contains("CartesianProduct"), p16)
+  }
+
+  test("tpch_q20: qualifying suppliers enter as a LEFT SEMI; the " +
+    "date-sliced shipment aggregate keeps partial aggregation") {
+    val p = plan(PartSuppOps.q20Shape(spark, sf0001))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("PushedFilters"), p)
+  }
 }
