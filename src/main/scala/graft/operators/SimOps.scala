@@ -481,29 +481,40 @@ object SimOps extends OpModule {
     annSearchCore(annProbe(queries, centroids), assigned)
 
   /** [[annSearch]] against a cell-PARTITIONED assignment store, with the
-    * probed cells pushed into the scan as a LITERAL partition filter:
-    * the probe step (broadcast centroids × queries — a tiny frame) runs
-    * first, its distinct cell set is collected (serve-time metadata, the
-    * same class of driver work as loading the quantizer), and the
-    * distributed search then reads only ~probes/cells of the store —
-    * `PartitionFilters` at the source, asserted in PlanAuditSpec. Spark's
-    * dynamic partition pruning would do this inside one query only when
-    * it can reuse the broadcast; on this join it plans a degenerate
-    * `dynamicpruningexpression(true)`, so the explicit two-step is the
-    * dependable serving form.
+    * probed cells pruning the store scan at the source — NO driver
+    * round-trip: the store left-semi-joins the broadcast distinct
+    * probe-cell frame, and Spark's dynamic partition pruning turns that
+    * broadcast into a `dynamicpruningexpression(cell IN subquery)`
+    * PartitionFilter on the scan (SubqueryBroadcast reusing the
+    * semi-join's broadcast), so only the probed ~probes/cells
+    * partitions are read — asserted in PlanAuditSpec — and the pruning
+    * frame never lands on the driver: a million-query batch is as safe
+    * as ten.
+    *
+    * Two deliberate nudges make DPP dependable here: (1) the probe
+    * frame is eagerly `localCheckpoint`ed — it is tiny (≤ 4·|queries|
+    * rows) but its LINEAGE is a broadcast cartesian whose size
+    * estimate explodes, which flips DPP's benefit heuristic to "not
+    * worth it"; the checkpoint gives the optimizer the frame's true
+    * size (and computes the probe once for both the pruning and the
+    * search join). (2) the semantically-vacuous `cell >= 0` predicate
+    * (cells are seed ids, always non-negative) marks the filtering
+    * side as selective — the PartitionPruning rule only fires for a
+    * build side that visibly filters.
     */
   def annSearchPruned(s: SparkSession, queries: DataFrame,
       centroids: DataFrame, assigned: DataFrame): DataFrame = {
-    val probed = annProbe(queries, centroids)
-    val cells = probed.select(col("cell")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    annSearchCore(probed, assigned.filter(col("cell").isin(cells: _*)))
+    val probed = annProbe(queries, centroids).localCheckpoint(true)
+    val probedCells = probed.select(col("cell"))
+      .filter(col("cell") >= 0).distinct()
+    annSearchCore(probed,
+      assigned.join(broadcast(probedCells), Seq("cell"), "left_semi"))
   }
 
   /** Probe step: rank the broadcast centroids per query, keep the top 4
     * cells — a queries × cells frame, tiny on both axes.
     */
-  private def annProbe(queries: DataFrame, centroids: DataFrame): DataFrame = {
+  private[graft] def annProbe(queries: DataFrame, centroids: DataFrame): DataFrame = {
     val probeW = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("cell"))
     broadcast(queries)

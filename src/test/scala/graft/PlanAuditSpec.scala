@@ -142,9 +142,17 @@ class PlanAuditSpec extends SparkSpec {
         "sqrt(graft_dot(embedding, embedding)) AS q_norm")
     val pruned = SimOps.annSearchPruned(spark, q, c, aP)
     val p = plan(pruned)
-    // the literal cell set reaches the scan as a partition filter — only
-    // the probed partitions are read (~probes/cells of the store)
-    assert(p.contains("PartitionFilters: [cell"), p)
+    // the probed cell set reaches the store scan as a DYNAMIC partition
+    // filter (dynamicpruningexpression(cell IN subquery) fed by a
+    // SubqueryBroadcast reusing the semi-join's broadcast) — only the
+    // probed partitions are read, with no driver collect anywhere
+    // the store's partition column reads back as INT, so the pruning
+    // expression carries a cast: dynamicpruningexpression(cast(cell ...
+    assert("dynamicpruningexpression\\(cast\\(cell|dynamicpruningexpression\\(cell"
+      .r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("dynamicpruningexpression(true)"),
+      "DPP degenerated to true — partition pruning lost")
+    assert(p.contains("SubqueryBroadcast"), p)
     // and pruning must not change the answer
     val full = SimOps.annSearch(spark, q, c, aP).collect()
     assert(pruned.collect().toSeq === full.toSeq)
