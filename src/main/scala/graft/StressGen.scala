@@ -97,6 +97,12 @@ object StressGen {
     // fixture's ≈66 events/user density; floored so tiny explicit counts
     // can't zero the user pool (rnd.nextInt(0) throws)
     val evUsers = math.max(1, evCount / 66)
+    // arg 5: hot-user percentage for the SKEW tier (default 0 =
+    // uniform, the historical shape). When h > 0, user 0 receives h %
+    // of ALL events (a single power-law head key ~1000× the average —
+    // the realistic 100× hazard for every user_id exchange), users
+    // 1..10 share a further 20 %, and the rest stay uniform.
+    val hotPct = args.lift(5).map(_.toInt).getOrElse(0)
     val types = Array("signup", "purchase", "view", "click", "error")
     val baseNs = 1704067200000000000L // 2024-01-01T00:00:00Z
     val monthNs = 30L * 24 * 3600 * 1000000000L
@@ -105,7 +111,14 @@ object StressGen {
     while (i < evCount) {
       // floorMod, not abs-then-%: abs(Long.MinValue) is still negative
       val ts = baseNs + math.floorMod(rnd.nextLong(), monthNs)
-      evs(i) = (i.toLong, ts, rnd.nextInt(evUsers).toLong,
+      val user =
+        if (hotPct > 0) {
+          val r = rnd.nextInt(100)
+          if (r < hotPct) 0L
+          else if (r < hotPct + 20) 1L + rnd.nextInt(10)
+          else rnd.nextInt(evUsers).toLong
+        } else rnd.nextInt(evUsers).toLong
+      evs(i) = (i.toLong, ts, user,
         types(rnd.nextInt(types.length)),
         rnd.nextDouble() * 560.0, s"""{"k": ${rnd.nextInt(100)}}""")
       i += 1
