@@ -150,6 +150,26 @@ object StressProbe {
     val candKnob = graft.operators.SimOps.srpCandidateCount(
       spark, dir, bitsAdaptive, knobBands)
     val plantedKnob = plantedRecall(bitsAdaptive, knobBands)
+    // full recall-vs-bands CURVE at adaptive bits (4 → 16 bands): each
+    // band is an independent collision chance, so planted recall should
+    // saturate immediately (per-band p ≈ 0.89 at cos 0.999) while iid
+    // recall — the LSH worst case, nearest neighbors of UNSTRUCTURED
+    // random vectors barely more angular-close than the population —
+    // climbs roughly linearly in bands, paying candidates per band.
+    // This is the documented knob table: a corpus whose nearest
+    // neighbors are real near-dups runs the default; one hunting
+    // marginal iid-like neighbors buys bands.
+    val bandsCurve = Seq(4, 8, 12, 16).map { b =>
+      val (tB, setsB) = topSets(graft.operators.SimOps.annSrpWith(
+        spark, dir, bitsAdaptive, b,
+        org.apache.spark.sql.functions.col("vec_id") < 20))
+      val candB = graft.operators.SimOps.srpCandidateCount(
+        spark, dir, bitsAdaptive, b)
+      s"""{"bands":$b,"bits":$bitsAdaptive,""" +
+        s""""recall_iid":${recallOf(setsB)},""" +
+        s""""planted_recall":${plantedRecall(bitsAdaptive, b)},""" +
+        s""""cand":$candB,"sec":$tB}"""
+    }.mkString("[", ",", "]")
     println(s"""{"metric":"stress_probe","n_vectors":$n,""" +
       s""""pairs_exact":${ref.size},"true_dups":${trueDups.size},""" +
       s"""$defScore,$sqrtScore,""" +
@@ -166,7 +186,8 @@ object StressProbe {
       s""""planted_recall_adaptive":$plantedAdaptive,""" +
       s""""bands_knob":{"bands":$knobBands,"bits":$bitsAdaptive,""" +
       s""""recall_iid":${recallOf(srpKnob)},"sec":$tKnob,""" +
-      s""""cand":$candKnob,"planted_recall":$plantedKnob}}}""")
+      s""""cand":$candKnob,"planted_recall":$plantedKnob},""" +
+      s""""bands_curve":$bandsCurve}}""")
     spark.stop()
   }
 }

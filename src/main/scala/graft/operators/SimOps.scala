@@ -175,6 +175,19 @@ object SimOps extends OpModule {
     * embeddings: at 20k iid vectors, frozen 4-bit bands co-bucket ~¼ of
     * all pairs while 8-bit bands hold the per-band bucket near the 128
     * target (graft.StressProbe measures both).
+    *
+    * Band-count default, justified by the measured recall curve
+    * (STRESSPROBE_r10 `bands_curve`, 20k-vector tier, adaptive 8-bit
+    * bands, bands swept 4→16): PLANTED near-dup recall — the dedup
+    * workload this index serves — is 1.0 at EVERY band count
+    * including this default (per-band collision p ≈ 0.89 at
+    * cos ≈ 0.999; one-of-4 misses with p ≈ 1e-4), so more bands buy
+    * nothing there. What bands do buy is iid-nearest-neighbor recall
+    * (the LSH worst case: unstructured random vectors barely closer
+    * than the population): 0.16 → 0.25 → 0.33 → 0.38 at 4/8/12/16
+    * bands, ~linear, at proportionally growing candidate volume. A
+    * deployment hunting marginal neighbors raises bands via
+    * [[annSrpWith]]; near-dup hunting keeps the 4-band default.
     */
   val srpBands = 4
   val srpTargetBucket = 128L
