@@ -677,9 +677,12 @@ object DedupOps extends OpModule {
 
   /** 64-bit SimHash fingerprints (xxhash64 token hashes, per-bit majority
     * vote), via the native one-pass graft_simhash expression
-    * (graft.functions.SimHash). Engine-specific hash → no SQL oracle;
+    * (graft.functions.SimHash). The engine-specific hash has no SQL
+    * oracle, so the QUERY surface is carried by [[simhashPortable]]
+    * (identical vote logic, md5-derived token hashes, value-for-value
+    * oracled) while this fast path stays a library function —
     * unit-tested instead (near-dup pairs must be close in Hamming
-    * distance).
+    * distance; SimHashSpec / ShingleSetSpec).
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -822,7 +825,9 @@ object DedupOps extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_dedup_exact" -> dedupExact,
     "llm_dedup_near" -> dedupNear,
-    "llm_dedup_simhash" -> simhash,
+    // the xxhash64 [[simhash]] fast path is a library function (unit
+    // invariants); the oracle-gated query surface for the simhash
+    // operator is llm_simhash_portable below
     "llm_containment" -> containment,
     "llm_dedup_incremental" -> dedupIncrementalQuery,
     "llm_simhash_portable" -> simhashPortable,

@@ -157,8 +157,11 @@ object TextOps extends OpModule {
     * over the token stream (acc·31 + xxhash64(token) mod 2^31-1 — modular
     * so ANSI mode can't overflow) plus a winnowing-lite minimum over
     * 8-token window hashes — the classic near-exact-dup / containment
-    * fingerprint pair. Engine-internal hash → no SQL oracle (rows-only
-    * check + unit invariants).
+    * fingerprint pair. The engine-internal hash has no SQL oracle, so
+    * the QUERY surface is carried by [[fingerprintPortable]] (identical
+    * fold and window minimum, md5-derived token hashes, value-for-value
+    * oracled) while this fast path stays a library function with unit
+    * invariants (LlmOpsSpec).
     */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -980,7 +983,9 @@ object TextOps extends OpModule {
     "llm_lang_id" -> langId,
     "llm_sample_stratified" -> sampleStratified,
     "llm_mix_weighted" -> mixWeighted,
-    "llm_fingerprint" -> fingerprint,
+    // the xxhash64 [[fingerprint]] fast path is a library function
+    // (unit invariants in LlmOpsSpec); the oracle-gated query surface
+    // for the fingerprint operator is the portable twin
     "llm_fingerprint_portable" -> fingerprintPortable,
     "llm_tfidf" -> tfidf
   )

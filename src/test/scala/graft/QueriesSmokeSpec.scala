@@ -67,12 +67,19 @@ class QueriesSmokeSpec extends SparkSpec {
   // broadcast ONE-ROW scalar aggregate as llm_tfidf — the `>` comparison
   // against it plans as a 1-row-build BNLJ, linear in customers
   // (justified in ComposedOps.q22Shape's doc).
+  // tpch_q2/q9/q11/q16/q20_shape (round 10): all five consume the
+  // DERIVED partsupp, whose supplier-count parameter is a broadcast
+  // ONE-ROW scalar aggregate cross join (the q15/q22 pattern — constant
+  // work per part row, justified in PartSuppOps.partsupp's doc); q11
+  // additionally compares against the same ONE-ROW importance
+  // threshold q22 uses (justified in PartSuppOps.q11Shape's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
     "graph_triangles", "llm_bm25_topk", "tpch_q22_shape",
     "graph_jaccard_neighbors", "llm_doc_outlier", "graph_degree_census",
-    "llm_embed_quantize")
+    "llm_embed_quantize", "tpch_q2_shape", "tpch_q9_shape",
+    "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {
