@@ -87,6 +87,71 @@ object EventOps extends OpModule {
       .orderBy("user_id", "event_id")
   }
 
+  /** [[attribution]] in SEGMENTED form — the hot-key-proof plan for the
+    * power-law user the skew tier models (BENCH_stress_skew_r10: one
+    * user holding 10 % of all events). The plain form's window
+    * partitions by user_id, so that user's entire stream sorts in ONE
+    * task; past ~a task-width of rows that task is the straggler no
+    * executor count fixes. This form exploits that running
+    * `last ignoreNulls` is PREFIX-DECOMPOSABLE:
+    *
+    *  1. events are bucketed into (user_id, day) segments; the running
+    *     last runs per SEGMENT (the hot user's work spreads across its
+    *     active days — max task = its busiest day);
+    *  2. each segment's own last touch is a tiny (user, day) aggregate
+    *     (`max(struct(ts, event_id, type))` — the order the window
+    *     uses, as an order-free map-side-combining max);
+    *  3. a prefix `last` over the per-user DAY GRID (≤ days rows per
+    *     user, never event volume) carries the latest touch across
+    *     segment boundaries;
+    *  4. each purchase takes its within-segment hit, else the carried
+    *     one. Exactness is structural — every prefix of events splits
+    *     into (complete prior segments, in-segment prefix) — and
+    *     spec-asserted row-for-row against the window form
+    *     (EventOpsSpec), plus the shared `event_attribution` oracle.
+    */
+  def attributionSegmented(s: SparkSession, dir: String): DataFrame = {
+    val segLenUs = 86400L * 1000000L
+    val isTouch = col("event_type").isin(touchTypes.map(x => x: Any): _*)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"))
+      .withColumn("seg", unix_micros(col("ts")).divide(segLenUs)
+        .cast("long"))
+    val wSeg = Window.partitionBy(col("user_id"), col("seg"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = ev
+      .withColumn("w_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true)
+          .over(wSeg))
+      .withColumn("w_ts",
+        last(when(isTouch, col("ts")), ignoreNulls = true).over(wSeg))
+    val segSummary = ev.filter(isTouch)
+      .groupBy(col("user_id"), col("seg"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("m"))
+      .select(col("user_id"), col("seg"),
+        col("m.ts").as("s_ts"), col("m.event_type").as("s_type"))
+    val wPrefix = Window.partitionBy(col("user_id")).orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = ev.select(col("user_id"), col("seg")).distinct()
+      .join(segSummary, Seq("user_id", "seg"), "left")
+      .withColumn("carry_ts", last(col("s_ts"), ignoreNulls = true)
+        .over(wPrefix))
+      .withColumn("carry_type", last(col("s_type"), ignoreNulls = true)
+        .over(wPrefix))
+      .select(col("user_id"), col("seg"), col("carry_ts"),
+        col("carry_type"))
+    within.join(carried, Seq("user_id", "seg"))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        col("ts").as("purchase_ts"),
+        coalesce(col("w_type"), col("carry_type")).as("touch_type"),
+        coalesce(col("w_ts"), col("carry_ts")).as("touch_ts"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Position-based (U-shaped) multi-touch attribution: each purchase
     * credits the touches (clicks/views) since the user's previous
     * purchase — 40% to the first touch, 40% to the last, the remaining
@@ -1266,6 +1331,7 @@ object EventOps extends OpModule {
     "cdc_snapshot_diff" -> cdcDiff,
     "event_funnel" -> funnel,
     "event_attribution" -> attribution,
+    "event_attribution_segmented" -> attributionSegmented,
     "event_attribution_position" -> attributionPosition,
     "ts_gapfill_locf" -> gapfillLocf,
     "event_retention" -> retention,
@@ -1974,6 +2040,23 @@ object EventOps extends OpModule {
         |LEFT JOIN s3 ON s1.user_id = s3.user_id
         |ORDER BY s1.user_id""".stripMargin,
     "event_attribution" ->
+      """SELECT user_id, event_id, purchase_ts, touch_type, touch_ts FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER w AS touch_type,
+        |         last_value(CASE WHEN event_type IN ('click', 'view')
+        |                         THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+        |           OVER w AS touch_ts
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, event_id""".stripMargin,
+    // the segmented form's contract is VALUE-IDENTITY with the plain
+    // window form — same oracle text
+    "event_attribution_segmented" ->
       """SELECT user_id, event_id, purchase_ts, touch_type, touch_ts FROM (
         |  SELECT user_id, event_id, event_type,
         |         CAST(ts AS TIMESTAMP) AS purchase_ts,

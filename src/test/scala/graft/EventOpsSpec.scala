@@ -217,4 +217,56 @@ class EventOpsSpec extends SparkSpec {
     assert(ap.contains("BroadcastHashJoin"), ap)
     assert(!ap.contains("Window"), ap)
   }
+
+  test("segmented attribution == plain window attribution row for row, " +
+    "and its big windows partition on (user, segment), not bare user") {
+    def rows(df: org.apache.spark.sql.DataFrame): Array[String] =
+      df.collect().map(_.toSeq.mkString("|"))
+    val plain = rows(EventOps.attribution(spark, sf0001))
+    val seg = rows(EventOps.attributionSegmented(spark, sf0001))
+    assert(plain.nonEmpty)
+    assert(seg.length === plain.length)
+    assert(seg.sameElements(plain))
+    // the event-volume window must key on (user_id, seg) — the bare
+    // user_id partitioning appears only over the per-user DAY GRID
+    // (≤ days rows per user), so the hot user's stream never sorts in
+    // one task
+    val p = finalPlan(EventOps.attributionSegmented(spark, sf0001))
+    assert(p.contains("seg"), p)
+  }
+
+  test("segmented attribution handles touches and purchases straddling " +
+    "segment boundaries (carried prefix, empty-touch days)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val day = 86400L * 1000000L
+    // user 1: touch on day 0, nothing day 1, purchases day 2 (carry
+    // across an EMPTY day); purchase before any touch on day 0 (null);
+    // user 2: touch and purchase same day (within-segment hit), then a
+    // day-3 touch AFTER the last purchase (must not leak backwards)
+    val us = Seq(
+      (1L, 1L, "purchase", 10L), (1L, 2L, "click", 20L),
+      (1L, 3L, "purchase", 2 * day + 5L),
+      (2L, 4L, "view", 30L), (2L, 5L, "purchase", 40L),
+      (2L, 6L, "click", 3 * day + 1L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_segattr").toString
+    // ts ships as raw int64 NANOS — the StressGen shape Tables.events
+    // verifies via footer stats before its div-1000 read
+    us.toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", (col("us") + lit(1704067200000000L)) * 1000L)
+      .withColumn("value", lit(0.0)).withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).toSeq
+    val plain = rows(EventOps.attribution(spark, dir))
+    val seg = rows(EventOps.attributionSegmented(spark, dir))
+    assert(plain.size === 3) // three purchases
+    assert(seg === plain)
+    // and the day-2 purchase really carried the day-0 click
+    val carriedRow = EventOps.attributionSegmented(spark, dir)
+      .filter(col("event_id") === 3L).collect().head
+    assert(carriedRow.getAs[String]("touch_type") === "click")
+  }
 }
