@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingSession
+
+/** Streaming throughput probe: replay a stress-fixture event log
+  * (default: the 3M-event hot-key skew tier) through the LIVE
+  * watermarked `session_window` sessionizer as a multi-micro-batch
+  * file-source stream, and print one JSON line with wall time, event
+  * throughput, emitted sessions, micro-batch count, and the PEAK state
+  * rows the session store held — the number that proves state is
+  * bounded by concurrently-open sessions, not log length, even when
+  * one user owns 10 % of all events.
+  *
+  * Replay realism: events are range-split by event time into several
+  * part files with strictly increasing mtimes (the FileStreamSource
+  * replay-order contract the specs document), plus a far-future
+  * sentinel that pushes the final watermark so every session closes
+  * and append mode emits it — end-of-log flush included in the wall
+  * time, the way a real backfill would pay it.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val fixture = args.headOption.getOrElse("/root/repo/stressdata_skew")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_streambench").toString
+    val src = s"$base/events"
+    val ev = Tables.events(spark, fixture)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"))
+    val nEvents = ev.count()
+    ev.repartitionByRange(8, col("ts"))
+      .write.mode("overwrite").parquet(src)
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    import spark.implicits._
+    val tmp = s"$base/sentinel"
+    Seq((-1L, -1L, "flush",
+        new java.sql.Timestamp(maxTs.getTime + 86400000L)))
+      .toDF("user_id", "event_id", "event_type", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val sentinelPart = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(sentinelPart.toPath,
+      new java.io.File(src, "part-zzz-sentinel.parquet").toPath)
+    new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    val schema = spark.read.parquet(src).schema
+    val out = s"$base/out"
+    val t0 = System.nanoTime()
+    val q = StreamingSession.sessionize(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val sessions = spark.read.parquet(out)
+      .filter(col("user_id") >= 0).count()
+    val progresses = q.recentProgress.toSeq
+    val peakState = progresses.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).foldLeft(0L)(math.max)
+    val batches = progresses.count(_.numInputRows > 0)
+    println(s"""{"metric":"stream_bench","fixture":"$fixture",""" +
+      s""""events":$nEvents,"wall_sec":$wall,""" +
+      s""""events_per_sec":${(nEvents / wall).toLong},""" +
+      s""""sessions_emitted":$sessions,"micro_batches":$batches,""" +
+      s""""peak_state_rows":$peakState}""")
+    spark.stop()
+  }
+}
