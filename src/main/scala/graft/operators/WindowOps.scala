@@ -171,6 +171,49 @@ object WindowOps extends OpModule {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** [[runningSum]] in SEGMENTED form — the prefix-ADDITIVE member of
+    * the hot-key-proof window pair (see
+    * [[EventOps.attributionSegmented]] for the prefix-idempotent
+    * `last` member; together they cover the two algebraic shapes a
+    * running window can take). The plain form sorts each customer's
+    * whole history in one task; here the window runs per
+    * (customer, order-month) segment, the per-segment DECIMAL totals
+    * aggregate order-free with map-side combine, a per-customer prefix
+    * sum over the tiny month grid (≤ months rows per customer) carries
+    * the balance across segments, and each row adds its within-segment
+    * running sum to the carried balance. Exact by associativity of
+    * DECIMAL addition — every prefix of a customer's orders splits
+    * into (complete prior months, in-month prefix) — and certified by
+    * the SAME `win_running_sum` oracle, value for value.
+    */
+  def runningSumSegmented(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        expr("CAST(o_totalprice AS DECIMAL(18,2))").as("price"))
+      .withColumn("seg",
+        year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+    val wSeg = Window.partitionBy(col("o_custkey"), col("seg"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = o.withColumn("w_sum", sum(col("price")).over(wSeg))
+    val totals = o.groupBy(col("o_custkey"), col("seg"))
+      .agg(sum(col("price")).as("seg_total"))
+    val wPrefix = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("seg"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = totals
+      .withColumn("carry", sum(col("seg_total")).over(wPrefix))
+      .select(col("o_custkey"), col("seg"), col("carry"))
+    within.join(carried, Seq("o_custkey", "seg"))
+      .withColumn("running_spend",
+        (col("w_sum") +
+          coalesce(col("carry"), lit(0).cast("decimal(18,2)")))
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Sliding 3-row average spend per customer. avg is computed as exact
     * DECIMAL sum / count so both engines divide the same two numbers.
     */
@@ -334,6 +377,7 @@ object WindowOps extends OpModule {
     "win_rank_dense" -> rankDense,
     "win_lag_lead" -> lagLead,
     "win_running_sum" -> runningSum,
+    "win_running_sum_segmented" -> runningSumSegmented,
     "win_sliding_avg" -> slidingAvg,
     "win_range_frame" -> rangeFrame,
     "win_distribution" -> distribution,
@@ -401,6 +445,16 @@ object WindowOps extends OpModule {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
     "win_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY o_custkey
+        |                  ORDER BY o_orderdate, o_orderkey
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    // the segmented form's contract is VALUE-IDENTITY with the plain
+    // window form — same oracle text
+    "win_running_sum_segmented" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
         |            OVER (PARTITION BY o_custkey
