@@ -35,6 +35,35 @@ class SegmentedWindowsSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("randomized: segmented running sum == window form across seeds " +
+    "(hot keys, month-boundary ties, same-date ties, single-row months)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    for (seed <- 1 to 5) {
+      val rng = new scala.util.Random(seed)
+      // 400 orders over 4 HOT customers across ~3 years; duplicate
+      // order dates force the o_orderkey tie-break, and day-1/day-28
+      // clustering exercises month boundaries
+      val data = Seq.tabulate(400) { i =>
+        val day = rng.nextInt(1000)
+        (rng.nextInt(4).toLong, i.toLong, day,
+          BigDecimal(rng.nextInt(100000)) / 100)
+      }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_segwin_$seed").toString
+      data.toDF("o_custkey", "o_orderkey", "day", "o_totalprice")
+        .withColumn("o_orderdate",
+          date_add(lit(java.sql.Date.valueOf("1995-01-01")), col("day"))
+            .cast("timestamp"))
+        .drop("day")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      val plain = rows(WindowOps.runningSum(spark, dir))
+      val seg = rows(WindowOps.runningSumSegmented(spark, dir))
+      assert(seg.length === plain.length, s"seed $seed")
+      assert(seg.sameElements(plain), s"seed $seed diverged")
+    }
+  }
+
   test("both segmented forms agree with their twins on the 10x-shaped " +
     "stress fixture (different key densities than the oracle fixture)") {
     val dir = "/root/repo/stressdata"
