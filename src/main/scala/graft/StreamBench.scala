@@ -75,11 +75,50 @@ object StreamBench {
     val peakState = progresses.flatMap(_.stateOperators)
       .map(_.numRowsTotal).foldLeft(0L)(math.max)
     val batches = progresses.count(_.numInputRows > 0)
+
+    // phase 2: live Misra–Gries heavy hitters over the same hot-key
+    // stream — state is k counters per shard (CONSTANT in stream
+    // length), and the superset guarantee must surface the planted hot
+    // user (10 % of events ≫ the 1/(k+1) threshold) in the FINAL
+    // candidate union. Latest per-shard candidates are retained via
+    // foreachBatch (update-mode semantics).
+    import graft.streaming.StreamingHeavyHitters
+    val latest = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Long]]()
+    import spark.implicits._
+    val t1 = System.nanoTime()
+    val hh = StreamingHeavyHitters.heavyHittersStream(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .filter(col("user_id") >= 0)
+          .select(col("user_id")).as[Long],
+        k = 20, shards = 8)
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", s"$base/ckpt_hh")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[
+           StreamingHeavyHitters.ShardCandidates], _: Long) =>
+          b.collect().foreach(sc => latest.put(sc.shard, sc.candidates))
+      }
+      .start()
+    hh.awaitTermination()
+    val hhWall = (System.nanoTime() - t1) / 1e9
+    import scala.jdk.CollectionConverters._
+    val candidates = latest.values().asScala.flatten.toSet
+    require(candidates.contains(0L),
+      s"hot user 0 (10% of stream) missing from MG candidates: $candidates")
+    val hhState = hh.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).foldLeft(0L)(math.max)
+
     println(s"""{"metric":"stream_bench","fixture":"$fixture",""" +
       s""""events":$nEvents,"wall_sec":$wall,""" +
       s""""events_per_sec":${(nEvents / wall).toLong},""" +
       s""""sessions_emitted":$sessions,"micro_batches":$batches,""" +
-      s""""peak_state_rows":$peakState}""")
+      s""""peak_state_rows":$peakState,""" +
+      s""""heavy_hitters":{"wall_sec":$hhWall,""" +
+      s""""events_per_sec":${(nEvents / hhWall).toLong},""" +
+      s""""candidates":${candidates.size},"hot_user_found":true,""" +
+      s""""peak_state_rows":$hhState}}""")
     spark.stop()
   }
 }
