@@ -71,15 +71,21 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * partial/final shape, with a k-heap where the aggregation buffer
   * would be. Memory per task is k rows per group resident in that
   * partition, HARD-CAPPED on the partial side: past
-  * `spark.graft.topk.maxGroupsPerTask` distinct groups (default 4M) the
-  * partial pass flushes its heaps and streams the remaining rows
-  * through unabsorbed — always correct for a partial (the final pass
-  * trims, exactly as if the partial weren't there), so a near-unique
-  * group key degrades to the plain shuffle instead of OOM. The final
-  * pass holds k·groups-in-partition rows — its own output, which must
-  * materialize regardless. The operator's design regime remains
-  * few/hot groups with k ≪ group size (PERF.md's 9× case); for
-  * group-per-row workloads the window form's sort is the right plan.
+  * `spark.graft.topk.maxGroupsPerTask` distinct groups the partial
+  * pass flushes its heaps and streams the remaining rows through
+  * unabsorbed — always correct for a partial (the final pass trims,
+  * exactly as if the partial weren't there), so a near-unique group
+  * key degrades to the plain shuffle instead of OOM. The default cap
+  * is 100k groups per task: per-group state is heavyweight (a
+  * PriorityQueue + k copied rows + a copied key, ~1 KB) so 100k
+  * groups ≈ 100 MB/task — safe across 32 concurrent tasks where the
+  * original 4M default measured ~700 MB/task and OOM'd the 100×
+  * group-per-row tier (BENCH_stress100x_rel_r10 postmortem, PERF.md
+  * r10). The final pass holds k·groups-in-partition rows — its own
+  * output, which must materialize regardless. The operator's design
+  * regime remains few/hot groups with k ≪ group size (PERF.md's
+  * 10.5× case); for group-per-row workloads the window form's sort
+  * is the right plan.
   */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
@@ -136,7 +142,7 @@ case class TopKPerGroupExec(
     val maxGroups =
       if (!partial) Long.MaxValue
       else conf.getConfString("spark.graft.topk.maxGroupsPerTask",
-        "4000000").toLong
+        "100000").toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(gExprs, schema)
       // CODEGEN'd (score, tie) evaluation — one compiled projection per
