@@ -160,8 +160,8 @@ object StressGen {
         "id AS c_custkey",
         "format_string('Customer#%09d', id) AS c_name",
         "CAST(pmod(xxhash64(id, 21), 25) AS INT) AS c_nationkey",
-        "round(-1000.0 + pmod(xxhash64(id, 22), 1100000) / 100.0, 2)" +
-          " AS c_acctbal",
+        "CAST(round(-1000.0 + pmod(xxhash64(id, 22), 1100000) / 100.0, 2)" +
+          " AS DOUBLE) AS c_acctbal",
         "element_at(array('AUTOMOBILE','BUILDING','FURNITURE'," +
           "'HOUSEHOLD','MACHINERY')," +
           " CAST(pmod(xxhash64(id, 23), 5) + 1 AS INT)) AS c_mktsegment"),
@@ -170,8 +170,8 @@ object StressGen {
         "id AS s_suppkey",
         "format_string('Supplier#%09d', id) AS s_name",
         "CAST(pmod(xxhash64(id, 31), 25) AS INT) AS s_nationkey",
-        "round(-1000.0 + pmod(xxhash64(id, 32), 1100000) / 100.0, 2)" +
-          " AS s_acctbal"), "supplier")
+        "CAST(round(-1000.0 + pmod(xxhash64(id, 32), 1100000) / 100.0, 2)" +
+          " AS DOUBLE) AS s_acctbal"), "supplier")
       write(spark.range(nPart).selectExpr(
         "id AS p_partkey",
         "concat(element_at(array('blue','red','old','new','hot','cold'," +
@@ -183,15 +183,15 @@ object StressGen {
           "'STANDARD'), CAST(pmod(xxhash64(id, 44), 6) + 1 AS INT))" +
           " AS p_type",
         "CAST(pmod(xxhash64(id, 45), 50) + 1 AS INT) AS p_size",
-        "round(900.0 + pmod(xxhash64(id, 46), 9990) / 100.0, 2)" +
-          " AS p_retailprice"), "part")
+        "CAST(round(900.0 + pmod(xxhash64(id, 46), 9990) / 100.0, 2)" +
+          " AS DOUBLE) AS p_retailprice"), "part")
       write(spark.range(nOrders).selectExpr(
         "id AS o_orderkey",
         s"pmod(xxhash64(id, 51), ${nCust}L) AS o_custkey",
         "element_at(array('F','O','P')," +
           " CAST(pmod(xxhash64(id, 52), 3) + 1 AS INT)) AS o_orderstatus",
-        "round(1000.0 + pmod(xxhash64(id, 53), 49900000) / 100.0, 2)" +
-          " AS o_totalprice",
+        "CAST(round(1000.0 + pmod(xxhash64(id, 53), 49900000) / 100.0, 2)" +
+          " AS DOUBLE) AS o_totalprice",
         "CAST(date_add(DATE'1995-01-01'," +
           " CAST(pmod(xxhash64(id, 54), 2400) AS INT)) AS TIMESTAMP)" +
           " AS o_orderdate",
@@ -205,8 +205,8 @@ object StressGen {
         s"pmod(xxhash64(id, 62), ${nSupp}L) AS l_suppkey",
         "CAST(id % 4 + 1 AS INT) AS l_linenumber",
         "CAST(pmod(xxhash64(id, 63), 50) + 1 AS DOUBLE) AS l_quantity",
-        "round(900.0 + pmod(xxhash64(id, 64), 10410000) / 100.0, 2)" +
-          " AS l_extendedprice",
+        "CAST(round(900.0 + pmod(xxhash64(id, 64), 10410000) / 100.0, 2)" +
+          " AS DOUBLE) AS l_extendedprice",
         "CAST(pmod(xxhash64(id, 65), 11) / 100.0 AS DOUBLE) AS l_discount",
         "CAST(pmod(xxhash64(id, 66), 9) / 100.0 AS DOUBLE) AS l_tax",
         "element_at(array('A','N','R')," +

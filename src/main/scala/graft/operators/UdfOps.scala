@@ -93,12 +93,17 @@ object UdfOps extends OpModule {
     */
   def typedCogroup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // explicit casts at the typed boundary: `.as[(Long, Double)]` only
+    // UP-casts, so a fixture shipping these money columns as DECIMAL
+    // (the 100× stress star's `x / 100.0` decimal-literal arithmetic)
+    // would refuse with CANNOT_UP_CAST — a typed pipeline owns its
+    // boundary schema instead of assuming the file's
     val customers = Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_acctbal"))
+      .select(col("c_custkey"), col("c_acctbal").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
     val orders = Tables.orders(s, dir)
-      .select(col("o_custkey"), col("o_totalprice"))
+      .select(col("o_custkey"), col("o_totalprice").cast("double"))
       .as[(Long, Double)]
       .groupByKey(_._1)
     customers.cogroup(orders) { (key, cust, ords) =>
