@@ -269,37 +269,80 @@ object MultimodalOps extends OpModule {
     */
   def mmPhashHamming(s: SparkSession, dir: String): DataFrame = {
     val hashed = phashed(s, dir)
-    val idx = hashed.select(col("doc_id").as("nbr_id"),
-      col("phash").as("nbr_phash"), col("width"), col("height"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> (phash >> (b * 4)) & 15)"))
-        .as(Seq("band", "band_val")))
-    val probes = hashed.filter(col("doc_id") % 25 === 0)
-      .select(col("doc_id").as("probe_id"), col("phash").as("p_phash"),
-        col("width"), col("height"),
-        posexplode(expr(
-          "transform(sequence(0, 3), b -> (phash >> (b * 4)) & 15)"))
-          .as(Seq("band", "band_val")))
-    val cand = probes
+    // ---- distinct-hash CENSUS first: a 16-bit hash space holds ≤ 65k
+    // values, so media corpora repeat hashes massively (exact dups,
+    // re-encodes, this fixture's 500k docs over a few hundred hashes) —
+    // and the banded search must ride DISTINCT (hash, geometry) rows,
+    // never corpus rows, or same-hash crowds multiply into the
+    // candidate join (the 100× tier measured 48 min for the row-level
+    // form vs seconds for this one). Per census bucket: its doc count,
+    // min doc id, and SECOND-min (for self-exclusion when the probe is
+    // the bucket's own minimum).
+    val census = hashed
+      .groupBy(col("phash"), col("width"), col("height"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("m1"))
+    val m2 = hashed
+      .join(census, Seq("phash", "width", "height"))
+      .filter(col("doc_id") =!= col("m1"))
+      .groupBy(col("phash"), col("width"), col("height"))
+      .agg(min(col("doc_id")).as("m2"))
+    val censusFull = census.join(m2, Seq("phash", "width", "height"),
+      "left")
+    val bandsOf = (c: String) => posexplode(expr(
+      s"transform(sequence(0, 3), b -> ($c >> (b * 4)) & 15)"))
+      .as(Seq("band", "band_val"))
+    val idx = censusFull.select(col("phash").as("nbr_phash"),
+      col("width"), col("height"), col("cnt"), col("m1"),
+      bandsOf("phash"))
+    val probeDocs = hashed.filter(col("doc_id") % 25 === 0)
+    // distinct probe hashes — every probe doc sharing a hash shares its
+    // whole result modulo self-exclusion, resolved per doc at the end
+    val probeHashes = probeDocs
+      .select(col("phash").as("p_phash"), col("width"), col("height"))
+      .distinct()
+      .select(col("p_phash"), col("width"), col("height"),
+        bandsOf("p_phash"))
+    // hash-level candidates: |distinct probe hashes| × band-bucket
+    // mates among DISTINCT hashes — bounded by the hash space, not the
+    // corpus. Same-hash (ham=0) buckets are handled separately below
+    // because only they can contain the probe doc itself.
+    val otherAgg = probeHashes
       .join(idx, Seq("band", "band_val", "width", "height"))
-      .filter(col("probe_id") =!= col("nbr_id"))
-      .select(col("probe_id"), col("p_phash"), col("nbr_id"),
-        col("nbr_phash"))
+      .filter(col("nbr_phash") =!= col("p_phash"))
+      .select(col("p_phash"), col("width"), col("height"),
+        col("nbr_phash"), col("cnt"), col("m1"))
       .distinct()
       .withColumn("ham", expr("bit_count(p_phash ^ nbr_phash)"))
       .filter(col("ham") <= 3)
-    val best = cand
-      .groupBy(col("probe_id"))
-      .agg(count(lit(1)).as("n_near"),
-        min(col("ham").cast("long") * lit(4294967296L) + col("nbr_id"))
-          .as("best_key"))
-      .withColumn("best_nbr", expr("best_key % 4294967296"))
-      .withColumn("best_ham", expr("best_key div 4294967296"))
-    hashed.filter(col("doc_id") % 25 === 0)
-      .select(col("doc_id").as("probe_id"))
-      .join(best, Seq("probe_id"), "left")
-      .select(col("probe_id"), coalesce(col("n_near"), lit(0L)).as("n_near"),
-        col("best_nbr"), col("best_ham"))
+      .select(col("p_phash"), col("width").as("ow"),
+        col("height").as("oh"), col("cnt"), col("m1"), col("ham"))
+      .groupBy(col("p_phash"), col("ow"), col("oh"))
+      .agg(sum(col("cnt")).as("n_other"),
+        min(col("ham").cast("long") * lit(4294967296L) + col("m1"))
+          .as("bk_other"))
+    probeDocs
+      .select(col("doc_id").as("probe_id"), col("phash"),
+        col("width"), col("height"))
+      .join(censusFull, Seq("phash", "width", "height"))
+      .join(otherAgg,
+        col("phash") === col("p_phash") && col("width") === col("ow") &&
+          col("height") === col("oh"),
+        "left")
+      // own-bucket mates (ham = 0): every other doc with the probe's
+      // exact hash; best id among them is m1 unless the probe IS m1
+      .withColumn("self_cnt", col("cnt") - 1)
+      .withColumn("self_best", when(col("self_cnt") === 0, lit(null))
+        .otherwise(when(col("m1") === col("probe_id"), col("m2"))
+          .otherwise(col("m1"))))
+      .withColumn("n_near",
+        coalesce(col("n_other"), lit(0L)) + col("self_cnt"))
+      // least() skips nulls: self key is ham·2³² + id with ham = 0
+      .withColumn("best_key", least(col("bk_other"), col("self_best")))
+      .select(col("probe_id"),
+        when(col("n_near") > 0, col("n_near")).otherwise(lit(0L))
+          .as("n_near"),
+        expr("best_key % 4294967296").as("best_nbr"),
+        expr("best_key div 4294967296").as("best_ham"))
       .orderBy(col("probe_id"))
   }
 
