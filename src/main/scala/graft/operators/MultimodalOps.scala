@@ -197,8 +197,9 @@ object MultimodalOps extends OpModule {
           lit(256))).as("frame_bytes"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
-  /** Perceptual-hash image dedup — the multimodal twin of
-    * `llm_dedup_simhash`: decode each payload to its 16-dim feature
+  /** Perceptual-hash image dedup — the multimodal twin of the text
+    * simhash family ([[graft.functions]]' simhash library expression;
+    * query surface `llm_simhash_portable`): decode each payload to its 16-dim feature
     * vector (the partition-local [[decodeStub]]/codec path, same
     * mapPartitions batch shape as [[mmFeatures]]), derive a 16-bit
     * perceptual hash (bit i = bin i above the 1/16 uniform-occupancy

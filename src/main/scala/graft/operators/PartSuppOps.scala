@@ -38,6 +38,15 @@ object PartSuppOps extends OpModule {
     val sCnt = Tables.supplier(s, dir).agg(count(lit(1)).as("s_cnt"))
     Tables.part(s, dir).select(col("p_partkey"))
       .crossJoin(broadcast(sCnt))
+      // pair-uniqueness guard: for s_cnt ≥ 4 the stride construction
+      // proves (ps_partkey, ps_suppkey) unique (stride·d mod s_cnt ≠ 0
+      // for d ∈ 1..3 since 0 < stride·d ≤ 3·⌊s/4⌋ < s); below 4
+      // suppliers the ring wraps and duplicate pairs would silently
+      // violate the TPC-H key invariant — fail loudly instead.
+      // assert_true is NULL on pass, so the filter keeps every row.
+      .filter(assert_true(col("s_cnt") >= 4,
+        lit("derived partsupp needs >= 4 suppliers for " +
+          "(ps_partkey, ps_suppkey) uniqueness")).isNull)
       .withColumn("i", explode(sequence(lit(0L), lit(3L))))
       .withColumn("ps_suppkey",
         (col("p_partkey") +
@@ -167,12 +176,15 @@ object PartSuppOps extends OpModule {
     val natPs = partsupp(s, dir)
       .join(broadcast(asiaSupp), col("ps_suppkey") === col("s_suppkey"))
       .withColumn("v", col("ps_supplycost") * col("ps_availqty"))
-    val threshold = natPs.agg((sum(col("v")) * lit(0.0001))
-      .as("threshold"))
+    // exact and division-free: value·10⁴ > total in BIGINT on both
+    // sides (value ≤ ~8·10⁷ per part, so ·10⁴ cannot overflow), so a
+    // group landing exactly on the 0.01 % boundary compares identically
+    // in both engines — no float threshold to straddle
+    val threshold = natPs.agg(sum(col("v")).as("total"))
     natPs.groupBy(col("ps_partkey"))
       .agg(sum(col("v")).as("value"))
       .join(broadcast(threshold))
-      .filter(col("value") > col("threshold"))
+      .filter(col("value") * lit(10000L) > col("total"))
       .select(col("ps_partkey"), col("value"))
       .orderBy(col("value").desc, col("ps_partkey"))
   }
@@ -303,7 +315,7 @@ object PartSuppOps extends OpModule {
         |)
         |SELECT ps_partkey, CAST(SUM(v) AS BIGINT) AS value
         |FROM natps GROUP BY ps_partkey
-        |HAVING SUM(v) > (SELECT SUM(v) * 0.0001 FROM natps)
+        |HAVING SUM(v) * 10000 > (SELECT SUM(v) FROM natps)
         |ORDER BY value DESC, ps_partkey""".stripMargin,
     "tpch_q16_shape" ->
       s"""WITH $psCte

@@ -439,8 +439,13 @@ object SimOps extends OpModule {
     *
     * The table's `label` column is deliberately NOT used: it is a random
     * label with no geometry (intra-label mean cosine ≈ 0), so probing it
-    * cannot beat random sampling. No SQL oracle (float centroid sums are
-    * shuffle-order-dependent); recall vs brute force is unit-tested.
+    * cannot beat random sampling. Fully value-oracled: the centroid
+    * refinement runs in FIXED POINT (per-dimension micro-sums of exact
+    * BIGINTs, the [[docOutlier]] move), so the mean is an exact-integer
+    * division no shuffle order can perturb and DuckDB replays the whole
+    * pipeline — seeds, argmax assignment, integer centroid means, probe
+    * ranking, in-cell cosines — value-for-value. Recall vs brute force
+    * stays unit-tested on top (quantization moves centroids by ≤1e-6).
     *
     * Plan shape: the corpus-wide assignment is a narrow argmax over the
     * broadcast quantizer literal ([[driverSeeds]]) — a map-only stage, no
@@ -464,6 +469,15 @@ object SimOps extends OpModule {
     * assignment = narrow in-expression argmax over the seed quantizer
     * (score desc, seed id asc tiebreak) — map-only, no join/shuffle/
     * window on the corpus.
+    *
+    * The per-dimension mean is FIXED-POINT: each component quantizes
+    * once to integer micro-units (`round(v·10⁶)` as BIGINT), the cell
+    * sum is an exact long no partition order can perturb, and the
+    * centroid component is one deterministic double division
+    * `ms / (10⁶·cnt)` — the property that lets `llm_ann_ivf` value-
+    * oracle while keeping the refined-centroid recall (the quantizer
+    * grid is 1e-6, ~7 decimal digits below any cosine that decides a
+    * probe or a rank).
     */
   def annIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
@@ -476,7 +490,11 @@ object SimOps extends OpModule {
     val centroids = assigned
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("col")).as("v"))
+      .agg(sum(round(col("col").cast("double") * lit(1000000.0), 0)
+          .cast("long")).as("ms"),
+        count(lit(1)).as("cnt"))
+      .withColumn("v", col("ms").cast("double") /
+        (lit(1000000.0) * col("cnt").cast("double")))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("v"))))
         .getField("v").as("centroid"))
@@ -1152,6 +1170,71 @@ object SimOps extends OpModule {
         |cand AS (
         |  SELECT p.q_id, c.vec_id AS neighbor_id
         |  FROM probes p JOIN cells c USING (cell)
+        |  WHERE c.vec_id != p.q_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.neighbor_id,
+        |         list_sum([q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE
+        |                   for i in range(1, 65)]) / (q.norm * n.norm)
+        |           AS cosine
+        |  FROM cand
+        |  JOIN e q ON q.vec_id = cand.q_id
+        |  JOIN e n ON n.vec_id = cand.neighbor_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // The refined-centroid IVF pipeline replayed in SQL end to end:
+    // unit seeds, argmax assignment, FIXED-POINT centroid means
+    // (per-dimension micro-sums of exact BIGINTs — order-free), probe
+    // ranking against the refined centroids, exact cosine inside the
+    // probed cells, windowed top-5. Every double is either a strict-
+    // ordered list_sum both engines sequence identically or a single
+    // division of exact integers.
+    "llm_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS seed_id,
+        |         [embedding[i]::DOUBLE / norm for i in range(1, 65)]
+        |           AS seed_unit
+        |  FROM e WHERE vec_id < 10),
+        |assign AS (
+        |  SELECT e.vec_id, s.seed_id AS cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_sum([e.embedding[i]::DOUBLE
+        |                              * s.seed_unit[i] for i in range(1, 65)])
+        |                              DESC, s.seed_id) AS rn
+        |  FROM e CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+        |csum AS (
+        |  SELECT c.cell, i AS pos,
+        |         sum(CAST(round(e.embedding[i]::DOUBLE * 1000000)
+        |               AS BIGINT)) AS ms,
+        |         count(*) AS cnt
+        |  FROM cells c JOIN e ON e.vec_id = c.vec_id, range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT cell,
+        |         list(CAST(ms AS DOUBLE) / (1000000.0 * cnt)
+        |              ORDER BY pos) AS centroid
+        |  FROM csum GROUP BY cell),
+        |probes AS (
+        |  SELECT q.vec_id AS q_id, ct.cell,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |                            ORDER BY list_sum([q.embedding[i]::DOUBLE
+        |                              * ct.centroid[i] for i in range(1, 65)])
+        |                              DESC, ct.cell) AS rn
+        |  FROM e q CROSS JOIN cent ct WHERE q.vec_id < 20),
+        |cand AS (
+        |  SELECT p.q_id, c.vec_id AS neighbor_id
+        |  FROM (SELECT q_id, cell FROM probes WHERE rn <= 4) p
+        |  JOIN cells c USING (cell)
         |  WHERE c.vec_id != p.q_id),
         |scored AS (
         |  SELECT cand.q_id, cand.neighbor_id,

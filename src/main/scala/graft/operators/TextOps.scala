@@ -587,26 +587,83 @@ object TextOps extends OpModule {
     * unrolled DuckDB CTEs generated from the same [[bpeTrainMerges]], so
     * round count cannot drift between engines.
     */
-  /** The shared training loop: returns the chosen merges AND the final
-    * encoded token stream (the corpus after all merges applied) —
-    * [[bpeTrain]] emits the former, [[bpeApply]] aggregates the latter.
+  /** The corpus as a dense positional token stream — the frame every
+    * BPE round rewrites.
     */
-  private def bpeLoop(s: SparkSession, dir: String)
-      : (Seq[(Int, String, String, Long)], DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    var stream = Tables.documents(s, dir)
+  private def bpeTokenStream(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("tok"))
       .transform(graft.Checkpoints.truncate)
+
+  /** One greedy left-to-right merge pass of the pair (a, b), with the
+    * window/shuffle work BOUNDED at candidate documents: `cand` holds
+    * the doc_ids that can contain the adjacent pair; every other doc
+    * passes through VERBATIM via a LEFT ANTI join (its positional
+    * numbering is already dense, and a doc without the pair merges
+    * nothing — a semantic no-op by construction, so oracle parity is
+    * untouched). `candNext` is the candidate-doc slice of the stream
+    * with the `nxt` lookahead column already attached — the caller
+    * owns how it was produced (the train loop slices its census frame;
+    * the serving path computes `lead` over the candidate slice only).
+    *
+    * Scale shape: when the winning pair touches few docs — the common
+    * regime after the first rounds, and the serving regime for a
+    * frozen merge table — the anti join broadcasts the candidate list
+    * (AQE sizes it), so the untouched corpus never shuffles; the three
+    * merge windows and the kept-join run over affected rows only.
+    */
+  private def boundedMergePass(stream: DataFrame, candNext: DataFrame,
+      a: String, b: String, cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val untouched = stream.join(cand, Seq("doc_id"), "left_anti")
+    val tagged = candNext
+      .withColumn("m", col("tok") === lit(a) && col("nxt") === lit(b))
+    val kept = tagged.filter(col("m"))
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"), col("grp"))
+          .orderBy(col("pos"))))
+      .filter(col("rn") % 2 === 1)
+      .select(col("doc_id"), col("pos"), lit(true).as("kept"))
+    val merged = tagged.join(kept, Seq("doc_id", "pos"), "left")
+      .withColumn("kprev", lag(col("kept"), 1).over(wDoc))
+      .filter(!coalesce(col("kprev"), lit(false)))
+      .select(col("doc_id"), col("pos").as("oldpos"),
+        when(coalesce(col("kept"), lit(false)), concat(lit(a), lit(b)))
+          .otherwise(col("tok")).as("tok"))
+      .select(col("doc_id"),
+        row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("oldpos"))).cast("long").as("pos"),
+        col("tok"))
+    untouched.union(merged)
+  }
+
+  /** The shared training loop: returns the chosen merges AND the final
+    * encoded token stream (the corpus after all merges applied) —
+    * [[bpeTrain]] emits the former, [[bpeApply]] aggregates the latter.
+    *
+    * Per round: ONE full-stream window pass (the `lead` lookahead the
+    * pair census needs — cached for the round so the census collect
+    * and the candidate slice read it once), then a merge pass bounded
+    * at the docs that actually contain the chosen pair (EXACT
+    * adjacency candidates, read off the same cached lookahead frame).
+    */
+  private def bpeLoop(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var stream = bpeTokenStream(s, dir)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= bpeTrainMerges && !exhausted) {
       val withNext = stream
         .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val chosen = withNext.filter(col("nxt").isNotNull)
         .groupBy(col("tok").as("a"), col("nxt").as("b"))
         .agg(count(lit(1)).as("n"))
@@ -618,31 +675,20 @@ object TextOps extends OpModule {
           chosen(0).getLong(2))
         merges += ((round, a, b, n))
         val prev = stream
-        val tagged = withNext
-          .withColumn("m", col("tok") === lit(a) && col("nxt") === lit(b))
-        val kept = tagged.filter(col("m"))
-          .withColumn("grp", col("pos") - row_number().over(wDoc))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id"), col("grp"))
-              .orderBy(col("pos"))))
-          .filter(col("rn") % 2 === 1)
-          .select(col("doc_id"), col("pos"), lit(true).as("kept"))
-        stream = tagged.join(kept, Seq("doc_id", "pos"), "left")
-          .withColumn("kprev", lag(col("kept"), 1).over(wDoc))
-          .filter(!coalesce(col("kprev"), lit(false)))
-          .select(col("doc_id"), col("pos").as("oldpos"),
-            when(coalesce(col("kept"), lit(false)), concat(lit(a), lit(b)))
-              .otherwise(col("tok")).as("tok"))
-          .select(col("doc_id"),
-            row_number().over(Window.partitionBy(col("doc_id"))
-              .orderBy(col("oldpos"))).cast("long").as("pos"),
-            col("tok"))
+        // exact adjacency candidates — the census frame already knows
+        // precisely which docs contain the winning pair
+        val cand = withNext
+          .filter(col("tok") === lit(a) && col("nxt") === lit(b))
+          .select(col("doc_id")).distinct()
+        val candNext = withNext.join(cand, Seq("doc_id"), "left_semi")
+        stream = boundedMergePass(stream, candNext, a, b, cand)
           .transform(graft.Checkpoints.truncate)
         // new stream is materialized (eager truncate) — the previous
         // round's blocks are dead; drop them deterministically rather
         // than letting dead round-frames pile up on the context cleaner
         prev.unpersist(false)
       }
+      withNext.unpersist(false)
       round += 1
     }
     (merges.result(), stream)
@@ -677,6 +723,14 @@ object TextOps extends OpModule {
     */
   def bpeApply(s: SparkSession, dir: String): DataFrame = {
     val (_, finalStream) = bpeLoop(s, dir)
+    encodeRollup(s, dir, finalStream)
+  }
+
+  /** The per-doc before/after/compression report both encode paths
+    * share — the only consumer of the final token stream.
+    */
+  private def encodeRollup(s: SparkSession, dir: String,
+      finalStream: DataFrame): DataFrame = {
     val enc = finalStream.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks_enc"))
     Tables.documents(s, dir)
@@ -687,6 +741,74 @@ object TextOps extends OpModule {
         expr("n_toks_enc * 10000 DIV n_toks_orig"))
       .orderBy(col("doc_id"))
   }
+
+  /** BPE encode against a STORED ranked merge table — the serving path
+    * that makes [[bpeApply]]'s retrain-before-encode unnecessary: a
+    * tokenizer trains ONCE ([[bpeTrain]] persists its merges.txt) and
+    * every later corpus encodes by replaying the stored merges in rank
+    * order. The merge table is a MODEL PARAMETER (vocab-size rows —
+    * the [[graft.operators.SimOps]] quantizer-seed stance), so the
+    * ranked pairs ride the driver as literals.
+    *
+    * Two costs vanish relative to the training loop, per round: the
+    * argmax pair census (a full-stream window + aggregate + sort — the
+    * pair is already known), and the full-stream merge windows
+    * (candidate docs come from a WINDOWLESS map-side-combined
+    * contains-both census — `max(tok=a)`, `max(tok=b)` per doc — and
+    * only that slice pays the merge's window work; everything else
+    * rides an anti join that broadcasts when the candidate list is
+    * small). Rounds whose pair touches few docs cost a scan plus a
+    * bounded shuffle — the property that keeps a vocab-size merge
+    * table affordable where retraining is superlinear.
+    */
+  def bpeApplyFromStore(s: SparkSession, dir: String,
+      mergeTable: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = mergeTable.select(col("merge_rank"), col("a"), col("b"))
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    var stream = bpeTokenStream(s, dir)
+    ranked.foreach { case (a, b) =>
+      val prev = stream
+      val cand = stream.groupBy(col("doc_id"))
+        .agg(max(col("tok") === lit(a)).as("ha"),
+          max(col("tok") === lit(b)).as("hb"))
+        .filter(col("ha") && col("hb"))
+        .select(col("doc_id"))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val candNext = stream.join(cand, Seq("doc_id"), "left_semi")
+        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      stream = boundedMergePass(stream, candNext, a, b, cand)
+        .transform(graft.Checkpoints.truncate)
+      prev.unpersist(false)
+    }
+    encodeRollup(s, dir, stream)
+  }
+
+  /** Per-fixture persisted [[bpeTrain]] merge table backing the
+    * `llm_bpe_apply_served` query — built once on first access (the
+    * [[graft.operators.DedupOps]] label-store pattern), read as
+    * parquet thereafter, so the bench measures the true serving cost:
+    * encode-from-artifact, never retrain.
+    */
+  private val mergeStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def mergeStore(s: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir).getCanonicalPath
+    val path = mergeStoreCache.computeIfAbsent(base, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_bpe")
+        .resolve("merges.parquet").toString
+      bpeTrain(s, dir).write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
+  /** [[bpeApplyFromStore]] over the persisted [[mergeStore]] — same
+    * output as [[bpeApply]] (shared oracle), production serving cost.
+    */
+  def bpeApplyServed(s: SparkSession, dir: String): DataFrame =
+    bpeApplyFromStore(s, dir, mergeStore(s, dir))
 
   /** [[bpeTrain]]'s DuckDB twin: all [[bpeTrainMerges]] rounds unrolled
     * as generated CTE blocks (one wn/top/tagged/keep/mg/stream chain per
@@ -966,6 +1088,7 @@ object TextOps extends OpModule {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_zipf_slope" -> zipfSlope,
     "llm_bpe_apply" -> bpeApply,
+    "llm_bpe_apply_served" -> bpeApplyServed,
     "llm_rouge_overlap" -> rougeOverlap,
     "llm_bm25_topk" -> bm25Topk,
     "llm_bpe_merge_step" -> bpeMergeStep,
@@ -1119,6 +1242,9 @@ object TextOps extends OpModule {
         |         CAST(n_ranks * slflf - slf * slf AS DOUBLE)) AS fit_r2
         |FROM m""".stripMargin,
     "llm_bpe_apply" -> bpeApplyOracleSql,
+    // the _served form consumes the persisted merge table but encodes
+    // the same corpus under the same merges — shared oracle
+    "llm_bpe_apply_served" -> bpeApplyOracleSql,
     "llm_rouge_overlap" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
