@@ -600,27 +600,45 @@ object TextOps extends OpModule {
 
   /** One greedy left-to-right merge pass of the pair (a, b), with the
     * window/shuffle work BOUNDED at candidate documents: `cand` holds
-    * the doc_ids that can contain the adjacent pair; every other doc
+    * the doc_ids that contain the adjacent pair; every other doc
     * passes through VERBATIM via a LEFT ANTI join (its positional
     * numbering is already dense, and a doc without the pair merges
     * nothing — a semantic no-op by construction, so oracle parity is
     * untouched). `candNext` is the candidate-doc slice of the stream
-    * with the `nxt` lookahead column already attached — the caller
-    * owns how it was produced (the train loop slices its census frame;
-    * the serving path computes `lead` over the candidate slice only).
+    * with the `nxt` lookahead column already attached.
     *
-    * Scale shape: when the winning pair touches few docs — the common
-    * regime after the first rounds, and the serving regime for a
-    * frozen merge table — the anti join broadcasts the candidate list
-    * (AQE sizes it), so the untouched corpus never shuffles; the three
-    * merge windows and the kept-join run over affected rows only.
+    * Scale shape: when the winning pair touches FEW docs the anti join
+    * broadcasts the candidate list (AQE sizes it), so the untouched
+    * corpus never shuffles and the three merge windows plus the
+    * kept-join run over affected rows only. When the pair is corpus-
+    * wide the two candidate joins are pure overhead — [[bpeLoop]]
+    * measures the candidate fraction per round and only takes this
+    * path when it prunes ([[plainMergePass]] otherwise).
     */
   private def boundedMergePass(stream: DataFrame, candNext: DataFrame,
       a: String, b: String, cand: DataFrame): DataFrame = {
+    val untouched = stream.join(cand, Seq("doc_id"), "left_anti")
+    untouched.union(mergeCore(candNext, a, b))
+  }
+
+  /** The merge pass over the FULL lookahead frame — the right plan
+    * when the winning pair is corpus-wide (candidate joins would only
+    * add two full-stream exchanges for zero pruning).
+    */
+  private def plainMergePass(withNext: DataFrame,
+      a: String, b: String): DataFrame =
+    mergeCore(withNext, a, b)
+
+  /** The shared greedy gaps-and-islands merge mechanics over a
+    * whole-document slice of the lookahead frame (doc_id, pos, tok,
+    * nxt) — both pass variants delegate here, so bounded and plain
+    * rounds are mechanically identical per affected doc.
+    */
+  private def mergeCore(slice: DataFrame,
+      a: String, b: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val untouched = stream.join(cand, Seq("doc_id"), "left_anti")
-    val tagged = candNext
+    val tagged = slice
       .withColumn("m", col("tok") === lit(a) && col("nxt") === lit(b))
     val kept = tagged.filter(col("m"))
       .withColumn("grp", col("pos") - row_number().over(wDoc))
@@ -629,7 +647,7 @@ object TextOps extends OpModule {
           .orderBy(col("pos"))))
       .filter(col("rn") % 2 === 1)
       .select(col("doc_id"), col("pos"), lit(true).as("kept"))
-    val merged = tagged.join(kept, Seq("doc_id", "pos"), "left")
+    tagged.join(kept, Seq("doc_id", "pos"), "left")
       .withColumn("kprev", lag(col("kept"), 1).over(wDoc))
       .filter(!coalesce(col("kprev"), lit(false)))
       .select(col("doc_id"), col("pos").as("oldpos"),
@@ -639,7 +657,6 @@ object TextOps extends OpModule {
         row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("oldpos"))).cast("long").as("pos"),
         col("tok"))
-    untouched.union(merged)
   }
 
   /** The shared training loop: returns the chosen merges AND the final
@@ -647,16 +664,24 @@ object TextOps extends OpModule {
     * [[bpeTrain]] emits the former, [[bpeApply]] aggregates the latter.
     *
     * Per round: ONE full-stream window pass (the `lead` lookahead the
-    * pair census needs — cached for the round so the census collect
-    * and the candidate slice read it once), then a merge pass bounded
-    * at the docs that actually contain the chosen pair (EXACT
-    * adjacency candidates, read off the same cached lookahead frame).
+    * pair census needs — cached for the round so the census collect,
+    * the candidate census, and the merge pass read it once), then a
+    * merge pass that ADAPTS to the winning pair's spread: when the
+    * pair's docs are a minority (EXACT adjacency candidates, read off
+    * the cached lookahead), the bounded pass anti-joins the untouched
+    * majority around the merge windows; when the pair is corpus-wide
+    * — the constant regime on a small-vocabulary corpus, and the
+    * early rounds of most real ones — the plain full-frame pass runs
+    * instead, because candidate joins that prune nothing are two
+    * extra full-stream exchanges per round (measured: the
+    * always-bounded form cost +28 % train wall at the 100× tier).
     */
   private def bpeLoop(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var stream = bpeTokenStream(s, dir)
+    val totalDocs = Tables.documents(s, dir).count()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
@@ -676,13 +701,18 @@ object TextOps extends OpModule {
         merges += ((round, a, b, n))
         val prev = stream
         // exact adjacency candidates — the census frame already knows
-        // precisely which docs contain the winning pair
+        // precisely which docs contain the winning pair; counting them
+        // is a cheap partial-agg over the round's cached lookahead
         val cand = withNext
           .filter(col("tok") === lit(a) && col("nxt") === lit(b))
           .select(col("doc_id")).distinct()
-        val candNext = withNext.join(cand, Seq("doc_id"), "left_semi")
-        stream = boundedMergePass(stream, candNext, a, b, cand)
-          .transform(graft.Checkpoints.truncate)
+        val bounded = cand.count() * 2 < totalDocs
+        val next =
+          if (bounded)
+            boundedMergePass(stream,
+              withNext.join(cand, Seq("doc_id"), "left_semi"), a, b, cand)
+          else plainMergePass(withNext, a, b)
+        stream = next.transform(graft.Checkpoints.truncate)
         // new stream is materialized (eager truncate) — the previous
         // round's blocks are dead; drop them deterministically rather
         // than letting dead round-frames pile up on the context cleaner
@@ -748,41 +778,52 @@ object TextOps extends OpModule {
     * every later corpus encodes by replaying the stored merges in rank
     * order. The merge table is a MODEL PARAMETER (vocab-size rows —
     * the [[graft.operators.SimOps]] quantizer-seed stance), so the
-    * ranked pairs ride the driver as literals.
+    * ranked pairs ride the driver and ship in the task closure.
     *
-    * Two costs vanish relative to the training loop, per round: the
-    * argmax pair census (a full-stream window + aggregate + sort — the
-    * pair is already known), and the full-stream merge windows
-    * (candidate docs come from a WINDOWLESS map-side-combined
-    * contains-both census — `max(tok=a)`, `max(tok=b)` per doc — and
-    * only that slice pays the merge's window work; everything else
-    * rides an anti join that broadcasts when the candidate list is
-    * small). Rounds whose pair touches few docs cost a scan plus a
-    * bounded shuffle — the property that keeps a vocab-size merge
-    * table affordable where retraining is superlinear.
+    * Unlike training — whose per-round argmax is a corpus-wide
+    * aggregate by definition — frozen-vocabulary encode needs NO
+    * cross-row coordination at all: each document encodes
+    * independently, exactly how production tokenizers run. So the
+    * plan is ONE narrow map over the documents scan (split → greedy
+    * left-to-right replay of the merges in rank order, a local
+    * O(merges·doclen) loop — the same mechanics the distributed
+    * windows express, proven equivalent in Round11OpsSpec) plus the
+    * output sort. Zero shuffles, zero per-round passes, zero
+    * checkpoints; embarrassingly parallel at any corpus size. The
+    * typed map is deliberate: no built-in composition can express the
+    * in-loop token-array rewrite, and a per-doc local loop beats N
+    * full-stream window rounds by construction.
     */
   def bpeApplyFromStore(s: SparkSession, dir: String,
       mergeTable: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ranked = mergeTable.select(col("merge_rank"), col("a"), col("b"))
       .orderBy(col("merge_rank")).collect()
       .map(r => (r.getString(1), r.getString(2)))
-    var stream = bpeTokenStream(s, dir)
-    ranked.foreach { case (a, b) =>
-      val prev = stream
-      val cand = stream.groupBy(col("doc_id"))
-        .agg(max(col("tok") === lit(a)).as("ha"),
-          max(col("tok") === lit(b)).as("hb"))
-        .filter(col("ha") && col("hb"))
-        .select(col("doc_id"))
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val candNext = stream.join(cand, Seq("doc_id"), "left_semi")
-        .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-      stream = boundedMergePass(stream, candNext, a, b, cand)
-        .transform(graft.Checkpoints.truncate)
-      prev.unpersist(false)
-    }
-    encodeRollup(s, dir, stream)
+    val s2 = s
+    import s2.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, t0) =>
+        val orig = t0.length.toLong
+        var toks: Array[String] = t0.toArray
+        ranked.foreach { case (a, b) =>
+          // greedy left-to-right: in `a a a`, positions 1–2 merge and
+          // 2–3 cannot — its left token was consumed
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+        }
+        val enc = toks.length.toLong
+        (id, orig, enc, enc * 10000L / orig)
+      }
+      .toDF("doc_id", "n_toks_orig", "n_toks_enc", "compression_bp")
+      .orderBy(col("doc_id"))
   }
 
   /** Per-fixture persisted [[bpeTrain]] merge table backing the
