@@ -92,8 +92,14 @@ object Bench {
     // which truncates away the total and most per-query numbers — so the
     // full line is also written to a file that gets committed
     // (BENCH_full_latest.json by default; override for per-round naming).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_full_latest.json")
+    // A PREFIX-FILTERED tier run must never masquerade as the full
+    // bench: without an explicit override it lands in
+    // BENCH_tier_latest.json instead of clobbering the full record.
+    val defaultOut =
+      if (sys.env.contains("SPARK_GRAFT_ONLY_PREFIX"))
+        "BENCH_tier_latest.json"
+      else "BENCH_full_latest.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       line + "\n")
     spark.stop()

@@ -676,19 +676,34 @@ object TextOps extends OpModule {
     * extra full-stream exchanges per round (measured: the
     * always-bounded form cost +28 % train wall at the 100× tier).
     */
+  /** Corpus size above which the adaptive machinery (lookahead cache +
+    * per-round candidate count + bounded-vs-plain choice) pays for its
+    * own job overhead. Below it — the oracle fixtures — the loop runs
+    * the plain single-flow form: the extra ~2 s of scheduler round
+    * trips would DOUBLE a 3 s run at sf0.1 while saving nothing, and
+    * the adaptive savings only materialize when a round's windows move
+    * real data. Measured crossover: at 50k docs (10×) the cached form
+    * already wins for apply (11.5 → 8.6 s); at 5k docs it only costs.
+    */
+  private val bpeAdaptiveMinDocs = 20000L
+
   private def bpeLoop(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var stream = bpeTokenStream(s, dir)
     val totalDocs = Tables.documents(s, dir).count()
+    val adaptive = totalDocs >= bpeAdaptiveMinDocs
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= bpeTrainMerges && !exhausted) {
-      val withNext = stream
+      val lookahead = stream
         .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val withNext =
+        if (adaptive) lookahead.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        else lookahead
       val chosen = withNext.filter(col("nxt").isNotNull)
         .groupBy(col("tok").as("a"), col("nxt").as("b"))
         .agg(count(lit(1)).as("n"))
@@ -703,12 +718,11 @@ object TextOps extends OpModule {
         // exact adjacency candidates — the census frame already knows
         // precisely which docs contain the winning pair; counting them
         // is a cheap partial-agg over the round's cached lookahead
-        val cand = withNext
+        def cand = withNext
           .filter(col("tok") === lit(a) && col("nxt") === lit(b))
           .select(col("doc_id")).distinct()
-        val bounded = cand.count() * 2 < totalDocs
         val next =
-          if (bounded)
+          if (adaptive && cand.count() * 2 < totalDocs)
             boundedMergePass(stream,
               withNext.join(cand, Seq("doc_id"), "left_semi"), a, b, cand)
           else plainMergePass(withNext, a, b)
@@ -718,7 +732,7 @@ object TextOps extends OpModule {
         // than letting dead round-frames pile up on the context cleaner
         prev.unpersist(false)
       }
-      withNext.unpersist(false)
+      if (adaptive) withNext.unpersist(false)
       round += 1
     }
     (merges.result(), stream)
