@@ -968,9 +968,23 @@ object EventOps extends OpModule {
     * (ts, event_id) — and per-session state is bounded by human activity
     * rates. The regex runs once per SESSION row, not per event.
     */
+  /** Sessions whose path contains a view followed (anywhere later) by
+    * a purchase. The predicate is deliberately LOCATE-based, not the
+    * equivalent regex `view.*purchase`: on a pathological hot-key
+    * session (a bot or a skew-tier head user whose single session
+    * path runs to megabytes) a NON-matching `view.*purchase` regex
+    * backtracks catastrophically — for every 'view' occurrence the
+    * engine consumes `.*` to the end and rescans, O(occurrences ×
+    * length) ≈ minutes on a measured 6.6 MB path with no trailing
+    * purchase — while two substring probes stay strictly linear. The
+    * rewrite is exact: event types are '>'-joined literals with no
+    * cross-token overlap, so "a purchase at or after the first view's
+    * offset" is the same sentence the regex states.
+    */
   def patternMatch(s: SparkSession, dir: String): DataFrame =
     sessionPaths(s, dir)
-      .filter(col("path").rlike("view.*purchase"))
+      .filter(expr("locate('view', path) > 0 AND " +
+        "locate('purchase', path, locate('view', path)) > 0"))
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("path"))
       .orderBy(col("user_id"), col("session_id"))

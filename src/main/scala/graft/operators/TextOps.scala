@@ -809,35 +809,58 @@ object TextOps extends OpModule {
     * full-stream window rounds by construction.
     */
   def bpeApplyFromStore(s: SparkSession, dir: String,
-      mergeTable: DataFrame): DataFrame = {
-    val ranked = mergeTable.select(col("merge_rank"), col("a"), col("b"))
+      mergeTable: DataFrame): DataFrame =
+    bpeEncodeReport(Tables.documents(s, dir), rankedMerges(mergeTable))
+      .orderBy(col("doc_id"))
+
+  /** The stored ranked merge table materialized as the driver-side
+    * model parameter the encode closures ship (vocab-size rows).
+    */
+  private[graft] def rankedMerges(
+      mergeTable: DataFrame): Array[(String, String)] =
+    mergeTable.select(col("merge_rank"), col("a"), col("b"))
       .orderBy(col("merge_rank")).collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val s2 = s
+
+  /** Greedy left-to-right replay of the ranked merges over one doc's
+    * token array — the per-row core both the batch serving path and
+    * the streaming encode share. In `a a a`, positions 1–2 merge and
+    * 2–3 cannot — its left token was consumed.
+    */
+  private[graft] def bpeEncodeTokens(t0: Array[String],
+      ranked: Array[(String, String)]): Array[String] = {
+    var toks = t0
+    ranked.foreach { case (a, b) =>
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      toks = out.result()
+    }
+    toks
+  }
+
+  /** The per-doc before/after/compression frame over any (doc_id,
+    * text) source — a pure stateless projection, so it runs unchanged
+    * on a STREAM (graft.streaming.StreamingBpeEncode wires exactly
+    * this over readStream).
+    */
+  private[graft] def bpeEncodeReport(docs: DataFrame,
+      ranked: Array[(String, String)]): DataFrame = {
+    val s2 = docs.sparkSession
     import s2.implicits._
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .as[(Long, Seq[String])]
       .map { case (id, t0) =>
         val orig = t0.length.toLong
-        var toks: Array[String] = t0.toArray
-        ranked.foreach { case (a, b) =>
-          // greedy left-to-right: in `a a a`, positions 1–2 merge and
-          // 2–3 cannot — its left token was consumed
-          val out = Array.newBuilder[String]
-          var i = 0
-          while (i < toks.length) {
-            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += toks(i); i += 1 }
-          }
-          toks = out.result()
-        }
-        val enc = toks.length.toLong
+        val enc = bpeEncodeTokens(t0.toArray, ranked).length.toLong
         (id, orig, enc, enc * 10000L / orig)
       }
       .toDF("doc_id", "n_toks_orig", "n_toks_enc", "compression_bp")
-      .orderBy(col("doc_id"))
   }
 
   /** Per-fixture persisted [[bpeTrain]] merge table backing the
