@@ -110,6 +110,50 @@ object StreamBench {
     val hhState = hh.recentProgress.flatMap(_.stateOperators)
       .map(_.numRowsTotal).foldLeft(0L)(math.max)
 
+    // phase 3: streaming BPE encode — the serving-time tokenizer stage
+    // as a STATELESS map against the persisted merge table
+    // (streaming/StreamingBpeEncode). The docs fixture defaults to the
+    // 10× corpus (50k docs); the artifact build (bpeTrain → parquet) is
+    // the one-time deployment step and is timed separately from the
+    // serving stream. A checksum guard (row count + token sums vs the
+    // batch serving path) must pass before the bench prints.
+    val docsFixture = args.lift(1).getOrElse("/root/repo/stressdata")
+    val docs = Tables.documents(spark, docsFixture)
+      .select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val docsSrc = s"$base/docs"
+    docs.repartition(8).write.mode("overwrite").parquet(docsSrc)
+    val tb = System.nanoTime()
+    val mergePath = s"$base/merges"
+    graft.operators.TextOps.bpeTrain(spark, docsFixture)
+      .write.mode("overwrite").parquet(mergePath)
+    val buildWall = (System.nanoTime() - tb) / 1e9
+    val mergeTable = spark.read.parquet(mergePath)
+    val dSchema = spark.read.parquet(docsSrc).schema
+    val t2 = System.nanoTime()
+    val bq = graft.streaming.StreamingBpeEncode.encoded(
+        spark.readStream.schema(dSchema)
+          .option("maxFilesPerTrigger", 2).parquet(docsSrc),
+        mergeTable)
+      .writeStream.format("parquet").option("path", s"$base/bpe_out")
+      .option("checkpointLocation", s"$base/ckpt_bpe")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    bq.awaitTermination()
+    val bpeWall = (System.nanoTime() - t2) / 1e9
+    val got = spark.read.parquet(s"$base/bpe_out")
+      .agg(count(lit(1)), sum(col("n_toks_orig")), sum(col("n_toks_enc")))
+      .collect()(0)
+    val want = graft.operators.TextOps
+      .bpeApplyFromStore(spark, docsFixture, mergeTable)
+      .agg(count(lit(1)), sum(col("n_toks_orig")), sum(col("n_toks_enc")))
+      .collect()(0)
+    require(got == want,
+      s"stream encode checksum diverged from batch serving: $got vs $want")
+    val nTokens = got.getLong(1)
+    val bpeBatches = bq.recentProgress.count(_.numInputRows > 0)
+
     println(s"""{"metric":"stream_bench","fixture":"$fixture",""" +
       s""""events":$nEvents,"wall_sec":$wall,""" +
       s""""events_per_sec":${(nEvents / wall).toLong},""" +
@@ -118,7 +162,13 @@ object StreamBench {
       s""""heavy_hitters":{"wall_sec":$hhWall,""" +
       s""""events_per_sec":${(nEvents / hhWall).toLong},""" +
       s""""candidates":${candidates.size},"hot_user_found":true,""" +
-      s""""peak_state_rows":$hhState}}""")
+      s""""peak_state_rows":$hhState},""" +
+      s""""bpe_encode":{"docs_fixture":"$docsFixture","docs":$nDocs,""" +
+      s""""tokens":$nTokens,"artifact_build_sec":$buildWall,""" +
+      s""""wall_sec":$bpeWall,""" +
+      s""""docs_per_sec":${(nDocs / bpeWall).toLong},""" +
+      s""""tokens_per_sec":${(nTokens / bpeWall).toLong},""" +
+      s""""micro_batches":$bpeBatches,"checksum_equal":true}}""")
     spark.stop()
   }
 }
