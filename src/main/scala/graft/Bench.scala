@@ -7,9 +7,175 @@ import org.apache.spark.sql.SparkSession
   * let Catalyst prune the projections being measured). A warm-up pass at
   * the smallest SF first forces JIT + whole-stage-codegen compilation so
   * the measured numbers reflect steady-state execution, not classloading.
+  *
+  * Selection env vars (composable with the run knobs below):
+  *   - SPARK_GRAFT_ONLY_PREFIX: comma-separated name prefixes;
+  *   - SPARK_GRAFT_ONLY_LIST: comma-separated EXACT query names (unknown
+  *     names fail loudly) — the handle family-JVM children and isolation
+  *     re-runs use;
+  *   - SPARK_GRAFT_FAMILY_JVMS=1: per-family JVM protocol (below).
+  *
+  * ## Per-family JVM protocol (SPARK_GRAFT_FAMILY_JVMS=1)
+  *
+  * Long multi-query tiers in ONE JVM inflate late/giant-buffer queries:
+  * the round-11 record held `llm_dup_clusters_incremental_served` at
+  * 50.6 s in-tier when its isolated time is 7.5 s — the 250 s BPE
+  * first-runs earlier in the tier had pressured the shared heap, and the
+  * recorded artifact said the opposite of the truth (serving BEATS
+  * recompute 3×). Under this protocol the parent process never starts
+  * Spark: it groups the selected queries into prefix FAMILIES (first two
+  * `_`-separated tokens — `llm_bpe`, `llm_dup`, `event_attribution`, …),
+  * launches one child `graft.Bench` JVM per family (serially, so
+  * families never contend for cores), and merges the children's JSON
+  * into one artifact with the same schema plus `"protocol"` and
+  * `"families"` fields. Each family thus benches against a fresh heap —
+  * in-tier numbers become comparable to isolated re-runs by
+  * construction. Child JVMs inherit this JVM's exact runtime args
+  * (-Xmx, --add-opens) and classpath, so the measured configuration is
+  * identical to a hand-launched isolation run.
   */
 object Bench {
+  /** First two `_`-separated tokens: the prefix-family key the per-JVM
+    * protocol groups by (`llm_bpe_apply_served` → `llm_bpe`).
+    */
+  private def familyOf(name: String): String =
+    name.split('_').take(2).mkString("_")
+
+  private def selectedQueries(): Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    (sys.env.get("SPARK_GRAFT_ONLY_LIST"), sys.env.get("SPARK_GRAFT_ONLY_PREFIX")) match {
+      case (Some(ls), _) =>
+        val names = ls.split(',').map(_.trim).filter(_.nonEmpty)
+        val unknown = names.filterNot(SparkEntry.queries.contains)
+        // a typo'd name must fail loudly, not silently shrink the tier
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY_LIST names not in SparkEntry.queries: ${unknown.mkString(",")}")
+        names.map(n => n -> SparkEntry.queries(n)).toMap
+      case (None, Some(ps)) =>
+        val prefixes = ps.split(',').map(_.trim).filter(_.nonEmpty)
+        val m = SparkEntry.queries.filter { case (n, _) =>
+          prefixes.exists(n.startsWith) }
+        // a typo'd prefix must fail loudly, not emit a zero-query JSON
+        // that masquerades as an instant full run
+        require(m.nonEmpty,
+          s"SPARK_GRAFT_ONLY_PREFIX='$ps' matches no queries")
+        m
+      case (None, None) => SparkEntry.queries
+    }
+
+  /** The driver's round artifact keeps only a 2000-char stdout TAIL,
+    * which truncates away the total and most per-query numbers — so the
+    * full line is also written to a file that gets committed
+    * (BENCH_full_latest.json by default; override for per-round naming).
+    * A FILTERED tier run must never masquerade as the full bench:
+    * without an explicit override it lands in BENCH_tier_latest.json
+    * instead of clobbering the full record.
+    */
+  private def outPath(): String = {
+    val filtered = sys.env.contains("SPARK_GRAFT_ONLY_PREFIX") ||
+      sys.env.contains("SPARK_GRAFT_ONLY_LIST")
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (filtered) "BENCH_tier_latest.json" else "BENCH_full_latest.json")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("SPARK_GRAFT_FAMILY_JVMS").exists(_ == "1"))
+      familyParentMain()
+    else singleJvmMain()
+  }
+
+  // ---------------------------------------------------------------- parent
+  private def familyParentMain(): Unit = {
+    val names = selectedQueries().keys.toSeq.sorted
+    val families = names.groupBy(familyOf).toSeq.sortBy(_._1)
+    val rt = java.lang.management.ManagementFactory.getRuntimeMXBean
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = rt.getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("-X") ||
+        a.startsWith("-D"))
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_famjvm")
+    val perFamily = families.map { case (fam, qs) =>
+      val out = tmpRoot.resolve(s"$fam.json").toString
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench"))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().remove("SPARK_GRAFT_FAMILY_JVMS")
+      pb.environment().remove("SPARK_GRAFT_ONLY_PREFIX")
+      pb.environment().put("SPARK_GRAFT_ONLY_LIST", qs.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+      // child stderr streams through (progress); child stdout (its own
+      // JSON line) goes to a side file so the parent's stdout carries
+      // exactly ONE JSON line — the merged artifact
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(tmpRoot.resolve(s"$fam.stdout").toFile)
+      System.err.println(s"[bench] family JVM: $fam (${qs.size} queries)")
+      val exit = pb.start().waitFor()
+      if (exit != 0)
+        System.err.println(s"[bench] family $fam child exited $exit")
+      (fam, qs, out)
+    }
+    // merge the children's artifacts (same schema each) into one line
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    var queries = Vector.empty[(String, Option[Double])]
+    var runs = Vector.empty[(String, Seq[Double])]
+    var failed = Vector.empty[String]
+    perFamily.foreach { case (fam, qs, out) =>
+      val f = new java.io.File(out)
+      if (!f.exists()) {
+        // child died before writing: every query of the family is a
+        // loud failure, never a silent absence
+        failed ++= qs
+        queries ++= qs.map(_ -> None)
+      } else {
+        val j = JsonMethods.parse(java.nio.file.Files.readString(f.toPath))
+        (j \ "queries") match {
+          case JObject(fields) => fields.foreach {
+            case (k, JDouble(v)) => queries :+= (k -> Some(v))
+            case (k, JInt(v)) => queries :+= (k -> Some(v.toDouble))
+            case (k, JNull) => queries :+= (k -> None)
+            case _ => ()
+          }
+          case _ => ()
+        }
+        (j \ "runs") match {
+          case JObject(fields) => fields.foreach {
+            case (k, JArray(vs)) => runs :+= (k -> vs.collect {
+              case JDouble(v) => v
+              case JInt(v) => v.toDouble
+            })
+            case _ => ()
+          }
+          case _ => ()
+        }
+        (j \ "failed") match {
+          case JArray(vs) => failed ++= vs.collect { case JString(s) => s }
+          case _ => ()
+        }
+      }
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val qs = queries.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
+      .mkString("{", ",", "}")
+    val runsJson = runs.sortBy(_._1)
+      .map { case (k, ts) => "\"" + k + "\":" + ts.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val famJson = perFamily.map { case (fam, qsF, _) =>
+      "\"" + fam + "\":" + qsF.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = queries.flatMap(_._2).sum
+    val failedJson = failed.distinct.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","protocol":"family_jvms","families":$famJson}"""
+    println(line)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath()), line + "\n")
+  }
+
+  // ----------------------------------------------------------- single JVM
+  private def singleJvmMain(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir =
       sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -32,22 +198,7 @@ object Bench {
         require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
         n
     }
-    // optional name-prefix filter (comma-separated), e.g.
-    // SPARK_GRAFT_ONLY_PREFIX=llm_,mm_ for the stress tier whose fixture
-    // carries only the documents/embeddings tables
-    val benched: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      sys.env.get("SPARK_GRAFT_ONLY_PREFIX") match {
-        case None => SparkEntry.queries
-        case Some(ps) =>
-          val prefixes = ps.split(',').map(_.trim).filter(_.nonEmpty)
-          val m = SparkEntry.queries.filter { case (n, _) =>
-            prefixes.exists(n.startsWith) }
-          // a typo'd prefix must fail loudly, not emit a zero-query JSON
-          // that masquerades as an instant full run
-          require(m.nonEmpty,
-            s"SPARK_GRAFT_ONLY_PREFIX='$ps' matches no queries")
-          m
-      }
+    val benched = selectedQueries()
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         dir: String): Unit =
       fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -88,20 +239,8 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
-    // The driver's round artifact keeps only a 2000-char stdout TAIL,
-    // which truncates away the total and most per-query numbers — so the
-    // full line is also written to a file that gets committed
-    // (BENCH_full_latest.json by default; override for per-round naming).
-    // A PREFIX-FILTERED tier run must never masquerade as the full
-    // bench: without an explicit override it lands in
-    // BENCH_tier_latest.json instead of clobbering the full record.
-    val defaultOut =
-      if (sys.env.contains("SPARK_GRAFT_ONLY_PREFIX"))
-        "BENCH_tier_latest.json"
-      else "BENCH_full_latest.json"
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
-      line + "\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath()), line + "\n")
     spark.stop()
   }
 }

@@ -236,8 +236,13 @@ object AggOps extends OpModule {
     * HyperLogLog++ (`approx_count_distinct`) and GK quantile sketches
     * (`approx_percentile`) are mergeable fixed-size state, so the shuffle
     * carries one sketch per partition instead of the distinct key set.
-    * Deterministic within Spark but engine-specific → no SQL oracle;
-    * error bounds vs the exact aggregates are unit-tested.
+    * Deterministic within Spark but engine-specific → no SQL oracle.
+    * LIBRARY FUNCTION since round 12: its `agg_approx_sketch` query slot
+    * was the last no-oracle CORRECTNESS row, so the query surface moved
+    * to [[quantilePortable]] (the same retirement the xxhash64 fast
+    * paths took when `llm_simhash_portable` landed); the native sketches
+    * stay available here with their error bounds unit-asserted in
+    * JoinAggSpec.
     */
   def approxSketch(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -248,6 +253,46 @@ object AggOps extends OpModule {
           .as("approx_price_p50"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
+
+  /** PORTABLE quantile sketch — the value-oracled replacement for
+    * [[approxSketch]]'s engine-specific GK sketch, completing the
+    * mergeable-summary family (KMV = cardinality, count-min = frequency,
+    * HLL = registers, Misra–Gries = top-k, THIS = quantiles): the
+    * bottom-k rows by md5-derived hash form a FIXED-SIZE uniform random
+    * sample per group (order statistics of a uniform hash — the same
+    * principle as KMV; two sketches MERGE by union + re-bottom-k), and
+    * each quantile estimate is the sample's order statistic at an exact
+    * integer rank `ceil(q·n_s)` — no interpolation, so the estimate is a
+    * raw data value both engines pick identically.
+    *
+    * Scale shape: sample selection runs on the native bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator (partial heaps BEFORE the
+    * exchange), so the shuffle carries ≤ k·groups·partitions rows
+    * regardless of input volume — the plain
+    * `row_number() OVER (PARTITION BY grp ORDER BY hv)` form would sort
+    * every group's full stream in one task, the exact hot-group
+    * straggler the operator exists to kill. Determinism: hash ties break
+    * on the UNIQUE o_orderkey, giving a total order; DuckDB replays the
+    * hash, the rank cut, and the element selection value-for-value.
+    */
+  def quantilePortable(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"),
+        expr("CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 8)," +
+          " 16, 10) AS BIGINT)").as("hv"))
+    val sampled = graft.plans.TopKPerGroup(base, Seq("o_orderstatus"),
+      "hv", descending = false, "o_orderkey", k)
+    sampled.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sample"),
+        sort_array(collect_list(col("o_totalprice"))).as("vals"))
+      .select(col("o_orderstatus"), col("n_sample"),
+        element_at(col("vals"),
+          expr("CAST((n_sample + 1) DIV 2 AS INT)")).as("est_p50"),
+        element_at(col("vals"),
+          expr("CAST((9 * n_sample + 9) DIV 10 AS INT)")).as("est_p90"))
+      .orderBy(col("o_orderstatus"))
+  }
 
   /** KMV (k-minimum-values) distinct-count sketch — the PORTABLE
     * mergeable sketch companion to [[approxSketch]]'s engine-specific
@@ -686,13 +731,33 @@ object AggOps extends OpModule {
     "offset_watermark_agg" -> offsetWatermark,
     "agg_percentile" -> percentileAgg,
     "agg_stats_moments" -> statsMoments,
-    "agg_approx_sketch" -> approxSketch,
+    "agg_quantile_portable" -> quantilePortable,
     "agg_kmv_distinct" -> kmvDistinct,
     "agg_kmv_setops" -> kmvSetops,
     "agg_argmax" -> argExtrema
   )
 
   val oracle: Map[String, String] = Map(
+    "agg_quantile_portable" ->
+      """WITH h AS (
+        |  SELECT o_orderstatus, o_totalprice, o_orderkey,
+        |         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |              ::UBIGINT AS BIGINT) AS hv
+        |  FROM orders),
+        |samp AS (
+        |  SELECT o_orderstatus, o_totalprice
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+        |                                     ORDER BY hv, o_orderkey) AS rn
+        |        FROM h)
+        |  WHERE rn <= 100),
+        |g AS (
+        |  SELECT o_orderstatus, count(*) AS n_sample,
+        |         list_sort(list(o_totalprice)) AS vals
+        |  FROM samp GROUP BY 1)
+        |SELECT o_orderstatus, n_sample,
+        |       vals[CAST((n_sample + 1) // 2 AS INT)] AS est_p50,
+        |       vals[CAST((9 * n_sample + 9) // 10 AS INT)] AS est_p90
+        |FROM g ORDER BY o_orderstatus""".stripMargin,
     "agg_hll_portable" ->
       """WITH h AS (
         |  SELECT l_returnflag,

@@ -307,14 +307,9 @@ object DedupOps extends OpModule {
     * difference a committed bench number. Same oracle as the standalone
     * form (identical output by construction).
     */
-  private val incrClusterStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   def dupClustersIncrementalServed(s: SparkSession,
       dir: String): DataFrame = {
-    val base = new java.io.File(dir).getCanonicalPath
-    val root = incrClusterStoreCache.computeIfAbsent(base, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_incr_clusters").toString
+    val root = ArtifactStore.cached("incr_clusters", dir) { out =>
       val docs = Tables.documents(s, dir)
       val k = Tables.snapshotBoundary(s, dir, "documents")
       val artStore = snapshotArtifacts(s, docs.filter(col("doc_id") < k))
@@ -323,8 +318,7 @@ object DedupOps extends OpModule {
         .select(col("doc_a"), col("doc_b")))
         .select(col("doc_id"), col("cluster_id"))
         .write.mode("overwrite").parquet(s"$out/prior_labels.parquet")
-      out
-    })
+    }
     val docs = Tables.documents(s, dir)
     val k = Tables.snapshotBoundary(s, dir, "documents")
     dupClustersIncremental(s,
@@ -798,17 +792,12 @@ object DedupOps extends OpModule {
     * closure recompute, and this artifact makes the real serving cost
     * (~0.5 s-class) a committed number next to it.
     */
-  private val labelStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def labelStore(s: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(dir).getCanonicalPath
-    val path = labelStoreCache.computeIfAbsent(base, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_labels")
-        .resolve("labels.parquet").toString
-      dupClusters(s, dir).write.mode("overwrite").parquet(out)
-      out
-    })
-    s.read.parquet(path)
+    val root = ArtifactStore.cached("labels", dir) { out =>
+      dupClusters(s, dir).write.mode("overwrite")
+        .parquet(s"$out/labels.parquet")
+    }
+    s.read.parquet(s"$root/labels.parquet")
   }
 
   /** [[clusterKeepBestFromStore]] as a first-class query over the

@@ -152,6 +152,50 @@ object EventOps extends OpModule {
       .orderBy("user_id", "event_id")
   }
 
+  /** One-task row width past which [[attributionAuto]] flips to the
+    * segmented plan: ~250k rows is where a single window task's
+    * sort-and-scan of one hot user's stream enters the multi-×
+    * straggler decade on the skew tiers (3.2× at 3M events, 4.9× at
+    * 10M — BENCH_stress_skew100x_r11 vs the uniform control).
+    */
+  private[graft] val hotKeyTaskRows = 250000L
+
+  /** Estimated row count of the hottest key in `keys` (a single-column
+    * frame), from a seed-pinned 1 % sample + key histogram — the cheap
+    * probe [[attributionAuto]] dispatches on. One sampled scan and a
+    * tiny shuffle (≤ |sampled keys| groups); at warehouse scale this
+    * number comes from table statistics, and the sample keeps the probe
+    * O(n/100) here. Seeded sampling makes the estimate — and therefore
+    * the chosen plan — reproducible for a given fixture.
+    */
+  private[graft] def estimatedHotKeyRows(keys: DataFrame): Long = {
+    val frac = 0.01
+    val k = keys.columns.head
+    val r = keys.sample(withReplacement = false, frac, seed = 42)
+      .groupBy(col(k)).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0) * math.round(1 / frac)
+  }
+
+  /** [[attribution]] with SKEW-ADAPTIVE dispatch — what
+    * `event_attribution` binds to since round 12. The round-10 bar said
+    * "promote segmented at 5×"; the plain window form's hot-key penalty
+    * hit 4.9× at the 10M-event decade and trends through the bar at the
+    * next one, so the default now probes first: if the hottest user's
+    * estimated stream exceeds [[hotKeyTaskRows]], the plan is
+    * [[attributionSegmented]] (value-identical row-for-row — spec-
+    * asserted — and ≤2× on the skew tiers); otherwise the plain
+    * single-window form (cheaper on uniform keys: no segment grid or
+    * carry join). Both branches share the `event_attribution` oracle,
+    * so the dispatch can never change results, only the plan.
+    */
+  def attributionAuto(s: SparkSession, dir: String): DataFrame = {
+    val hot = estimatedHotKeyRows(Tables.events(s, dir)
+      .select(col("user_id")))
+    if (hot > hotKeyTaskRows) attributionSegmented(s, dir)
+    else attribution(s, dir)
+  }
+
   /** Position-based (U-shaped) multi-touch attribution: each purchase
     * credits the touches (clicks/views) since the user's previous
     * purchase — 40% to the first touch, 40% to the last, the remaining
@@ -1344,7 +1388,7 @@ object EventOps extends OpModule {
     "event_sessionize" -> sessionize,
     "cdc_snapshot_diff" -> cdcDiff,
     "event_funnel" -> funnel,
-    "event_attribution" -> attribution,
+    "event_attribution" -> attributionAuto,
     "event_attribution_segmented" -> attributionSegmented,
     "event_attribution_position" -> attributionPosition,
     "ts_gapfill_locf" -> gapfillLocf,

@@ -35,18 +35,23 @@ object PartSuppOps extends OpModule {
     // one-row scalar cross join (the q15/q22 pattern): plans as a
     // 1-row-build BroadcastNestedLoopJoin — constant work per output
     // row at any scale, NOT a data-sized nested loop
+    // pair-uniqueness guard: for s_cnt ≥ 4 the stride construction
+    // proves (ps_partkey, ps_suppkey) unique (stride·d mod s_cnt ≠ 0
+    // for d ∈ 1..3 since 0 < stride·d ≤ 3·⌊s/4⌋ < s); below 4
+    // suppliers the ring wraps and duplicate pairs would silently
+    // violate the TPC-H key invariant — fail loudly instead.
+    // assert_true is NULL on pass, so the filter keeps the row. The
+    // guard sits on the ONE-ROW aggregate itself (a no-grouping agg
+    // always emits a row, and the broadcast build side materializes
+    // unconditionally), so it fires even when the part table is empty —
+    // riding the crossJoin output rows would let a <4-supplier fixture
+    // pass silently with an empty partsupp.
     val sCnt = Tables.supplier(s, dir).agg(count(lit(1)).as("s_cnt"))
-    Tables.part(s, dir).select(col("p_partkey"))
-      .crossJoin(broadcast(sCnt))
-      // pair-uniqueness guard: for s_cnt ≥ 4 the stride construction
-      // proves (ps_partkey, ps_suppkey) unique (stride·d mod s_cnt ≠ 0
-      // for d ∈ 1..3 since 0 < stride·d ≤ 3·⌊s/4⌋ < s); below 4
-      // suppliers the ring wraps and duplicate pairs would silently
-      // violate the TPC-H key invariant — fail loudly instead.
-      // assert_true is NULL on pass, so the filter keeps every row.
       .filter(assert_true(col("s_cnt") >= 4,
         lit("derived partsupp needs >= 4 suppliers for " +
           "(ps_partkey, ps_suppkey) uniqueness")).isNull)
+    Tables.part(s, dir).select(col("p_partkey"))
+      .crossJoin(broadcast(sCnt))
       .withColumn("i", explode(sequence(lit(0L), lit(3L))))
       .withColumn("ps_suppkey",
         (col("p_partkey") +

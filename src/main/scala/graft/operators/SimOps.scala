@@ -575,19 +575,21 @@ object SimOps extends OpModule {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  /** IVF search against the FROZEN quantizer — the portable, fully
-    * value-oracled twin of [[annIvf]] (the move `llm_simhash_portable`
-    * and `agg_kmv_distinct` made for their families): the cells are the
-    * 10 unit-normalized seeds themselves, skipping the float-average
-    * centroid refinement whose shuffle-order-dependent sums are exactly
-    * what keeps [[annIvf]] oracle-free. Corpus vectors assign to their
+  /** IVF search against the FROZEN quantizer — the NO-REFINEMENT
+    * variant of [[annIvf]]: the cells are the 10 unit-normalized seeds
+    * themselves, skipping the centroid-refinement pass entirely. Since
+    * round 11 [[annIvf]]'s refinement is fixed-point (exact BIGINT
+    * micro-sums, shuffle-order-invariant) and fully value-oracled too,
+    * so this is no longer the family's only verifiable member — it
+    * remains the cheaper one-pass form (no k-means iteration) and the
+    * simplest oracle to audit. Corpus vectors assign to their
     * argmax cell (narrow, in-expression), queries probe their top-4
     * cells, exact cosine + bounded-heap top-5 inside the probed cells.
     * Every number is a strict-ordered double expression both engines
     * replay bit-for-bit — DuckDB recomputes the unit seeds, the
     * assignment, the probe ranking, and the final cosines value-for-
     * value. [[annIvf]] (refined centroids, better recall) stays the
-    * scale path; this is the verifiable one.
+    * scale path.
     */
   def annFrozen(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.TopKByScore
@@ -949,17 +951,12 @@ object SimOps extends OpModule {
     * is exercised by the oracle gate every round, and the bench records
     * the query-side-only serving cost next to the inline build+search.
     */
-  private val srpStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   def annSrpServed(s: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(dir).getCanonicalPath
-    val path = srpStoreCache.computeIfAbsent(base, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_srp_store")
-        .resolve("srp_table.parquet").toString
-      srpTableArtifact(s, dir).write.mode("overwrite").parquet(out)
-      out
-    })
-    annSrpFromStore(s, dir, s.read.parquet(path))
+    val root = ArtifactStore.cached("srp_store", dir) { out =>
+      srpTableArtifact(s, dir).write.mode("overwrite")
+        .parquet(s"$out/srp_table.parquet")
+    }
+    annSrpFromStore(s, dir, s.read.parquet(s"$root/srp_table.parquet"))
   }
 
   /** Embedding-space outlier census: the 25 documents whose vectors point

@@ -235,6 +235,24 @@ class EventOpsSpec extends SparkSpec {
     assert(p.contains("seg"), p)
   }
 
+  test("attributionAuto: hot-key probe crosses the dispatch bar on a " +
+    "skewed key column, stays under it on uniform keys, and the " +
+    "default query is value-identical to the plain form") {
+    import org.apache.spark.sql.functions._
+    // one key owning 500k rows → estimated hot stream ≈ 500k > 250k bar
+    val skewed = spark.range(500000).select(lit(7L).as("user_id"))
+    assert(EventOps.estimatedHotKeyRows(skewed) > EventOps.hotKeyTaskRows)
+    // 100k distinct keys, one row each → estimate ≈ 100 ≪ bar
+    val uniform = spark.range(100000).select(col("id").as("user_id"))
+    assert(EventOps.estimatedHotKeyRows(uniform) < EventOps.hotKeyTaskRows)
+    // dispatch can never change values: both branches share the oracle
+    val auto = EventOps.attributionAuto(spark, sf0001).collect()
+      .map(_.toSeq.mkString("|")).toSeq
+    val plain = EventOps.attribution(spark, sf0001).collect()
+      .map(_.toSeq.mkString("|")).toSeq
+    assert(auto === plain)
+  }
+
   test("segmented attribution handles touches and purchases straddling " +
     "segment boundaries (carried prefix, empty-touch days)") {
     import spark.implicits._

@@ -33,7 +33,32 @@ class JoinAggSpec extends SparkSpec {
       Tables.customer(spark, sf0001).count())
   }
 
-  test("agg_approx_sketch: HLL within 5% of exact, median sketch within 2%") {
+  test("agg_quantile_portable: n_sample capped at k, estimates within " +
+      "sample-sketch accuracy of exact quantiles") {
+    val rows = AggOps.quantilePortable(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Tables.orders(spark, sf0001).groupBy("o_orderstatus")
+      .agg(org.apache.spark.sql.functions.expr(
+        "percentile(o_totalprice, 0.5)").as("p50"),
+        org.apache.spark.sql.functions.expr(
+          "percentile(o_totalprice, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    exact.foreach { case (st, e) =>
+      val r = rows(st)
+      assert(r.getAs[Long]("n_sample") <= 100L)
+      // k=100 uniform sample: order-statistic error is sketch-class,
+      // deterministic on the fixed fixture (observed max ~15%)
+      val err50 = math.abs(r.getAs[Double]("est_p50") -
+        e.getAs[Double]("p50")) / e.getAs[Double]("p50")
+      val err90 = math.abs(r.getAs[Double]("est_p90") -
+        e.getAs[Double]("p90")) / e.getAs[Double]("p90")
+      assert(err50 < 0.25, s"$st: p50 err $err50")
+      assert(err90 < 0.25, s"$st: p90 err $err90")
+    }
+  }
+
+  test("approxSketch library fn: HLL within 5% of exact, median sketch " +
+      "within 2% (query slot retired to agg_quantile_portable in r12)") {
     val approx = AggOps.approxSketch(spark, sf0001).collect()
       .map(r => r.getString(0) -> r).toMap
     val exact = AggOps.countDistinctAgg(spark, sf0001).collect()
