@@ -598,29 +598,6 @@ object TextOps extends OpModule {
         col("tok"))
       .transform(graft.Checkpoints.truncate)
 
-  /** One greedy left-to-right merge pass of the pair (a, b), with the
-    * window/shuffle work BOUNDED at candidate documents: `cand` holds
-    * the doc_ids that contain the adjacent pair; every other doc
-    * passes through VERBATIM via a LEFT ANTI join (its positional
-    * numbering is already dense, and a doc without the pair merges
-    * nothing — a semantic no-op by construction, so oracle parity is
-    * untouched). `candNext` is the candidate-doc slice of the stream
-    * with the `nxt` lookahead column already attached.
-    *
-    * Scale shape: when the winning pair touches FEW docs the anti join
-    * broadcasts the candidate list (AQE sizes it), so the untouched
-    * corpus never shuffles and the three merge windows plus the
-    * kept-join run over affected rows only. When the pair is corpus-
-    * wide the two candidate joins are pure overhead — [[bpeLoop]]
-    * measures the candidate fraction per round and only takes this
-    * path when it prunes ([[plainMergePass]] otherwise).
-    */
-  private def boundedMergePass(stream: DataFrame, candNext: DataFrame,
-      a: String, b: String, cand: DataFrame): DataFrame = {
-    val untouched = stream.join(cand, Seq("doc_id"), "left_anti")
-    untouched.union(mergeCore(candNext, a, b))
-  }
-
   /** The merge pass over the FULL lookahead frame — the right plan
     * when the winning pair is corpus-wide (candidate joins would only
     * add two full-stream exchanges for zero pruning).
@@ -659,54 +636,70 @@ object TextOps extends OpModule {
         col("tok"))
   }
 
-  /** The shared training loop: returns the chosen merges AND the final
-    * encoded token stream (the corpus after all merges applied) —
-    * [[bpeTrain]] emits the former, [[bpeApply]] aggregates the latter.
-    *
-    * Per round: ONE full-stream window pass (the `lead` lookahead the
-    * pair census needs — cached for the round so the census collect,
-    * the candidate census, and the merge pass read it once), then a
-    * merge pass that ADAPTS to the winning pair's spread: when the
-    * pair's docs are a minority (EXACT adjacency candidates, read off
-    * the cached lookahead), the bounded pass anti-joins the untouched
-    * majority around the merge windows; when the pair is corpus-wide
-    * — the constant regime on a small-vocabulary corpus, and the
-    * early rounds of most real ones — the plain full-frame pass runs
-    * instead, because candidate joins that prune nothing are two
-    * extra full-stream exchanges per round (measured: the
-    * always-bounded form cost +28 % train wall at the 100× tier).
-    */
-  /** Corpus size above which the adaptive machinery (lookahead cache +
-    * per-round candidate count + bounded-vs-plain choice) pays for its
-    * own job overhead. Below it — the oracle fixtures — the loop runs
-    * the plain single-flow form: the extra ~2 s of scheduler round
-    * trips would DOUBLE a 3 s run at sf0.1 while saving nothing, and
-    * the adaptive savings only materialize when a round's windows move
-    * real data. Measured crossover: at 50k docs (10×) the cached form
-    * already wins for apply (11.5 → 8.6 s); at 5k docs it only costs.
+  /** Corpus size above which the adaptive machinery (incremental
+    * census state + per-round candidate count + bounded-vs-plain
+    * choice) pays for its own job overhead. Below it — the oracle
+    * fixtures — the loop runs the plain single-flow form: the extra
+    * ~2 s of scheduler round trips would DOUBLE a 3 s run at sf0.1
+    * while saving nothing, and the adaptive savings only materialize
+    * when a round's windows move real data. Measured crossover: at 50k
+    * docs (10×) the cached form already wins for apply (11.5 → 8.6 s);
+    * at 5k docs it only costs. The incremental loop is pinned
+    * bit-identical to the plain one on small corpora in
+    * Round12OpsSpec, so the gate is a cost choice, not a semantic one.
     */
   private val bpeAdaptiveMinDocs = 20000L
 
-  private def bpeLoop(s: SparkSession, dir: String)
+  /** The pair census of a lookahead slice — the (a, b) → count frame
+    * each training round argmaxes over. Map-side-combined aggregate;
+    * over a bounded slice it is the DELTA source the incremental loop
+    * folds.
+    */
+  private def censusOf(slice: DataFrame): DataFrame =
+    slice.filter(col("nxt").isNotNull)
+      .groupBy(col("tok").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The shared training loop: returns the chosen merges AND the final
+    * encoded token stream (the corpus after all merges applied) —
+    * [[bpeTrain]] emits the former, [[bpeApply]] aggregates the
+    * latter. Dispatches on corpus size: the plain single-flow form
+    * below [[bpeAdaptiveMinDocs]], the incremental-census form above
+    * it ([[bpeLoopIncremental]] — the 100 TB path).
+    */
+  private[graft] def bpeLoop(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val totalDocs = Tables.documents(s, dir).count()
+    if (totalDocs >= bpeAdaptiveMinDocs)
+      bpeLoopIncremental(s, dir, totalDocs)
+    else bpeLoopPlain(s, dir)
+  }
+
+  /** Plain per-round form: one full-stream `lead` window + one full
+    * pair census per round — O(corpus) each, no self-join. The chosen
+    * pair is ONE row collected driver-side (a model parameter, the
+    * [[graft.operators.SimOps]] quantizer-seed stance) and re-embedded
+    * as a literal, so the per-round plan is literal-parameterized, not
+    * correlated. Round streams pass through
+    * [[graft.Checkpoints.truncate]] (reliable-checkpoint upgradable):
+    * N rounds of window lineage would otherwise stack into one giant
+    * plan, and the eager cut lets the previous round's shuffle files
+    * drop. The oracle replays all N rounds as unrolled DuckDB CTEs
+    * generated from the same [[bpeTrainMerges]], so round count cannot
+    * drift between engines.
+    */
+  private[graft] def bpeLoopPlain(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     var stream = bpeTokenStream(s, dir)
-    val totalDocs = Tables.documents(s, dir).count()
-    val adaptive = totalDocs >= bpeAdaptiveMinDocs
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= bpeTrainMerges && !exhausted) {
-      val lookahead = stream
+      val withNext = stream
         .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-      val withNext =
-        if (adaptive) lookahead.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        else lookahead
-      val chosen = withNext.filter(col("nxt").isNotNull)
-        .groupBy(col("tok").as("a"), col("nxt").as("b"))
-        .agg(count(lit(1)).as("n"))
+      val chosen = censusOf(withNext)
         .orderBy(desc("n"), col("a"), col("b")).limit(1)
         .collect()
       if (chosen.isEmpty) exhausted = true // no adjacent pair anywhere
@@ -715,27 +708,108 @@ object TextOps extends OpModule {
           chosen(0).getLong(2))
         merges += ((round, a, b, n))
         val prev = stream
-        // exact adjacency candidates — the census frame already knows
-        // precisely which docs contain the winning pair; counting them
-        // is a cheap partial-agg over the round's cached lookahead
-        def cand = withNext
-          .filter(col("tok") === lit(a) && col("nxt") === lit(b))
-          .select(col("doc_id")).distinct()
-        val next =
-          if (adaptive && cand.count() * 2 < totalDocs)
-            boundedMergePass(stream,
-              withNext.join(cand, Seq("doc_id"), "left_semi"), a, b, cand)
-          else plainMergePass(withNext, a, b)
-        stream = next.transform(graft.Checkpoints.truncate)
+        stream = plainMergePass(withNext, a, b)
+          .transform(graft.Checkpoints.truncate)
         // new stream is materialized (eager truncate) — the previous
         // round's blocks are dead; drop them deterministically rather
         // than letting dead round-frames pile up on the context cleaner
         prev.unpersist(false)
       }
-      if (adaptive) withNext.unpersist(false)
       round += 1
     }
     (merges.result(), stream)
+  }
+
+  /** INCREMENTAL-CENSUS training loop — the scale form. The round-11
+    * shape still paid a full-stream `lead` window plus a full pair
+    * census EVERY round, even though a merge of (a, b) only perturbs
+    * pair adjacencies inside the documents that contain the pair. This
+    * loop makes both incremental:
+    *
+    *  - the round STATE is the token stream WITH its lookahead column
+    *    (doc_id, pos, tok, nxt), built by one full window pass up
+    *    front and thereafter rewritten only for AFFECTED docs (the
+    *    untouched majority passes through a broadcast anti join
+    *    verbatim — its rows, positions, and lookaheads are untouched
+    *    by construction, since merges never cross doc boundaries);
+    *  - the pair CENSUS persists across rounds and folds per-round
+    *    DELTAS: censusOf(affected docs after) − censusOf(affected docs
+    *    before), both over the bounded slice only. Counts stay exact —
+    *    the argmax (and its DuckDB-replayed tie order: n desc, a, b)
+    *    is over identical numbers, just assembled incrementally.
+    *
+    * Per bounded round the full stream is SCANNED once (anti join +
+    * state rewrite, narrow) but shuffled and windowed only over
+    * affected docs. When the winning pair is corpus-wide (candidate
+    * docs ≥ half), delta assembly would cost two near-full censuses —
+    * the round falls back to the plain full recompute instead, same
+    * adaptive stance as round 11's merge pass. Equivalence to the
+    * plain loop is pinned bit-identical in Round12OpsSpec; oracle
+    * parity rides the shared `llm_bpe_train`/`llm_bpe_apply` gates.
+    */
+  private[graft] def bpeLoopIncremental(s: SparkSession, dir: String,
+      totalDocs: Long): (Seq[(Int, String, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    var state = bpeTokenStream(s, dir)
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .transform(graft.Checkpoints.truncate)
+    var census = censusOf(state).transform(graft.Checkpoints.truncate)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= bpeTrainMerges && !exhausted) {
+      val chosen = census
+        .orderBy(desc("n"), col("a"), col("b")).limit(1).collect()
+      if (chosen.isEmpty) exhausted = true // no adjacent pair anywhere
+      else {
+        val (a, b, n) = (chosen(0).getString(0), chosen(0).getString(1),
+          chosen(0).getLong(2))
+        merges += ((round, a, b, n))
+        val prevState = state
+        val prevCensus = census
+        // exact adjacency candidates, read off the persisted state —
+        // no recomputed lookahead, no full census; persisted so the
+        // count, the semi join, and the anti join share ONE state scan
+        val cand = state
+          .filter(col("tok") === lit(a) && col("nxt") === lit(b))
+          .select(col("doc_id")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (cand.count() * 2 < totalDocs) {
+          val affectedBefore = state.join(cand, Seq("doc_id"), "left_semi")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val affectedAfter = mergeCore(affectedBefore, a, b)
+            .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          state = prevState.join(cand, Seq("doc_id"), "left_anti")
+            .union(affectedAfter)
+            .transform(graft.Checkpoints.truncate)
+          census = prevCensus
+            .union(censusOf(affectedAfter))
+            .union(censusOf(affectedBefore)
+              .select(col("a"), col("b"), (-col("n")).as("n")))
+            .groupBy(col("a"), col("b"))
+            .agg(sum(col("n")).cast("long").as("n"))
+            .filter(col("n") > 0)
+            .transform(graft.Checkpoints.truncate)
+          affectedBefore.unpersist(false)
+          affectedAfter.unpersist(false)
+        } else {
+          // corpus-wide pair: the delta path would census ~everything
+          // twice — recompute once instead
+          state = plainMergePass(prevState, a, b)
+            .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+            .transform(graft.Checkpoints.truncate)
+          census = censusOf(state).transform(graft.Checkpoints.truncate)
+        }
+        cand.unpersist(false)
+        prevState.unpersist(false)
+        prevCensus.unpersist(false)
+      }
+      round += 1
+    }
+    (merges.result(), state.select(col("doc_id"), col("pos"), col("tok")))
   }
 
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
@@ -864,22 +938,19 @@ object TextOps extends OpModule {
   }
 
   /** Per-fixture persisted [[bpeTrain]] merge table backing the
-    * `llm_bpe_apply_served` query — built once on first access (the
-    * [[graft.operators.DedupOps]] label-store pattern), read as
-    * parquet thereafter, so the bench measures the true serving cost:
-    * encode-from-artifact, never retrain.
+    * `llm_bpe_apply_served` query — built once per fixture FINGERPRINT
+    * (the shared [[ArtifactStore]] cache: regenerating the fixture
+    * in-place invalidates instead of serving stale merges, and the temp
+    * parquet is swept on exit), read as parquet thereafter, so the
+    * bench measures the true serving cost: encode-from-artifact, never
+    * retrain.
     */
-  private val mergeStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def mergeStore(s: SparkSession, dir: String): DataFrame = {
-    val base = new java.io.File(dir).getCanonicalPath
-    val path = mergeStoreCache.computeIfAbsent(base, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_bpe")
-        .resolve("merges.parquet").toString
-      bpeTrain(s, dir).write.mode("overwrite").parquet(out)
-      out
-    })
-    s.read.parquet(path)
+    val root = ArtifactStore.cached("bpe_merges", dir) { out =>
+      bpeTrain(s, dir).write.mode("overwrite")
+        .parquet(s"$out/merges.parquet")
+    }
+    s.read.parquet(s"$root/merges.parquet")
   }
 
   /** [[bpeApplyFromStore]] over the persisted [[mergeStore]] — same

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** Round-12 additions: the incremental-census BPE training loop and the
+  * fingerprint-keyed artifact store.
+  */
+class Round12OpsSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def streamRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select(col("doc_id"), col("pos"), col("tok"))
+      .orderBy(col("doc_id"), col("pos"))
+      .collect().map(_.toSeq.mkString("|")).toSeq
+
+  test("incremental-census BPE loop is bit-identical to the plain loop: " +
+    "same merges (pair, order, count-at-selection), same final stream") {
+    for (dir <- Seq(sf0001, sf001)) {
+      val (mPlain, sPlain) = TextOps.bpeLoopPlain(spark, dir)
+      val docs = Tables.documents(spark, dir).count()
+      val (mIncr, sIncr) = TextOps.bpeLoopIncremental(spark, dir, docs)
+      assert(mIncr === mPlain, s"merge table diverged at $dir")
+      assert(streamRows(sIncr) === streamRows(sPlain),
+        s"final token stream diverged at $dir")
+    }
+  }
+
+  test("artifact store invalidates on fixture regeneration: " +
+    "llm_bpe_apply_served re-trains instead of serving stale merges") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_regen").toString
+    def writeDocs(texts: Seq[String]): Unit =
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // corpus v1: merges favor (x y)
+    writeDocs(Seq.fill(8)("x y x y x y q"))
+    val v1 = TextOps.bpeApplyServed(spark, dir).collect().toSeq
+    assert(v1 === TextOps.bpeApply(spark, dir).collect().toSeq)
+    // regenerate the fixture IN PLACE with a different corpus; a
+    // dir-keyed cache would keep serving v1's merge table silently
+    writeDocs(Seq.fill(8)("p q r p q r p q r s t"))
+    val v2 = TextOps.bpeApplyServed(spark, dir).collect().toSeq
+    assert(v2 === TextOps.bpeApply(spark, dir).collect().toSeq,
+      "served path diverged from retrain after fixture regeneration")
+    assert(v2 !== v1)
+  }
+
+  test("partsupp guard fires even when the part table is EMPTY " +
+    "(< 4 suppliers must never pass silently)") {
+    val dir = java.nio.file.Files.createTempDirectory("ps_empty").toString
+    val s2 = spark
+    import s2.implicits._
+    Seq.empty[Long].toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq(1L, 2L).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    val e = intercept[Exception] {
+      graft.operators.PartSuppOps.partsupp(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(_.contains("4 suppliers")),
+      s"unexpected error: $e")
+  }
+}
