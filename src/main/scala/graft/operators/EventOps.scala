@@ -192,7 +192,13 @@ object EventOps extends OpModule {
   def attributionAuto(s: SparkSession, dir: String): DataFrame = {
     val hot = estimatedHotKeyRows(Tables.events(s, dir)
       .select(col("user_id")))
-    if (hot > hotKeyTaskRows) attributionSegmented(s, dir)
+    val segmented = hot > hotKeyTaskRows
+    // stderr breadcrumb so bench/tier logs show WHICH plan a recorded
+    // number measured — the dispatch is invisible in the plan name
+    System.err.println(
+      s"[graft] attribution dispatch: est=$hot bar=$hotKeyTaskRows -> " +
+        (if (segmented) "segmented" else "plain"))
+    if (segmented) attributionSegmented(s, dir)
     else attribution(s, dir)
   }
 

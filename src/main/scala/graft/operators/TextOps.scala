@@ -636,43 +636,55 @@ object TextOps extends OpModule {
         col("tok"))
   }
 
-  /** Corpus size above which the adaptive machinery (incremental
-    * census state + per-round candidate count + bounded-vs-plain
-    * choice) pays for its own job overhead. Below it — the oracle
-    * fixtures — the loop runs the plain single-flow form: the extra
-    * ~2 s of scheduler round trips would DOUBLE a 3 s run at sf0.1
-    * while saving nothing, and the adaptive savings only materialize
-    * when a round's windows move real data. Measured crossover: at 50k
-    * docs (10×) the cached form already wins for apply (11.5 → 8.6 s);
-    * at 5k docs it only costs. The incremental loop is pinned
-    * bit-identical to the plain one on small corpora in
-    * Round12OpsSpec, so the gate is a cost choice, not a semantic one.
+  /** Corpus size above which the doc-array training form pays for its
+    * per-round cache-force actions and typed-encoder boundary. Below
+    * it — the oracle fixtures — the loop runs the plain single-flow
+    * form: extra scheduler round trips would meaningfully tax a 3 s
+    * run at sf0.1 while saving little. The array loop is pinned
+    * bit-identical to the plain one at two SFs in Round12OpsSpec, so
+    * the gate is a cost choice, not a semantic one.
     */
   private val bpeAdaptiveMinDocs = 20000L
 
   /** The pair census of a lookahead slice — the (a, b) → count frame
-    * each training round argmaxes over. Map-side-combined aggregate;
-    * over a bounded slice it is the DELTA source the incremental loop
-    * folds.
+    * each plain-form training round argmaxes over. Map-side-combined
+    * aggregate.
     */
   private def censusOf(slice: DataFrame): DataFrame =
     slice.filter(col("nxt").isNotNull)
       .groupBy(col("tok").as("a"), col("nxt").as("b"))
       .agg(count(lit(1)).as("n"))
 
-  /** The shared training loop: returns the chosen merges AND the final
-    * encoded token stream (the corpus after all merges applied) —
-    * [[bpeTrain]] emits the former, [[bpeApply]] aggregates the
-    * latter. Dispatches on corpus size: the plain single-flow form
-    * below [[bpeAdaptiveMinDocs]], the incremental-census form above
-    * it ([[bpeLoopIncremental]] — the 100 TB path).
+  /** The shared training loop: returns the chosen merges AND the
+    * per-doc ENCODED TOKEN COUNTS of the final stream (the only thing
+    * the corpus-after-merges is consumed for) — [[bpeTrain]] emits the
+    * former, [[bpeApply]] rolls up the latter. Dispatches on corpus
+    * size: the plain single-flow form below [[bpeAdaptiveMinDocs]],
+    * the doc-array form above it ([[bpeLoopArrays]] — the 100 TB
+    * path).
     */
   private[graft] def bpeLoop(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val totalDocs = Tables.documents(s, dir).count()
-    if (totalDocs >= bpeAdaptiveMinDocs)
-      bpeLoopIncremental(s, dir, totalDocs)
-    else bpeLoopPlain(s, dir)
+    if (totalDocs >= bpeAdaptiveMinDocs) {
+      val (ms, state) = bpeLoopArrays(s, dir)
+      val s2 = s
+      import s2.implicits._
+      // the per-doc counts are doc-count-sized (tiny next to the token
+      // arrays), so cut them eagerly and DROP the corpus-sized state
+      // cache right here — leaving it to the context cleaner leaks a
+      // corpus of cached arrays per invocation, which back-to-back
+      // runs turn into eviction/GC churn
+      val counts = state.map { case (id, toks) => (id, toks.length.toLong) }
+        .toDF("doc_id", "n_toks_enc")
+        .transform(graft.Checkpoints.truncate)
+      state.unpersist(false)
+      (ms, counts)
+    } else {
+      val (ms, stream) = bpeLoopPlain(s, dir)
+      (ms, stream.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks_enc")))
+    }
   }
 
   /** Plain per-round form: one full-stream `lead` window + one full
@@ -720,100 +732,107 @@ object TextOps extends OpModule {
     (merges.result(), stream)
   }
 
-  /** INCREMENTAL-CENSUS training loop — the scale form. The round-11
-    * shape still paid a full-stream `lead` window plus a full pair
-    * census EVERY round, even though a merge of (a, b) only perturbs
-    * pair adjacencies inside the documents that contain the pair. This
-    * loop makes both incremental:
+  /** DOC-ARRAY training loop — the scale form. Merges never cross
+    * document boundaries, so the positional row-per-token frame the
+    * plain loop rewrites (N full-stream `lead` windows, N `row_number`
+    * renumbers, N full-stream lineage cuts) over-distributes the
+    * problem: the only thing a round needs GLOBALLY is the pair census
+    * (a ~vocab²-row aggregate) and its 1-row argmax; everything else
+    * is per-document. This loop keeps the state as ONE ROW PER DOC —
+    * (doc_id, token array), cached — and per round runs:
     *
-    *  - the round STATE is the token stream WITH its lookahead column
-    *    (doc_id, pos, tok, nxt), built by one full window pass up
-    *    front and thereafter rewritten only for AFFECTED docs (the
-    *    untouched majority passes through a broadcast anti join
-    *    verbatim — its rows, positions, and lookaheads are untouched
-    *    by construction, since merges never cross doc boundaries);
-    *  - the pair CENSUS persists across rounds and folds per-round
-    *    DELTAS: censusOf(affected docs after) − censusOf(affected docs
-    *    before), both over the bounded slice only. Counts stay exact —
-    *    the argmax (and its DuckDB-replayed tie order: n desc, a, b)
-    *    is over identical numbers, just assembled incrementally.
+    *  - the census as a narrow flatMap over the cached arrays into a
+    *    map-side-combined hash aggregate (the only shuffle, carrying
+    *    distinct-pair partials, not tokens);
+    *  - the merge as a narrow per-doc map applying [[bpeMergeOnce]] —
+    *    the SAME single-round greedy pass the serving encode replays
+    *    ([[bpeEncodeTokens]] is its fold), already proven equivalent
+    *    to the windowed [[mergeCore]] mechanics in Round11OpsSpec.
     *
-    * Per bounded round the full stream is SCANNED once (anti join +
-    * state rewrite, narrow) but shuffled and windowed only over
-    * affected docs. When the winning pair is corpus-wide (candidate
-    * docs ≥ half), delta assembly would cost two near-full censuses —
-    * the round falls back to the plain full recompute instead, same
-    * adaptive stance as round 11's merge pass. Equivalence to the
-    * plain loop is pinned bit-identical in Round12OpsSpec; oracle
-    * parity rides the shared `llm_bpe_train`/`llm_bpe_apply` gates.
+    * No windows, no positional renumbering, no full-stream
+    * checkpoints: per round the corpus is scanned twice from cache
+    * (census + forced merge rewrite) and nothing corpus-sized ever
+    * shuffles. Lineage stays shallow (one narrow map per round off a
+    * cached parent), so executor loss on a real cluster recomputes a
+    * partition from the parquet scan + ≤N local passes —
+    * deterministic, no reliable-checkpoint requirement. A round-11
+    * incremental-census variant (per-round deltas from affected docs)
+    * measured SLOWER than the plain loop at 100× (76.8 s vs 45.4 s):
+    * this corpus's small vocabulary makes every winning pair
+    * corpus-wide, so doc-level pruning never fires and the delta
+    * bookkeeping (per-round candidate count + census checkpoint + a
+    * 4-column state cut) was pure overhead. The array form wins in
+    * both regimes instead of betting on skew. Bit-identity with the
+    * plain loop (merge table AND final stream) is pinned in
+    * Round12OpsSpec; oracle parity rides the shared
+    * `llm_bpe_train`/`llm_bpe_apply` gates.
     */
-  private[graft] def bpeLoopIncremental(s: SparkSession, dir: String,
-      totalDocs: Long): (Seq[(Int, String, String, Long)], DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def bpeLoopArrays(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)],
+         org.apache.spark.sql.Dataset[(Long, Array[String])]) = {
     import org.apache.spark.storage.StorageLevel
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    var state = bpeTokenStream(s, dir)
-      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-      .transform(graft.Checkpoints.truncate)
-    var census = censusOf(state).transform(graft.Checkpoints.truncate)
+    val s2 = s
+    import s2.implicits._
+    var state = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Array[String])]
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= bpeTrainMerges && !exhausted) {
-      val chosen = census
-        .orderBy(desc("n"), col("a"), col("b")).limit(1).collect()
+      val chosen = state.flatMap { case (_, toks) =>
+        if (toks.length < 2) Iterator.empty
+        else (0 until toks.length - 1).iterator
+          .map(i => (toks(i), toks(i + 1)))
+      }.toDF("a", "b")
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("a"), col("b")).limit(1)
+        .collect()
       if (chosen.isEmpty) exhausted = true // no adjacent pair anywhere
       else {
         val (a, b, n) = (chosen(0).getString(0), chosen(0).getString(1),
           chosen(0).getLong(2))
         merges += ((round, a, b, n))
-        val prevState = state
-        val prevCensus = census
-        // exact adjacency candidates, read off the persisted state —
-        // no recomputed lookahead, no full census; persisted so the
-        // count, the semi join, and the anti join share ONE state scan
-        val cand = state
-          .filter(col("tok") === lit(a) && col("nxt") === lit(b))
-          .select(col("doc_id")).distinct()
+        val prev = state
+        state = prev.map { case (id, toks) => (id, bpeMergeOnce(toks, a, b)) }
           .persist(StorageLevel.MEMORY_AND_DISK)
-        if (cand.count() * 2 < totalDocs) {
-          val affectedBefore = state.join(cand, Seq("doc_id"), "left_semi")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          val affectedAfter = mergeCore(affectedBefore, a, b)
-            .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          state = prevState.join(cand, Seq("doc_id"), "left_anti")
-            .union(affectedAfter)
-            .transform(graft.Checkpoints.truncate)
-          census = prevCensus
-            .union(censusOf(affectedAfter))
-            .union(censusOf(affectedBefore)
-              .select(col("a"), col("b"), (-col("n")).as("n")))
-            .groupBy(col("a"), col("b"))
-            .agg(sum(col("n")).cast("long").as("n"))
-            .filter(col("n") > 0)
-            .transform(graft.Checkpoints.truncate)
-          affectedBefore.unpersist(false)
-          affectedAfter.unpersist(false)
-        } else {
-          // corpus-wide pair: the delta path would census ~everything
-          // twice — recompute once instead
-          state = plainMergePass(prevState, a, b)
-            .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
-            .transform(graft.Checkpoints.truncate)
-          census = censusOf(state).transform(graft.Checkpoints.truncate)
-        }
-        cand.unpersist(false)
-        prevState.unpersist(false)
-        prevCensus.unpersist(false)
+        // force the new cache off the old one BEFORE dropping it —
+        // unpersisting first would make the next census recompute the
+        // whole merge chain from the parquet scan
+        state.count()
+        prev.unpersist(false)
       }
       round += 1
     }
-    (merges.result(), state.select(col("doc_id"), col("pos"), col("tok")))
+    (merges.result(), state)
   }
 
+  /** The doc-array state as the positional (doc_id, pos, tok) stream —
+    * the representation-equivalence bridge Round12OpsSpec compares
+    * against [[bpeLoopPlain]]'s output.
+    */
+  private[graft] def bpeArrayStream(
+      state: org.apache.spark.sql.Dataset[(Long, Array[String])])
+      : DataFrame =
+    state.toDF("doc_id", "toks")
+      .select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok"))
+
   def bpeTrain(s: SparkSession, dir: String): DataFrame = {
-    val (ms, _) = bpeLoop(s, dir)
+    // dispatch directly (not through bpeLoop): training consumes only
+    // the merge table, so the per-doc count pass the apply path cuts
+    // would be a wasted corpus scan here — but the state cache still
+    // has to be dropped explicitly
+    val totalDocs = Tables.documents(s, dir).count()
+    val ms =
+      if (totalDocs >= bpeAdaptiveMinDocs) {
+        val (m, state) = bpeLoopArrays(s, dir)
+        state.unpersist(false)
+        m
+      } else bpeLoopPlain(s, dir)._1
     val s2 = s
     import s2.implicits._
     ms.toDF("merge_rank", "a", "b", "n")
@@ -834,23 +853,24 @@ object TextOps extends OpModule {
     * replaced by a rank-ordered broadcast lookup — same plan shape, same
     * cost). Every doc appears: a 1-token doc simply never merges.
     *
-    * Scale shape: inherited from [[bpeTrain]] — per-round cost is one
-    * windowed pass over the positional stream with Checkpoints lineage
-    * cuts; the final rollup is one per-doc count. The oracle replays the
-    * identical unrolled rounds and aggregates stream_N per doc.
+    * Scale shape: inherited from [[bpeTrain]] — per-round cost is two
+    * cached-array passes (census + narrow merge map) in the doc-array
+    * form, one windowed pass in the small-corpus plain form; the final
+    * rollup is a per-doc count read straight off the state. The oracle
+    * replays the identical unrolled rounds and aggregates stream_N per
+    * doc.
     */
   def bpeApply(s: SparkSession, dir: String): DataFrame = {
-    val (_, finalStream) = bpeLoop(s, dir)
-    encodeRollup(s, dir, finalStream)
+    val (_, encCounts) = bpeLoop(s, dir)
+    encodeRollup(s, dir, encCounts)
   }
 
   /** The per-doc before/after/compression report both encode paths
-    * share — the only consumer of the final token stream.
+    * share — joins the per-doc encoded-token counts (the only thing
+    * the final token stream is consumed for) against the originals.
     */
   private def encodeRollup(s: SparkSession, dir: String,
-      finalStream: DataFrame): DataFrame = {
-    val enc = finalStream.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_toks_enc"))
+      enc: DataFrame): DataFrame = {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_toks_orig"))
@@ -896,26 +916,33 @@ object TextOps extends OpModule {
       .orderBy(col("merge_rank")).collect()
       .map(r => (r.getString(1), r.getString(2)))
 
+  /** ONE round of greedy left-to-right merging of (a, b) over one
+    * doc's token array — the local core the doc-array TRAINING loop
+    * applies per round and the serving replay folds per ranked merge.
+    * In `a a a` with pair (a, a), positions 1–2 merge and 2–3 cannot —
+    * its left token was consumed. Same semantics as the windowed
+    * [[mergeCore]] (equivalence spec'd in Round11OpsSpec).
+    */
+  private[graft] def bpeMergeOnce(toks: Array[String],
+      a: String, b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.result()
+  }
+
   /** Greedy left-to-right replay of the ranked merges over one doc's
     * token array — the per-row core both the batch serving path and
-    * the streaming encode share. In `a a a`, positions 1–2 merge and
-    * 2–3 cannot — its left token was consumed.
+    * the streaming encode share: a fold of [[bpeMergeOnce]] in rank
+    * order.
     */
   private[graft] def bpeEncodeTokens(t0: Array[String],
-      ranked: Array[(String, String)]): Array[String] = {
-    var toks = t0
-    ranked.foreach { case (a, b) =>
-      val out = Array.newBuilder[String]
-      var i = 0
-      while (i < toks.length) {
-        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += toks(i); i += 1 }
-      }
-      toks = out.result()
-    }
-    toks
-  }
+      ranked: Array[(String, String)]): Array[String] =
+    ranked.foldLeft(t0) { case (toks, (a, b)) => bpeMergeOnce(toks, a, b) }
 
   /** The per-doc before/after/compression frame over any (doc_id,
     * text) source — a pure stateless projection, so it runs unchanged

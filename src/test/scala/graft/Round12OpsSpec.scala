@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.TextOps
 
-/** Round-12 additions: the incremental-census BPE training loop and the
+/** Round-12 additions: the doc-array BPE training loop and the
   * fingerprint-keyed artifact store.
   */
 class Round12OpsSpec extends SparkSpec {
@@ -16,15 +16,15 @@ class Round12OpsSpec extends SparkSpec {
       .orderBy(col("doc_id"), col("pos"))
       .collect().map(_.toSeq.mkString("|")).toSeq
 
-  test("incremental-census BPE loop is bit-identical to the plain loop: " +
+  test("doc-array BPE loop is bit-identical to the plain loop: " +
     "same merges (pair, order, count-at-selection), same final stream") {
     for (dir <- Seq(sf0001, sf001)) {
       val (mPlain, sPlain) = TextOps.bpeLoopPlain(spark, dir)
-      val docs = Tables.documents(spark, dir).count()
-      val (mIncr, sIncr) = TextOps.bpeLoopIncremental(spark, dir, docs)
-      assert(mIncr === mPlain, s"merge table diverged at $dir")
-      assert(streamRows(sIncr) === streamRows(sPlain),
-        s"final token stream diverged at $dir")
+      val (mArr, stArr) = TextOps.bpeLoopArrays(spark, dir)
+      assert(mArr === mPlain, s"merge table diverged at $dir")
+      assert(streamRows(TextOps.bpeArrayStream(stArr)) ===
+        streamRows(sPlain), s"final token stream diverged at $dir")
+      stArr.unpersist()
     }
   }
 
