@@ -279,16 +279,163 @@ object CurationOps extends OpModule {
         .otherwise(lit("")))
   }
 
+  /** Hashed feature-bucket count for DSIR — fixed model width, so the
+    * census state is mergeable and constant-size at any corpus scale.
+    */
+  private val dsirBuckets = 256
+
+  /** How many documents the Gumbel resample keeps. */
+  private val dsirK = 200
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by the log importance ratio of its hashed-n-gram profile
+    * under a TARGET distribution vs the RAW corpus distribution, then
+    * Gumbel-top-k resample ∝ exp(weight). The target here is the
+    * corpus's own `lang = 'en'` slice (a stand-in for the curated
+    * high-quality sample a production run supplies); features are
+    * unigrams + space-joined bigrams hashed into [[dsirBuckets]] buckets
+    * by the portable md5 bucket ([[TextOps.md5Bucket]]), with +1 Laplace
+    * smoothing per bucket.
+    *
+    * Parity design (the [[TextOps.lmArtifact]] fixed-point stance): each
+    * bucket's two `ln` probabilities are quantized ONCE to integer
+    * micro-nats, so a document's weight is an EXACT BIGINT sum no
+    * accumulation order can perturb; the Gumbel key g = −ln(−ln(u)) uses
+    * the md5-derived 60-bit uniform and is quantized to the same grid,
+    * so score = w + g stays exact-integer and the top-k is
+    * engine-independent.
+    *
+    * Scale shape: ONE gram pass feeds a 256-row census (map-side-combined
+    * hash aggregate — constant-width state, the raw and target counts in
+    * the same pass via a conditional sum); the log-ratio table broadcasts
+    * back onto the gram stream and the per-doc weight is one
+    * map-side-combined sum keyed by doc_id; selection is
+    * `TakeOrderedAndProject` (bounded heap per partition, never a global
+    * sort). At 100 TB the target census comes from the small curated
+    * corpus (broadcast by construction) and the raw census is the same
+    * 256-bucket mergeable aggregate — the scoring pass stays one narrow
+    * map + one well-keyed shuffle.
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    dsirSelectFrame(Tables.documents(s, dir))
+
+  /** [[dsirSelect]] over an arbitrary (doc_id, text, lang) frame — the
+    * spec entry point (synthetic corpora with a planted target-vocab
+    * slice exercise the upweighting the shipped fixture's
+    * lang-independent text cannot).
+    */
+  private[graft] def dsirSelectFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"), col("lang"), toks.as("tk"))
+    val uni = t.select(col("doc_id"), col("lang"),
+      explode(col("tk")).as("g")).filter(col("g") =!= "")
+    val bi = t
+      .select(col("doc_id"), col("lang"),
+        explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1).as("a"),
+          slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))).as("pr"))
+      .select(col("doc_id"), col("lang"),
+        concat(col("pr.a"), lit(" "), col("pr.b")).as("g"))
+    val grams = uni.unionByName(bi)
+      .withColumn("b", TextOps.md5Bucket(col("g"), dsirBuckets))
+    val census = grams.groupBy(col("b")).agg(
+      count(lit(1)).as("nq"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"))
+    val totals = census.agg(
+      sum(col("nq")).as("tq"), sum(col("np")).as("tp"))
+    val lr = census.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (round(log((col("np") + 1).cast("double") /
+            (col("tp") + dsirBuckets).cast("double")) * lit(1000000.0), 0)
+            .cast("long") -
+          round(log((col("nq") + 1).cast("double") /
+            (col("tq") + dsirBuckets).cast("double")) * lit(1000000.0), 0)
+            .cast("long")).as("lr_unat"))
+    val weights = grams.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lr_unat")).as("w_unat"), count(lit(1)).as("n_grams"))
+    val u60 = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+      16, 10).cast("long")
+    val u = (u60.cast("double") + lit(0.5)) / lit(1152921504606846976.0)
+    val scored = weights
+      .withColumn("score_unat",
+        col("w_unat") +
+          round(-log(-log(u)) * lit(1000000.0), 0).cast("long"))
+      .orderBy(desc("score_unat"), col("doc_id")).limit(dsirK)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(desc("score_unat"), col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_grams"),
+        (col("w_unat").cast("double") / lit(1000000.0)).as("logweight"),
+        (col("score_unat").cast("double") / lit(1000000.0))
+          .as("gumbel_score"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_url_dedup" -> urlDedup,
     "llm_decontaminate" -> decontaminate,
     "llm_pii_scrub" -> piiScrub,
     "llm_repetition" -> repetition,
     "llm_pack_sequences" -> packSequences,
-    "llm_chunk_windows" -> chunkWindows
+    "llm_chunk_windows" -> chunkWindows,
+    "llm_dsir_select" -> dsirSelect
   )
 
   val oracle: Map[String, String] = Map(
+    "llm_dsir_select" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |uni AS (SELECT doc_id, lang, unnest(tk) AS g FROM t),
+        |bi0 AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_zip(tk[1:length(tk) - 1],
+        |                         tk[2:length(tk)])) AS pr
+        |  FROM t),
+        |bi AS (SELECT doc_id, lang, pr[1] || ' ' || pr[2] AS g FROM bi0),
+        |grams AS (
+        |  SELECT doc_id, lang, g,
+        |         CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT
+        |              % $dsirBuckets AS BIGINT) AS b
+        |  FROM (SELECT * FROM uni WHERE g != ''
+        |        UNION ALL SELECT * FROM bi)),
+        |census AS (
+        |  SELECT b, count(*) AS nq,
+        |         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+        |  FROM grams GROUP BY b),
+        |tot AS (SELECT sum(nq) AS tq, sum(np) AS tp FROM census),
+        |lr AS (
+        |  SELECT b,
+        |         CAST(round(ln(CAST(np + 1 AS DOUBLE) /
+        |              CAST(tp + $dsirBuckets AS DOUBLE)) * 1000000.0)
+        |              AS BIGINT)
+        |       - CAST(round(ln(CAST(nq + 1 AS DOUBLE) /
+        |              CAST(tq + $dsirBuckets AS DOUBLE)) * 1000000.0)
+        |              AS BIGINT) AS lr_unat
+        |  FROM census, tot),
+        |w AS (
+        |  SELECT doc_id, CAST(sum(lr_unat) AS BIGINT) AS w_unat,
+        |         count(*) AS n_grams
+        |  FROM grams JOIN lr USING (b) GROUP BY doc_id),
+        |sc AS (
+        |  SELECT doc_id, n_grams, w_unat,
+        |         w_unat + CAST(round(-ln(-ln(
+        |           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                  1, 15))::UBIGINT AS DOUBLE) + 0.5)
+        |           / 1152921504606846976.0)) * 1000000.0) AS BIGINT)
+        |           AS score_unat
+        |  FROM w),
+        |top AS (
+        |  SELECT *, row_number()
+        |           OVER (ORDER BY score_unat DESC, doc_id) AS rank
+        |  FROM sc ORDER BY score_unat DESC, doc_id LIMIT $dsirK)
+        |SELECT CAST(rank AS INT) AS rank, doc_id,
+        |       CAST(n_grams AS BIGINT) AS n_grams,
+        |       CAST(w_unat AS DOUBLE) / 1000000.0 AS logweight,
+        |       CAST(score_unat AS DOUBLE) / 1000000.0 AS gumbel_score
+        |FROM top ORDER BY rank""".stripMargin,
     "llm_url_dedup" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -68,4 +68,31 @@ class Round12OpsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("4 suppliers")),
       s"unexpected error: $e")
   }
+
+  test("DSIR selection upweights target-profile documents: a planted " +
+    "en-vocab slice dominates the Gumbel top-k") {
+    val s2 = spark
+    import s2.implicits._
+    // 400 docs: the 100 'en' docs draw from a disjoint target vocabulary,
+    // so their hashed-gram profile carries a strongly positive importance
+    // ratio; the 300 raw-only docs should be resampled away.
+    val docs = (0 until 400).map { i =>
+      val en = i % 4 == 0
+      val vocab =
+        if (en) Array("alpha", "beta", "gamma", "delta")
+        else Array("noise", "crawl", "boiler", "plate", "spam")
+      val text = Array.tabulate(30)(j =>
+        vocab((i * 31 + j * 7) % vocab.length)).mkString(" ")
+      (i.toLong, text, if (en) "en" else "xx")
+    }.toDF("doc_id", "text", "lang")
+    val top = graft.operators.CurationOps.dsirSelectFrame(docs).collect()
+    assert(top.length === 200)
+    assert(top.map(_.getInt(0)).toSeq === (1 to 200), "ranks not dense")
+    val selected = top.map(_.getLong(1)).toSet
+    val enSelected = selected.count(_ % 4 == 0)
+    // all 100 target-vocab docs must survive resampling (their weights
+    // sit several nats above the raw-only docs, beyond any Gumbel noise)
+    assert(enSelected === 100,
+      s"expected all 100 target-profile docs selected, got $enSelected")
+  }
 }
