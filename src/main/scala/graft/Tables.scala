@@ -148,6 +148,39 @@ object Tables {
   }
   private def expr(e: String) = org.apache.spark.sql.functions.expr(e)
 
+  /** Row count of `documents.parquet` from parquet FOOTERS only — no
+    * Spark job, no data pages. [[graft.operators.TextOps]]'s adaptive
+    * BPE dispatch needs the corpus size before round 1, and paying a
+    * scan-shaped `count()` action for a single dispatch bit taxes every
+    * training invocation; footers carry the exact row count for free.
+    * Cached per canonical dir + (file count, max mtime) fingerprint so a
+    * regenerated fixture at the same path re-reads, a repeated one
+    * doesn't.
+    */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  def documentsCount(spark: SparkSession, dir: String): Long = {
+    val root = new java.io.File(dir, "documents.parquet")
+    val parts =
+      if (root.isFile) Array(root)
+      else Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val key = root.getCanonicalPath + "|" + parts.length + "|" +
+      (if (parts.isEmpty) 0L else parts.map(_.lastModified()).max)
+    docCountCache.computeIfAbsent(key, { _ =>
+      val hconf = spark.sessionState.newHadoopConf()
+      parts.map { file =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(file.toURI), hconf))
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        } finally reader.close()
+      }.sum
+    })
+  }
+
   /** Collision-resistant identifier-safe tag for a fixture dir — used to
     * scope temp-view names per fixture. Hex md5 of the canonical path:
     * never negative (unlike `math.abs(hashCode)`, whose Int.MinValue

@@ -316,6 +316,22 @@ object CurationOps extends OpModule {
     * corpus (broadcast by construction) and the raw census is the same
     * 256-bucket mergeable aggregate — the scoring pass stays one narrow
     * map + one well-keyed shuffle.
+    *
+    * Plan note (BroadcastNestedLoopJoin): the normalizing totals
+    * `(tq, tp)` are a ONE-ROW scalar aggregate, `crossJoin(broadcast(…))`
+    * onto the fixed 256-row census — the sanctioned [[TextOps]]
+    * llm_tfidf pattern. The BNLJ's build side is 1 row and its probe
+    * side is [[dsirBuckets]] rows at ANY corpus size, so the join is
+    * constant work; `llm_dsir_select` is on QueriesSmokeSpec's
+    * `broadcastNonEqui` allowlist for exactly this reason.
+    *
+    * Residual cross-engine risk (accepted under the lmArtifact stance):
+    * `round(ln(x)·1e6)` is evaluated independently by JVM `Math.log` and
+    * the oracle's libm, so a 1-ulp difference landing exactly on a
+    * .5-micro-nat boundary could flip one `lr_unat` (or Gumbel key) by 1
+    * and reorder a top-k tie neighborhood. Observed hash parity holds at
+    * all tested SFs; if it ever flips, derive the 256-entry log-ratio
+    * table once and feed both engines the same quantized constants.
     */
   def dsirSelect(s: SparkSession, dir: String): DataFrame =
     dsirSelectFrame(Tables.documents(s, dir))

@@ -665,7 +665,9 @@ object TextOps extends OpModule {
     */
   private[graft] def bpeLoop(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val totalDocs = Tables.documents(s, dir).count()
+    // parquet-footer row count (metadata only, cached per fixture) — the
+    // dispatch bit must not cost a scan-shaped action before round 1
+    val totalDocs = Tables.documentsCount(s, dir)
     if (totalDocs >= bpeAdaptiveMinDocs) {
       val (ms, state) = bpeLoopArrays(s, dir)
       val s2 = s

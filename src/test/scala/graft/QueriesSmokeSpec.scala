@@ -73,13 +73,18 @@ class QueriesSmokeSpec extends SparkSpec {
   // work per part row, justified in PartSuppOps.partsupp's doc); q11
   // additionally compares against the same ONE-ROW importance
   // threshold q22 uses (justified in PartSuppOps.q11Shape's doc).
+  // llm_dsir_select (round 12): the normalizing totals (tq, tp) are the
+  // same broadcast ONE-ROW scalar aggregate as llm_tfidf, crossed onto
+  // the FIXED 256-row hashed-feature census — constant work at any
+  // corpus size (justified in CurationOps.dsirSelect's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
     "graph_triangles", "llm_bm25_topk", "tpch_q22_shape",
     "graph_jaccard_neighbors", "llm_doc_outlier", "graph_degree_census",
     "llm_embed_quantize", "tpch_q2_shape", "tpch_q9_shape",
-    "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape")
+    "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape",
+    "llm_dsir_select")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {

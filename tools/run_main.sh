@@ -3,7 +3,13 @@
 # with). Usage: tools/run_main.sh <MainClass> [args...]
 # Env: MEM (default 24g) -> -Xmx; extra env consumed by the main itself.
 set -eu
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+CLASSES="$REPO/target/scala-2.13/classes"
+if [ ! -d "$CLASSES" ]; then
+  echo "run_main.sh: $CLASSES missing — run 'sbt compile' first" >&2
+  exit 1
+fi
+CP="$CLASSES:/opt/spark/jars/*"
 OPENS=""
 for p in java.base/java.lang java.base/java.lang.invoke \
          java.base/java.lang.reflect java.base/java.io java.base/java.net \
