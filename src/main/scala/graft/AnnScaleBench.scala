@@ -40,11 +40,18 @@ object AnnScaleBench {
 
     val (tBrute, brute) = topSets(SimOps.simTopk(spark, dir))
 
+    // scale path: √n coarse cells (the frozen 10-seed build is the
+    // ORACLE configuration — at 1M vectors it would scan 40 % of the
+    // corpus per query; scaledCells keeps per-cell population bounded).
+    // ≤4096 vectors keeps the historical 10-seed shape so small-tier
+    // artifacts stay comparable across rounds.
+    val nCells = if (n <= 4096) 10 else SimOps.scaledCells(n)
     val tb0 = System.nanoTime()
-    val (cDf, aDf) = SimOps.annIndex(spark, dir)
+    val (cDf, aDf) = SimOps.annIndexWith(spark, dir, nCells)
     cDf.write.mode("overwrite").parquet(s"$dir/ann_index/centroids")
-    aDf.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/ann_index/assigned_bycell")
+    // one task per cell -> one file per partition dir, not tasks×cells
+    aDf.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/ann_index/assigned_bycell")
     val tBuild = (System.nanoTime() - tb0) / 1e9
     val cents = spark.read.parquet(s"$dir/ann_index/centroids")
     val store = spark.read.parquet(s"$dir/ann_index/assigned_bycell")
@@ -53,6 +60,17 @@ object AnnScaleBench {
       Tables.embeddings(spark, dir).filter(filter)
         .selectExpr("vec_id AS q_id", "embedding AS q_emb",
           "sqrt(graft_dot(embedding, embedding)) AS q_norm")
+    // the serving SHAPE must hold at this scale: dynamic partition
+    // pruning live (not degraded to the scan-everything `(true)` form)
+    val servedDf = SimOps.annSearchPruned(spark,
+      qFrame(col("vec_id") < 20), cents, store)
+    servedDf.collect()
+    val servePlan = servedDf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    require(servePlan.contains("dynamicpruningexpression("),
+      "pruned serve plan lost its DPP partition filter")
+    require(!servePlan.contains("dynamicpruningexpression(true)"),
+      "DPP degraded to scan-everything at this scale")
     val (tServe, served) = topSets(
       SimOps.annSearchPruned(spark, qFrame(col("vec_id") < 20),
         cents, store))
@@ -82,7 +100,7 @@ object AnnScaleBench {
 
     require(plantedIvf >= 0.98, s"IVF planted recall $plantedIvf < 0.98")
     require(plantedSrp >= 0.98, s"SRP planted recall $plantedSrp < 0.98")
-    println(s"""{"metric":"ann_scale","n_vectors":$n,""" +
+    println(s"""{"metric":"ann_scale","n_vectors":$n,"ivf_cells":$nCells,""" +
       s""""sec_brute":$tBrute,"sec_index_build":$tBuild,""" +
       s""""sec_served_pruned":$tServe,"recall_ivf":${recallOf(served)},""" +
       s""""planted_pairs":${plantedQs.size},""" +

@@ -479,12 +479,28 @@ object SimOps extends OpModule {
     * grid is 1e-6, ~7 decimal digits below any cosine that decides a
     * probe or a rank).
     */
-  def annIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  def annIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    annIndexWith(s, dir, 10)
+
+  /** [[annIndex]] with an explicit coarse-cell count — the SCALE entry
+    * point. `llm_ann_ivf`'s declared (and oracle-replayed) configuration
+    * is the frozen 10-seed quantizer above; a corpus-sized build sizes
+    * cells to ~√n ([[scaledCells]]) so per-cell population — and with it
+    * the exact-cosine candidate volume behind the 4-cell probe — stays
+    * bounded as n grows (10 frozen cells at 1M vectors would make every
+    * query scan 40 % of the corpus; 1024 cells scan ~0.4 %). Same
+    * fixed-point centroid refinement, same artifact shapes; only the
+    * quantizer width changes, so [[annSearchPruned]] serves either build
+    * unchanged. AnnScaleBench records this path with the planted-recall
+    * gate and the DPP-pruned plan assertion.
+    */
+  def annIndexWith(s: SparkSession, dir: String,
+      nSeeds: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val emb = withNorm(Tables.embeddings(s, dir))
     val assigned = emb
       .withColumn("cell",
-        element_at(rankedSeeds(typedlit(driverSeeds(s, dir, 10))), 1)
+        element_at(rankedSeeds(typedlit(driverSeeds(s, dir, nSeeds))), 1)
           .getField("sid"))
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
     val centroids = assigned
