@@ -353,6 +353,15 @@ object CurationOps extends OpModule {
           slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))).as("pr"))
       .select(col("doc_id"), col("lang"),
         concat(col("pr.a"), lit(" "), col("pr.b")).as("g"))
+    // The gram stream deliberately feeds BOTH passes from lineage
+    // (recomputed, never materialized): a measured one-pass variant
+    // that pre-aggregated (doc_id, bucket, n) counts and checkpointed
+    // them ran 2× SLOWER at the 500k-doc tier (24.4 s vs 12.3 s — the
+    // 40M-row materialization costs more than the second md5 pass) and
+    // degraded 5–9× on repeat invocations (an operator returning a lazy
+    // frame can never safely unpersist its own checkpoint, so
+    // back-to-back runs accumulate block-manager pressure — the r12
+    // bpeLoop lesson, re-measured here; BENCH note in PERF.md r13).
     val grams = uni.unionByName(bi)
       .withColumn("b", TextOps.md5Bucket(col("g"), dsirBuckets))
     val census = grams.groupBy(col("b")).agg(

@@ -189,6 +189,74 @@ object DedupOps extends OpModule {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-document repeated-span SCRUB — the TRANSFORM twin of
+    * [[spanDedup]] (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": exact duplicated substrings are REMOVED
+    * from the corpus, not just counted — the boilerplate / licence-header
+    * cut every production pretraining pipeline runs). Same signal as the
+    * census: every 16-token window (stride 1) is md5-hashed; a window is
+    * SHARED when its hash occurs in ≥ 2 distinct docs; every token
+    * position covered by a shared window is dropped and the survivors
+    * rejoin in original order. Emits per doc: token count, removed
+    * count, scrubbed text (empty string when nothing survives).
+    *
+    * Scale shape: the shuffled streams are (doc_id, start, md5) span
+    * keys — the [[spanDedup]] census machinery — and per-doc
+    * SHARED-START arrays (bounded by doc length, ABSENT for clean docs,
+    * so the bring-back join's build side is ~the contaminated slice of
+    * the corpus and AQE broadcasts it when sharing is sparse — the
+    * common case). The token arrays themselves never shuffle: the scrub
+    * is a narrow per-doc array `filter` with an index lambda probing the
+    * sorted start list, so a mostly-clean 100 TB corpus pays one
+    * span-hash pass, a tiny join, and a map-side rewrite. Production
+    * would cap the census at a document-frequency bound exactly as
+    * [[spanDedup]]'s doc describes.
+    */
+  def spanScrub(s: SparkSession, dir: String): DataFrame = {
+    val spanLen = 16
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // 60-bit md5-prefix span keys (the dsir/u60 idiom, replayed
+    // identically by the oracle): the census shuffle carries (long,
+    // long) instead of (32-char string, long) — measured 4× narrower at
+    // the 250M-span 5M-doc tier, where the full-string countDistinct
+    // form spilled superlinear (17× wall on 10× data; BENCH note in
+    // PERF.md r13). Both engines derive the SAME keys, so results stay
+    // bit-identical even in the ~2^-60-per-pair collision event (a
+    // collision would merge the same two span classes in both).
+    val spans = docs
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= spanLen)
+      .withColumn("i", explode(sequence(lit(0), col("n") - spanLen)))
+      .select(col("doc_id"), col("i"),
+        conv(substring(
+            md5(concat_ws(" ", slice(col("toks"), col("i") + 1,
+              lit(spanLen)))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    // shared ⇔ seen in ≥2 DISTINCT docs ⇔ min(doc) ≠ max(doc): exact,
+    // and a plain partial-aggregable min/max instead of countDistinct's
+    // per-key dedup expansion
+    val shared = spans.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val starts = spans.join(shared, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("i"))).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("starts").isNull, col("toks"))
+          .otherwise(filter(col("toks"), (_, p) =>
+            !exists(col("starts"),
+              st => st <= p && p <= st + lit(spanLen - 1)))))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("n_removed"),
+        array_join(col("kept"), " ").as("text_scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup pairs (exact Jaccard ≥ 0.9) from an artifact frame carrying
     * `doc_id, mh, shingles` — the staging-table form of [[dedupNear]] for
     * composed pipelines that already paid ONE shared corpus pass
@@ -823,6 +891,7 @@ object DedupOps extends OpModule {
     "llm_dup_clusters" -> dupClusters,
     "llm_dup_clusters_incremental" -> dupClustersIncrementalQuery,
     "llm_span_dedup" -> spanDedup,
+    "llm_span_scrub" -> spanScrub,
     "llm_novelty_rate" -> noveltyRate,
     "llm_cluster_keep_best" -> clusterKeepBest,
     "llm_train_eval_split" -> trainEvalSplit,
@@ -1030,6 +1099,39 @@ object DedupOps extends OpModule {
         |            ELSE 0.0 END AS shared_frac
         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Same span census, then the REMOVAL replayed with DuckDB's indexed
+    // list_filter lambdas (i is 1-BASED there, hence the i-1): a token
+    // survives iff no shared start covers its 0-based position. The
+    // COALESCE mirrors Spark's array_join on an empty survivor array
+    // ('' — DuckDB's array_to_string yields NULL on []).
+    "llm_span_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, i,
+        |         CAST(('0x' || substr(
+        |             md5(array_to_string(toks[i + 1 : i + 16], ' ')),
+        |             1, 15))::UBIGINT AS BIGINT) AS h
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(range(0, greatest(len(toks) - 15, 0))) AS i
+        |        FROM t)),
+        |c AS (SELECT h FROM s GROUP BY h
+        |      HAVING min(doc_id) <> max(doc_id)),
+        |st AS (SELECT s.doc_id, list(DISTINCT s.i ORDER BY s.i) AS starts
+        |       FROM s JOIN c USING (h) GROUP BY s.doc_id),
+        |k AS (
+        |  SELECT t.doc_id, t.toks,
+        |         CASE WHEN st.starts IS NULL THEN t.toks
+        |              ELSE list_filter(t.toks, (x, i) ->
+        |                len(list_filter(st.starts,
+        |                    s -> s <= i - 1 AND i - 1 <= s + 15)) = 0)
+        |         END AS kept
+        |  FROM t LEFT JOIN st USING (doc_id))
+        |SELECT doc_id,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+        |       COALESCE(array_to_string(kept, ' '), '') AS text_scrubbed
+        |FROM k ORDER BY doc_id""".stripMargin,
     // Connected components the slow-but-certain way: full pairwise
     // Jaccard builds the edge set, a recursive CTE computes reachability
     // (terminates: UNION dedups, the reachable set is finite), and each

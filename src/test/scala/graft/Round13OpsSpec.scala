@@ -39,6 +39,32 @@ class Round13OpsSpec extends SparkSpec {
       "stale footer count served after fixture regeneration")
   }
 
+  test("spanScrub removes exactly the cross-doc shared 16-token spans: " +
+    "planted boilerplate cut, unique prefix/suffix kept, short and " +
+    "fully-duplicated docs handled") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("spanscrub").toString
+    val boiler = (1 to 16).map(i => s"b$i").mkString(" ")
+    val dup = (1 to 20).map(i => s"d$i").mkString(" ")
+    Seq(
+      (0L, s"u1 u2 $boiler u3"),     // boilerplate + unique frame
+      (1L, s"v1 $boiler v2 v3 v4"),  // same boilerplate elsewhere
+      (2L, "tiny doc"),              // < 16 tokens: untouched
+      (3L, dup), (4L, dup)           // full duplicates: scrubbed empty
+    ).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.operators.DedupOps.spanScrub(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(0L) === ((19L, 16L, "u1 u2 u3")))
+    assert(got(1L) === ((20L, 16L, "v1 v2 v3 v4")))
+    assert(got(2L) === ((2L, 0L, "tiny doc")))
+    assert(got(3L) === ((20L, 20L, "")))
+    assert(got(4L) === ((20L, 20L, "")))
+  }
+
   /** The dispatch probe near the 250k bar: a planted hot key at the bar
     * ±20 % must produce a STABLE estimate (seeded sample — the chosen
     * plan may not flap run-to-run) that lands within ±20 % of truth, and
