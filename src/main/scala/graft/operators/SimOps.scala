@@ -498,9 +498,22 @@ object SimOps extends OpModule {
       nSeeds: Int): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val emb = withNorm(Tables.embeddings(s, dir))
+    // assignment needs only the ARGMAX cell, so take array_min of the
+    // same (neg_score, sid) structs [[rankedSeeds]] sorts — structs are
+    // orderable, min ≡ element_at(array_sort(...), 1) bit-for-bit —
+    // the llm_ann_ivf oracle replays the whole refined-centroid
+    // pipeline in DuckDB, so any divergence fails the gate — at
+    // O(cells) per row instead of the
+    // O(cells·log cells) full sort. At the 1M-vector × 512-cell build
+    // the sort was the dominant term; probes keep the sorted form (they
+    // need the top-4).
+    val seedsLit = typedlit(driverSeeds(s, dir, nSeeds))
     val assigned = emb
       .withColumn("cell",
-        element_at(rankedSeeds(typedlit(driverSeeds(s, dir, nSeeds))), 1)
+        array_min(transform(seedsLit, sd =>
+          struct(nanvl(-dot(col("embedding"), sd.getField("_2")),
+              lit(Double.NegativeInfinity)).as("neg"),
+            sd.getField("_1").as("sid"))))
           .getField("sid"))
       .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
     val centroids = assigned
