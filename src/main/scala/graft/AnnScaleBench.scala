@@ -98,6 +98,18 @@ object AnnScaleBench {
     val plantedSrp = plantedRecall(SimOps.annSrpWith(spark, dir, bits,
       SimOps.srpBands, col("vec_id") % 400 === 1))
 
+    // SRP SERVED: persist the bits table once (the corpus-snapshot
+    // artifact), then serve the 20-query batch from it — the steady
+    // state, where only the query side hashes at query time
+    val tsb0 = System.nanoTime()
+    SimOps.srpTableArtifact(spark, dir)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$dir/srp_table")
+    val tSrpBuild = (System.nanoTime() - tsb0) / 1e9
+    val srpStore = spark.read.parquet(s"$dir/srp_table")
+    val (tSrpServed, srpServed) = topSets(
+      SimOps.annSrpFromStore(spark, dir, srpStore))
+
     require(plantedIvf >= 0.98, s"IVF planted recall $plantedIvf < 0.98")
     require(plantedSrp >= 0.98, s"SRP planted recall $plantedSrp < 0.98")
     println(s"""{"metric":"ann_scale","n_vectors":$n,"ivf_cells":$nCells,""" +
@@ -107,7 +119,10 @@ object AnnScaleBench {
       s""""planted_recall_ivf":$plantedIvf,""" +
       s""""srp_bits":$bits,"sec_srp":$tSrp,""" +
       s""""recall_srp":${recallOf(srp)},""" +
-      s""""planted_recall_srp":$plantedSrp}""")
+      s""""planted_recall_srp":$plantedSrp,""" +
+      s""""sec_srp_table_build":$tSrpBuild,""" +
+      s""""sec_srp_served":$tSrpServed,""" +
+      s""""recall_srp_served":${recallOf(srpServed)}}""")
     spark.stop()
   }
 }
