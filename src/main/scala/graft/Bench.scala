@@ -236,8 +236,11 @@ object Bench {
     val total = results.values.flatten.sum
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
     val failedJson = failed.mkString("[", ",", "]")
+    // every record self-describes its protocol: a single-JVM "latest"
+    // overwrite can never masquerade as (or be compared raw against) a
+    // family-JVM record again
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","protocol":"single_jvm"}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath()), line + "\n")

@@ -153,20 +153,30 @@ object Tables {
     * BPE dispatch needs the corpus size before round 1, and paying a
     * scan-shaped `count()` action for a single dispatch bit taxes every
     * training invocation; footers carry the exact row count for free.
-    * Cached per canonical dir + (file count, max mtime) fingerprint so a
-    * regenerated fixture at the same path re-reads, a repeated one
-    * doesn't.
+    * Cached per canonical dir + (file count, max mtime, total bytes)
+    * fingerprint so a regenerated fixture at the same path re-reads, a
+    * repeated one doesn't (byte totals catch a same-part-count rewrite
+    * landing within mtime granularity). Part files are collected
+    * RECURSIVELY (a partitioned layout must count, not silently
+    * undercount), and zero part files fail loudly — the count() this
+    * replaced would have thrown on a missing table too.
     */
   private val docCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
   def documentsCount(spark: SparkSession, dir: String): Long = {
     val root = new java.io.File(dir, "documents.parquet")
-    val parts =
-      if (root.isFile) Array(root)
-      else Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    def walk(f: java.io.File): Array[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .flatMap(walk)
+      else if (f.isFile && f.getName.endsWith(".parquet")) Array(f)
+      else Array.empty
+    val parts = walk(root)
+    require(parts.nonEmpty,
+      s"documentsCount: no parquet part files under $root — missing or " +
+        "empty documents table (refusing to report 0 silently)")
     val key = root.getCanonicalPath + "|" + parts.length + "|" +
-      (if (parts.isEmpty) 0L else parts.map(_.lastModified()).max)
+      parts.map(_.lastModified()).max + "|" + parts.map(_.length()).sum
     docCountCache.computeIfAbsent(key, { _ =>
       val hconf = spark.sessionState.newHadoopConf()
       parts.map { file =>

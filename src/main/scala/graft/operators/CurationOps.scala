@@ -336,13 +336,46 @@ object CurationOps extends OpModule {
   def dsirSelect(s: SparkSession, dir: String): DataFrame =
     dsirSelectFrame(Tables.documents(s, dir))
 
+  /** [[dsirSelect]] serving from the PERSISTED quantized log-ratio
+    * table — the FromStore twin every other expensive family already
+    * has ([[graft.operators.TextOps]] mergeStore precedent): the
+    * 256-bucket census + totals + ln() quantization run ONCE per
+    * fixture fingerprint ([[ArtifactStore]]) and land as a parquet
+    * artifact of 256 `(b, lr_unat)` longs; a query invocation then pays
+    * exactly one gram pass (hash + broadcast-join + per-doc sum) plus
+    * the Gumbel top-k, instead of the recompute's two passes over the
+    * gram stream. Identical output by construction — the stored
+    * `lr_unat` IS the recompute's quantized integer, so the same
+    * llm_dsir_select oracle pins both. (The r13-measured-and-rejected
+    * one-pass variant cached the GRAM stream in-session, which can never
+    * safely unpersist itself; persisting the 256-row MODEL instead is
+    * the production answer. A deployment scoring a NEW raw crawl against
+    * a trained target keeps this exact shape — the lr table is the
+    * model artifact, the crawl only ever pays the scoring pass.)
+    */
+  def dsirSelectServed(s: SparkSession, dir: String): DataFrame = {
+    val root = ArtifactStore.cached("dsir_lr", dir) { out =>
+      dsirLrTable(Tables.documents(s, dir)).write.mode("overwrite")
+        .parquet(s"$out/dsir_lr.parquet")
+    }
+    dsirSelectFromLr(Tables.documents(s, dir),
+      s.read.parquet(s"$root/dsir_lr.parquet"))
+  }
+
   /** [[dsirSelect]] over an arbitrary (doc_id, text, lang) frame — the
     * spec entry point (synthetic corpora with a planted target-vocab
     * slice exercise the upweighting the shipped fixture's
     * lang-independent text cannot).
     */
-  private[graft] def dsirSelectFrame(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] def dsirSelectFrame(docs: DataFrame): DataFrame =
+    dsirSelectFromLr(docs, dsirLrTable(docs))
+
+  /** The hashed-bigram feature stream feeding both DSIR passes:
+    * unigrams + space-joined bigrams, md5-bucketed into
+    * [[dsirBuckets]]. Deliberately recomputed from lineage by each
+    * consumer — see the one-pass rejection note in [[dsirLrTable]].
+    */
+  private def dsirGrams(docs: DataFrame): DataFrame = {
     val t = docs.select(col("doc_id"), col("lang"), toks.as("tk"))
     val uni = t.select(col("doc_id"), col("lang"),
       explode(col("tk")).as("g")).filter(col("g") =!= "")
@@ -353,23 +386,34 @@ object CurationOps extends OpModule {
           slice(col("tk"), lit(2), size(col("tk")) - 1).as("b"))).as("pr"))
       .select(col("doc_id"), col("lang"),
         concat(col("pr.a"), lit(" "), col("pr.b")).as("g"))
-    // The gram stream deliberately feeds BOTH passes from lineage
-    // (recomputed, never materialized): a measured one-pass variant
-    // that pre-aggregated (doc_id, bucket, n) counts and checkpointed
-    // them ran 2× SLOWER at the 500k-doc tier (24.4 s vs 12.3 s — the
-    // 40M-row materialization costs more than the second md5 pass) and
-    // degraded 5–9× on repeat invocations (an operator returning a lazy
-    // frame can never safely unpersist its own checkpoint, so
-    // back-to-back runs accumulate block-manager pressure — the r12
-    // bpeLoop lesson, re-measured here; BENCH note in PERF.md r13).
-    val grams = uni.unionByName(bi)
+    uni.unionByName(bi)
       .withColumn("b", TextOps.md5Bucket(col("g"), dsirBuckets))
+  }
+
+  /** The DSIR model artifact: the 256-bucket quantized log-ratio table
+    * `(b, lr_unat)` — integer micro-nats, so the table is exact and
+    * engine-independent (the [[TextOps.lmArtifact]] stance).
+    *
+    * The gram stream deliberately feeds the census and (in the
+    * recompute form) the scoring pass from lineage — recomputed, never
+    * materialized in-session: a measured one-pass variant that
+    * pre-aggregated (doc_id, bucket, n) counts and checkpointed them
+    * ran 2× SLOWER at the 500k-doc tier (24.4 s vs 12.3 s — the 40M-row
+    * materialization costs more than the second md5 pass) and degraded
+    * 5–9× on repeat invocations (an operator returning a lazy frame can
+    * never safely unpersist its own checkpoint, so back-to-back runs
+    * accumulate block-manager pressure — the r12 bpeLoop lesson,
+    * re-measured here; BENCH note in PERF.md r13). [[dsirSelectServed]]
+    * persists THIS 256-row model instead — the cache that works.
+    */
+  private[graft] def dsirLrTable(docs: DataFrame): DataFrame = {
+    val grams = dsirGrams(docs)
     val census = grams.groupBy(col("b")).agg(
       count(lit(1)).as("nq"),
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"))
     val totals = census.agg(
       sum(col("nq")).as("tq"), sum(col("np")).as("tp"))
-    val lr = census.crossJoin(broadcast(totals))
+    census.crossJoin(broadcast(totals))
       .select(col("b"),
         (round(log((col("np") + 1).cast("double") /
             (col("tp") + dsirBuckets).cast("double")) * lit(1000000.0), 0)
@@ -377,7 +421,16 @@ object CurationOps extends OpModule {
           round(log((col("nq") + 1).cast("double") /
             (col("tq") + dsirBuckets).cast("double")) * lit(1000000.0), 0)
             .cast("long")).as("lr_unat"))
-    val weights = grams.join(broadcast(lr), "b")
+  }
+
+  /** DSIR scoring + selection against a given (possibly persisted)
+    * [[dsirLrTable]]: one gram pass, per-doc exact-integer weight sum,
+    * quantized Gumbel key, bounded-heap top-[[dsirK]].
+    */
+  private[graft] def dsirSelectFromLr(docs: DataFrame,
+      lr: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val weights = dsirGrams(docs).join(broadcast(lr), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("lr_unat")).as("w_unat"), count(lit(1)).as("n_grams"))
     val u60 = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
@@ -405,11 +458,14 @@ object CurationOps extends OpModule {
     "llm_repetition" -> repetition,
     "llm_pack_sequences" -> packSequences,
     "llm_chunk_windows" -> chunkWindows,
-    "llm_dsir_select" -> dsirSelect
+    "llm_dsir_select" -> dsirSelect,
+    "llm_dsir_select_served" -> dsirSelectServed
   )
 
-  val oracle: Map[String, String] = Map(
-    "llm_dsir_select" ->
+  // One closed-form replay for BOTH dsir forms: the served twin consumes
+  // the persisted lr table but its stored integers ARE the recompute's,
+  // so the outputs are identical by construction.
+  private val dsirSelectSql: String =
       s"""WITH t AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS tk
         |  FROM documents),
@@ -460,7 +516,11 @@ object CurationOps extends OpModule {
         |       CAST(n_grams AS BIGINT) AS n_grams,
         |       CAST(w_unat AS DOUBLE) / 1000000.0 AS logweight,
         |       CAST(score_unat AS DOUBLE) / 1000000.0 AS gumbel_score
-        |FROM top ORDER BY rank""".stripMargin,
+        |FROM top ORDER BY rank""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "llm_dsir_select" -> dsirSelectSql,
+    "llm_dsir_select_served" -> dsirSelectSql,
     "llm_url_dedup" ->
       """WITH d AS (
         |  SELECT doc_id,

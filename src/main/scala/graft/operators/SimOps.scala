@@ -488,16 +488,46 @@ object SimOps extends OpModule {
     * cells to ~√n ([[scaledCells]]) so per-cell population — and with it
     * the exact-cosine candidate volume behind the 4-cell probe — stays
     * bounded as n grows (10 frozen cells at 1M vectors would make every
-    * query scan 40 % of the corpus; 1024 cells scan ~0.4 %). Same
+    * query scan 40 % of the corpus; scaledCells(1M) = 512 cells scan
+    * ~0.8 % per 4-cell probe — the shipped ANNSCALE_r13 config). Same
     * fixed-point centroid refinement, same artifact shapes; only the
     * quantizer width changes, so [[annSearchPruned]] serves either build
     * unchanged. AnnScaleBench records this path with the planted-recall
     * gate and the DPP-pruned plan assertion.
     */
   def annIndexWith(s: SparkSession, dir: String,
-      nSeeds: Int): (DataFrame, DataFrame) = {
+      nSeeds: Int): (DataFrame, DataFrame) =
+    annIndexWithImpl(s, dir, nSeeds, nSeeds > ivfLiteralCellBound)
+
+  /** Above this cell count the assignment quantizer travels as a
+    * BROADCAST VARIABLE, not a `typedlit` expression: a plan-embedded
+    * literal of cells × 64 doubles grows with the corpus (√n sizing), and
+    * past a few hundred structs the generated compare loop blows the
+    * 64 KB JVM method limit — the suite logged the whole-stage-codegen
+    * fallback WARN at 512 cells, i.e. the expression form was already
+    * running INTERPRETED exactly where it gets hot, and at 100M vectors
+    * (√n ≈ 10k cells) the literal itself becomes a plan-serialization
+    * hazard. The broadcast path ships the same quantizer once per
+    * executor and runs a JIT-compiled argmax; every oracle-frozen
+    * configuration (10-seed llm_ann_ivf, 32-cell dedup quantizers) stays
+    * comfortably under the bound, so the expression form remains their
+    * replayed definition.
+    */
+  private[graft] val ivfLiteralCellBound = 64
+
+  /** [[annIndexWith]] with the assignment path made explicit (specs pin
+    * the two paths bit-identical — see Round14OpsSpec). The broadcast
+    * argmax replays the literal form's exact semantics: strict
+    * left-to-right double dot ([[graft.functions.DotProduct]]), NaN
+    * score ranked best (`nanvl(-score, -∞)` under `array_min` ≡ "keep
+    * the smallest neg"), ties to the smaller seed id (seeds iterate in
+    * id order, strict `<` keeps the first).
+    */
+  private[graft] def annIndexWithImpl(s: SparkSession, dir: String,
+      nSeeds: Int, broadcastAssign: Boolean): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val emb = withNorm(Tables.embeddings(s, dir))
+    val seeds = driverSeeds(s, dir, nSeeds)
     // assignment needs only the ARGMAX cell, so take array_min of the
     // same (neg_score, sid) structs [[rankedSeeds]] sorts — structs are
     // orderable, min ≡ element_at(array_sort(...), 1) bit-for-bit —
@@ -507,15 +537,49 @@ object SimOps extends OpModule {
     // O(cells·log cells) full sort. At the 1M-vector × 512-cell build
     // the sort was the dominant term; probes keep the sorted form (they
     // need the top-4).
-    val seedsLit = typedlit(driverSeeds(s, dir, nSeeds))
-    val assigned = emb
-      .withColumn("cell",
+    val assigned = (if (!broadcastAssign) {
+      val seedsLit = typedlit(seeds)
+      emb.withColumn("cell",
         array_min(transform(seedsLit, sd =>
           struct(nanvl(-dot(col("embedding"), sd.getField("_2")),
               lit(Double.NegativeInfinity)).as("neg"),
             sd.getField("_1").as("sid"))))
           .getField("sid"))
-      .select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
+    } else {
+      import s.implicits._
+      val bc = s.sparkContext.broadcast(
+        seeds.map { case (id, u) => (id, u.toArray) }.toArray)
+      emb.select(col("vec_id"), col("embedding"), col("norm"))
+        .as[(Long, Array[Float], Double)]
+        .mapPartitions { it =>
+          val sds = bc.value
+          it.map { case (id, v, nrm) =>
+            // first seed initializes (≡ array_min over a non-empty
+            // array); later seeds win only on a strictly smaller neg —
+            // equal scores keep the earlier (smaller) sid, the struct
+            // ordering's tiebreak
+            var bestNeg = Double.PositiveInfinity
+            var bestSid = Long.MaxValue
+            var first = true
+            var k = 0
+            while (k < sds.length) {
+              val u = sds(k)._2
+              val n = math.min(v.length, u.length)
+              var acc = 0.0
+              var i = 0
+              while (i < n) { acc += v(i).toDouble * u(i); i += 1 }
+              val neg =
+                if (acc.isNaN) Double.NegativeInfinity else -acc
+              if (first || neg < bestNeg) {
+                bestNeg = neg; bestSid = sds(k)._1; first = false
+              }
+              k += 1
+            }
+            (id, v, nrm, bestSid)
+          }
+        }
+        .toDF("vec_id", "embedding", "norm", "cell")
+    }).select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
     val centroids = assigned
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
@@ -783,21 +847,28 @@ object SimOps extends OpModule {
   private def srpSearch(s: SparkSession, dir: String,
       planes: Seq[(Long, Seq[Double])], bits: Int,
       corpus: DataFrame, bands: Int = srpBands,
-      queryPred: Column = col("vec_id") < 20): DataFrame = {
+      queryPred: Column = col("vec_id") < 20): DataFrame =
+    srpTopK(srpAssigned(s, planes, bits,
+      withNorm(Tables.embeddings(s, dir).filter(queryPred)), bands)
+      .select(col("band"), col("bucket"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm")), corpus)
+
+  /** Shared candidate-ranking tail of every SRP search: band-bucket
+    * equi-join of the (broadcast, tiny) query probe frame into the LSH
+    * table, exact cosine, multi-collision collapse, bounded-heap top-5.
+    */
+  private def srpTopK(qs: DataFrame, corpus: DataFrame): DataFrame = {
     import graft.functions.TopKByScore
     val topk = udaf(TopKByScore.TopKAgg(5),
       Encoders.product[TopKByScore.ScoredId])
-    val qs = srpAssigned(s, planes, bits,
-      withNorm(Tables.embeddings(s, dir).filter(queryPred)), bands)
-      .select(col("band"), col("bucket"), col("vec_id").as("q_id"),
-        col("embedding").as("q_emb"), col("norm").as("q_norm"))
     broadcast(qs).join(corpus, Seq("band", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cosine",
         dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
-      // A pair colliding in several bands yields identical cosines; the
-      // max collapses it to one candidate row (map-side combinable)
-      // BEFORE the heap, which must see each id once.
+      // A pair colliding in several bands (or several probe buckets)
+      // yields identical cosines; the max collapses it to one candidate
+      // row (map-side combinable) BEFORE the heap, which must see each
+      // id once.
       .groupBy(col("q_id"), col("vec_id"))
       .agg(max(col("cosine")).as("cosine"))
       .groupBy(col("q_id"))
@@ -806,6 +877,89 @@ object SimOps extends OpModule {
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
         col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Flip-bit multi-probe bucket masks: the Hamming-≤radius neighborhood
+    * of a band bucket — the exact bucket, every 1-bit flip, and (radius
+    * 2) every 2-bit flip. Query-side ONLY: the stored table keeps one
+    * bucket per (vector, band), so multi-probe changes no artifact and
+    * no oracle — it widens what a QUERY looks at, the standard LSH
+    * recall fix (Lv et al. 2007, "Multi-Probe LSH") specialized to SRP,
+    * where every 1-bit flip is the adjacent bucket across one
+    * hyperplane.
+    */
+  private[graft] def probeMasks(bits: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= 2,
+      s"probe radius $radius unsupported (0–2)")
+    val r1 = (0 until bits).map(j => 1L << j)
+    val r2 = for { j <- 0 until bits; k <- j + 1 until bits }
+      yield (1L << j) | (1L << k)
+    Seq(0L) ++ (if (radius >= 1) r1 else Nil) ++
+      (if (radius >= 2) r2 else Nil)
+  }
+
+  /** [[annSrpWith]] with flip-bit MULTI-PROBE on the query side: each
+    * query probes the `probeMasks(bits, radius)` bucket neighborhood in
+    * every band instead of its single exact bucket. Candidate volume is
+    * bounded by construction — probes/band × bands × expected bucket
+    * population (n/2^bits ≈ [[srpTargetBucket]]) — and grows O(bits)
+    * at radius 1, O(bits²) at radius 2, vs the corpus-linear growth of
+    * brute force. This is the knob that buys back iid nearest-neighbor
+    * recall at scale (single-bucket banding measured 0.03 recall@5 at
+    * 1M vectors — ANNSCALE_r13): near-duplicates collide in the exact
+    * bucket anyway, but a merely-near query lands 1–2 hyperplane signs
+    * away, exactly the buckets the flips reach. Results can only
+    * improve: the radius-r candidate set is a superset of radius-(r−1),
+    * and the exact-cosine verify disposes — Round14OpsSpec pins the
+    * superset property and the candidate cap; SrpProbeBench records the
+    * measured recall-vs-candidates curve. The `llm_ann_srp` oracle
+    * query keeps radius 0 (its replayed configuration).
+    */
+  private[graft] def annSrpMultiProbe(s: SparkSession, dir: String,
+      bits: Int, bands: Int, radius: Int, queryPred: Column,
+      corpus: Option[DataFrame] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val planes = driverSeeds(s, dir, bands * bits)
+    val table = corpus.getOrElse(
+      srpAssigned(s, planes, bits, withNorm(Tables.embeddings(s, dir)),
+        bands))
+    // the multi-probe query frame: one row per (query, band, probed
+    // bucket). The mask literal is a flat long array (≤ 1 + b + C(b,2)
+    // entries at the b = 62 bits cap — scalars, not structs, so no
+    // codegen blowup), XOR-applied to the band's base bucket.
+    val masks = typedlit(probeMasks(bits, radius))
+    val qs = srpAssigned(s, planes, bits,
+      withNorm(Tables.embeddings(s, dir).filter(queryPred)), bands)
+      .withColumn("bucket",
+        explode(transform(masks, m => col("bucket").bitwiseXOR(m))))
+      .select(col("band"), col("bucket"), col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"), col("norm").as("q_norm"))
+    srpTopK(qs, table)
+  }
+
+  /** Stress instrumentation: distinct (q_id, vec_id) candidate pairs the
+    * MULTI-PROBE band join proposes — the volume the candidate cap
+    * bounds (Round14OpsSpec asserts it; SrpProbeBench records the
+    * recall-vs-candidates curve it buys).
+    */
+  private[graft] def srpCandidateCountMulti(s: SparkSession, dir: String,
+      bits: Int, bands: Int, radius: Int,
+      queryPred: Column = col("vec_id") < 20): Long = {
+    graft.functions.GraftFunctions.register(s)
+    val planes = driverSeeds(s, dir, bands * bits)
+    val corpus = srpAssigned(s, planes, bits,
+      withNorm(Tables.embeddings(s, dir)), bands)
+    val masks = typedlit(probeMasks(bits, radius))
+    val qs = srpAssigned(s, planes, bits,
+      withNorm(Tables.embeddings(s, dir).filter(queryPred)), bands)
+      .withColumn("bucket",
+        explode(transform(masks, m => col("bucket").bitwiseXOR(m))))
+      .select(col("band"), col("bucket"), col("vec_id").as("q_id"))
+    broadcast(qs)
+      .join(corpus.select(col("band"), col("bucket"), col("vec_id")),
+        Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id")).distinct().count()
   }
 
   /** Stress instrumentation ([[graft.StressProbe]]): DISTINCT
