@@ -206,14 +206,15 @@ object DedupOps extends OpModule {
     * so the bring-back join's build side is ~the contaminated slice of
     * the corpus and AQE broadcasts it when sharing is sparse — the
     * common case). The token arrays themselves never shuffle: the scrub
-    * is a narrow per-doc array `filter` whose index lambda probes the
-    * MERGED disjoint cover intervals ([[scrubByStarts]]: O(S) interval
-    * build + O(L·I) probe, I = contaminated runs — never the raw start
-    * list, whose per-token linear scan was O(L·S), quadratic on exactly
-    * the long boilerplate-heavy doc this operator exists to clean). A
-    * mostly-clean 100 TB corpus pays one span-hash pass, a tiny join,
-    * and a map-side rewrite. Production would cap the census at a
-    * document-frequency bound exactly as [[spanDedup]]'s doc describes.
+    * is a narrow per-doc gap-slice rebuild ([[scrubByStarts]]: merge the
+    * sorted starts into disjoint cover runs, O(S), then slice the
+    * uncovered gaps and flatten, O(L + I) with I = contaminated runs —
+    * never a per-token probe of the start list, whose linear scan was
+    * O(L·S), quadratic on exactly the long boilerplate-heavy doc this
+    * operator exists to clean). A mostly-clean 100 TB corpus pays one
+    * span-hash pass, a tiny join, and a map-side rewrite. Production
+    * would cap the census at a document-frequency bound exactly as
+    * [[spanDedup]]'s doc describes.
     */
   def spanScrub(s: SparkSession, dir: String): DataFrame =
     spanScrubFrame(Tables.documents(s, dir))
@@ -278,20 +279,25 @@ object DedupOps extends OpModule {
   /** The scrub itself: drop every token covered by a shared span, emit
     * `(doc_id, n_tokens, n_removed, text_scrubbed)` ordered by doc.
     *
-    * The sorted start list is first MERGED into disjoint cover intervals
-    * `[lo, hi]` — three narrow O(S) array passes (predecessor/successor
-    * views via sentinel-padded `slice`+`zip_with`, null-filtered opens
-    * and closes, zipped into structs; consecutive starts ≤ spanLen apart
-    * fuse into one run) — and the per-token probe then scans INTERVALS,
-    * O(L·I) per doc with I = contaminated runs. On the operator's target
-    * input (a long doc that is mostly boilerplate) S ≈ L but I ≈ 1, so
-    * the old per-token scan of the raw start list was Θ(L²) where the
-    * interval form is Θ(L) — [[graft.SpanScrubProbe]] measures the gap
-    * on a planted 50k-token duplicated doc. Value-neutral by
-    * construction: the union of [st, st+15] over raw starts IS the union
-    * of the merged intervals (an interval opens exactly where the
-    * previous span leaves a gap), and the unchanged llm_span_scrub
-    * DuckDB oracle pins it.
+    * The sorted start list is first MERGED into disjoint cover runs —
+    * narrow O(S) array passes (predecessor/successor views via
+    * sentinel-padded `slice`+`zip_with`; consecutive starts ≤ spanLen
+    * apart fuse) — and the survivors are then assembled by SLICING the
+    * uncovered GAPS between runs and flattening, O(L + I) per doc with
+    * I = contaminated runs and NO per-token lambda at all. Two designs
+    * this replaced, both measured on the planted 50k-token duplicated
+    * doc ([[graft.SpanScrubProbe]]): (a) the original per-token
+    * `exists` over the raw start list — O(L·S), 96 s at the
+    * pathological point (S ≈ L); (b) a per-token exists over the merged
+    * intervals — O(L·I) ON PAPER, but `CollapseProject` inlines the
+    * interval-build expression into the per-token filter lambda, so the
+    * intervals were re-derived for EVERY token: measured 1014 s, 10×
+    * WORSE than the raw scan it meant to fix. The gap-slice form keeps
+    * every lambda over the I-element run list (never over tokens), so
+    * no inlining can reintroduce a per-token rebuild. Value-neutral by
+    * construction: the union of [st, st+15] over raw starts IS the
+    * union of the merged runs, and survivors-in-gap-order IS original
+    * order — the unchanged llm_span_scrub DuckDB oracle pins it.
     */
   private def scrubByStarts(docs: DataFrame, starts: DataFrame,
       legacyProbe: Boolean): DataFrame = {
@@ -304,12 +310,19 @@ object DedupOps extends OpModule {
       slice(col("starts"), lit(1), size(col("starts")) - 1))
     val nextS = concat(slice(col("starts"), lit(2), size(col("starts")) - 1),
       array(lit(Int.MaxValue)))
-    val ivs = zip_with(
-      filter(zip_with(col("starts"), prevS,
-        (c, p) => when(c > p + lit(L), c)), _.isNotNull),
-      filter(zip_with(col("starts"), nextS,
-        (c, n) => when(n > c + lit(L), c + lit(L - 1))), _.isNotNull),
-      (lo, hi) => struct(lo.as("lo"), hi.as("hi")))
+    // run opens at a start whose predecessor leaves a gap; closes at one
+    // whose successor does
+    val los = filter(zip_with(col("starts"), prevS,
+      (c, p) => when(c > p + lit(L), c)), _.isNotNull)
+    val his = filter(zip_with(col("starts"), nextS,
+      (c, n) => when(n > c + lit(L), c + lit(L - 1))), _.isNotNull)
+    // uncovered gaps: before the first run, between runs, after the
+    // last — [prevHi + 1, nextLo − 1], empties filtered out
+    val gaps = filter(
+      zip_with(concat(array(lit(-1)), his),
+        concat(los, array(size(col("toks")))),
+        (h, l) => struct((h + 1).as("lo"), (l - 1).as("hi"))),
+      g => g.getField("lo") <= g.getField("hi"))
     val joined = docs.join(starts, Seq("doc_id"), "left")
     val withKept =
       if (legacyProbe)
@@ -319,12 +332,11 @@ object DedupOps extends OpModule {
               !exists(col("starts"),
                 st => st <= p && p <= st + lit(L - 1)))))
       else
-        joined.withColumn("ivs", ivs)
-          .withColumn("kept",
-            when(col("starts").isNull, col("toks"))
-              .otherwise(filter(col("toks"), (_, p) =>
-                !exists(col("ivs"), iv =>
-                  iv.getField("lo") <= p && p <= iv.getField("hi")))))
+        joined.withColumn("kept",
+          when(col("starts").isNull, col("toks"))
+            .otherwise(flatten(transform(gaps, g =>
+              slice(col("toks"), g.getField("lo") + 1,
+                g.getField("hi") - g.getField("lo") + 1)))))
     withKept
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
