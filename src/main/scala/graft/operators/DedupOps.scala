@@ -379,12 +379,54 @@ object DedupOps extends OpModule {
     scrubByStarts(batch, sharedStarts(bSpans, shared), legacyProbe = false)
   }
 
+  /** [[spanDedup]]'s census for a NEW batch against the SAME persisted
+    * span-hash store [[spanScrubIncremental]] reads — the measure twin
+    * of the incremental scrub, completing the census family's
+    * store-vs-batch story: a batch span is shared iff its hash exists
+    * in the store (any store doc is a distinct other doc) OR it occurs
+    * in ≥2 distinct batch docs — exactly "≥2 distinct docs over the
+    * full corpus" for batch rows, so the full-recompute [[spanDedup]]
+    * restricted to the batch is the oracle and Round14OpsSpec pins the
+    * equivalence. Counting (unlike the scrub's collect_set) must not
+    * see the store∪batch union's duplicate hashes twice, so the shared
+    * verdict rides a LEFT SEMI join per span — set membership, no
+    * fan-out by construction.
+    */
+  def spanDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val k = Tables.snapshotBoundary(s, dir, "documents")
+    val batchDocs = Tables.documents(s, dir).filter(col("doc_id") >= k)
+    val batch = batchDocs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bSpans = scrubSpanKeys(batch)
+    val bShared = bSpans.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    val shared = spanHashStore(s, dir).select(col("h"))
+      .unionByName(bShared)
+    val nShared = bSpans.join(shared, Seq("h"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    val nSpans = bSpans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"))
+    batchDocs.select(col("doc_id"))
+      .join(nSpans, Seq("doc_id"), "left")
+      .join(nShared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_spans"), lit(0L)) > 0,
+          coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_spans"))
+          .otherwise(lit(0.0)).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Persisted distinct span-hash set of the prior snapshot (doc_id <
-    * boundary) backing [[spanScrubIncremental]] — built once per fixture
-    * FINGERPRINT (the shared [[ArtifactStore]] cache), read as parquet
-    * thereafter. In production this is the census artifact each crawl
-    * snapshot appends to, the way [[SimOps.srpTableAppend]] grows the
-    * LSH table.
+    * boundary) backing [[spanScrubIncremental]] and
+    * [[spanDedupIncremental]] — built once per fixture FINGERPRINT (the
+    * shared [[ArtifactStore]] cache), read as parquet thereafter. In
+    * production this is the census artifact each crawl snapshot appends
+    * to, the way [[SimOps.srpTableAppend]] grows the LSH table.
     */
   private def spanHashStore(s: SparkSession, dir: String): DataFrame = {
     val root = ArtifactStore.cached("span_hashes", dir) { out =>
@@ -1031,6 +1073,7 @@ object DedupOps extends OpModule {
     "llm_dup_clusters" -> dupClusters,
     "llm_dup_clusters_incremental" -> dupClustersIncrementalQuery,
     "llm_span_dedup" -> spanDedup,
+    "llm_span_dedup_incremental" -> spanDedupIncremental,
     "llm_span_scrub" -> spanScrub,
     "llm_span_scrub_incremental" -> spanScrubIncremental,
     "llm_novelty_rate" -> noveltyRate,
@@ -1239,6 +1282,35 @@ object DedupOps extends OpModule {
         |            THEN CAST(n_shared AS DOUBLE) / n_spans
         |            ELSE 0.0 END AS shared_frac
         |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // The incremental census oracle is the full-corpus distinct-doc
+    // count restricted to batch rows — the same closure trick as the
+    // incremental scrub (store and batch id ranges are disjoint, so
+    // store-presence ∪ within-batch sharing ≡ n_docs ≥ 2 overall).
+    "llm_span_dedup_incremental" ->
+      """WITH kb AS (SELECT max(doc_id) * 4 // 5 AS kv FROM documents),
+        |t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(toks[i + 1 : i + 16], ' ')) AS h
+        |  FROM (SELECT doc_id, toks,
+        |               unnest(range(0, greatest(len(toks) - 15, 0))) AS i
+        |        FROM t)),
+        |c AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM s GROUP BY h),
+        |p AS (
+        |  SELECT s.doc_id, count(*) AS n_spans,
+        |         count(*) FILTER (WHERE c.n_docs >= 2) AS n_shared
+        |  FROM s JOIN c USING (h), kb
+        |  WHERE s.doc_id >= kb.kv GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |       CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+        |       CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+        |       CASE WHEN COALESCE(n_spans, 0) > 0
+        |            THEN CAST(n_shared AS DOUBLE) / n_spans
+        |            ELSE 0.0 END AS shared_frac
+        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id, kb
+        |WHERE d.doc_id >= kb.kv
         |ORDER BY d.doc_id""".stripMargin,
     // Same span census, then the REMOVAL replayed with DuckDB's indexed
     // list_filter lambdas (i is 1-BASED there, hence the i-1): a token

@@ -937,6 +937,18 @@ object SimOps extends OpModule {
     srpTopK(qs, table)
   }
 
+  /** [[annSrpMultiProbe]] at radius 1 over the oracle-frozen 20-query
+    * batch — the QUERY-surface form of the multi-probe knob, fully
+    * value-oracled: the DuckDB twin replays the same 4-bit bands as
+    * llm_ann_srp plus the five radius-≤1 XOR masks on the query side
+    * (all shipped fixtures derive bits = 4, the config the SQL pins,
+    * exactly as llm_ann_srp's own oracle pins its 16 planes).
+    */
+  def annSrpMultiProbeQuery(s: SparkSession, dir: String): DataFrame =
+    annSrpMultiProbe(s, dir,
+      srpBitsPerBand(Tables.vectorCount(s, dir)), srpBands, 1,
+      col("vec_id") < 20)
+
   /** Stress instrumentation: distinct (q_id, vec_id) candidate pairs the
     * MULTI-PROBE band join proposes — the volume the candidate cap
     * bounds (Round14OpsSpec asserts it; SrpProbeBench records the
@@ -1245,6 +1257,7 @@ object SimOps extends OpModule {
     "llm_ann_frozen" -> annFrozen,
     "llm_ann_srp" -> annSrp,
     "llm_ann_srp_served" -> annSrpServed,
+    "llm_ann_srp_multiprobe" -> annSrpMultiProbeQuery,
     "llm_cluster_assign" -> clusterAssign,
     "llm_semantic_dedup" -> ((s, dir) => semanticDedup(s, dir)),
     "llm_semantic_dedup_incremental" ->
@@ -1438,6 +1451,7 @@ object SimOps extends OpModule {
     // persisted table but emits the same result — shared oracle.
     "llm_ann_srp" -> annSrpSql,
     "llm_ann_srp_served" -> annSrpSql,
+    "llm_ann_srp_multiprobe" -> annSrpMultiProbeSql,
     "llm_semantic_dedup_incremental" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
@@ -1593,6 +1607,57 @@ object SimOps extends OpModule {
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
         |  FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id),
+        |scored AS (
+        |  SELECT cand.q_id, cand.neighbor_id,
+        |         list_sum([q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE
+        |                   for i in range(1, 65)]) / (q.norm * n.norm)
+        |           AS cosine
+        |  FROM cand
+        |  JOIN e q ON q.vec_id = cand.q_id
+        |  JOIN e n ON n.vec_id = cand.neighbor_id),
+        |ranked AS (
+        |  SELECT q_id, neighbor_id, cosine,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, neighbor_id, cosine FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  /** [[annSrpSql]] with the radius-1 flip masks applied to the QUERY
+    * side's buckets — the multi-probe oracle. Same frozen 16-plane /
+    * 4-bit-band config; only `cand` changes: each query probes its
+    * exact bucket plus the four 1-bit XOR neighbors per band.
+    */
+  private lazy val annSrpMultiProbeSql: String =
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |planes AS (
+        |  SELECT vec_id AS plane_id,
+        |         [embedding[i]::DOUBLE / norm for i in range(1, 65)]
+        |           AS unit
+        |  FROM e WHERE vec_id < 16),
+        |bits AS (
+        |  SELECT e.vec_id, p.plane_id,
+        |         CASE WHEN list_sum([e.embedding[i]::DOUBLE * p.unit[i]
+        |                             for i in range(1, 65)]) >= 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM e CROSS JOIN planes p),
+        |bk AS (
+        |  SELECT vec_id, plane_id // 4 AS band,
+        |         sum(bit * CASE plane_id % 4
+        |                   WHEN 0 THEN 8 WHEN 1 THEN 4
+        |                   WHEN 2 THEN 2 ELSE 1 END) AS bucket
+        |  FROM bits GROUP BY 1, 2),
+        |masks AS (SELECT unnest([0, 1, 2, 4, 8]) AS m),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+        |  FROM bk q CROSS JOIN masks
+        |  JOIN bk c ON q.band = c.band
+        |           AND xor(q.bucket::BIGINT, masks.m::BIGINT) = c.bucket
         |  WHERE q.vec_id < 20 AND q.vec_id != c.vec_id),
         |scored AS (
         |  SELECT cand.q_id, cand.neighbor_id,

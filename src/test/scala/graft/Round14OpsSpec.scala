@@ -107,6 +107,16 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("spanDedupIncremental equals the full-corpus spanDedup census " +
+    "restricted to the batch on sf0.001") {
+    val k = Tables.snapshotBoundary(spark, sf0001, "documents")
+    val full = DedupOps.spanDedup(spark, sf0001)
+      .filter(col("doc_id") >= k).collect().toSeq
+    val inc = DedupOps.spanDedupIncremental(spark, sf0001)
+      .collect().toSeq
+    assert(inc === full)
+  }
+
   test("SRP multi-probe: radius 0 reproduces single-probe exactly; " +
     "radius 1 only improves per-query best cosine, within the " +
     "candidate cap") {
