@@ -46,8 +46,18 @@ object AnnScaleBench {
     // ≤4096 vectors keeps the historical 10-seed shape so small-tier
     // artifacts stay comparable across rounds.
     val nCells = if (n <= 4096) 10 else SimOps.scaledCells(n)
+    // SPARK_GRAFT_ANN_BUILD=hier switches the assignment to the
+    // two-level coarse-grouped quantizer (O(n^1.25) build flops vs the
+    // flat argmax's O(n^1.5)); same artifact shapes, same serving path,
+    // same recall gates below.
+    val buildMode = sys.env.getOrElse("SPARK_GRAFT_ANN_BUILD", "exact")
     val tb0 = System.nanoTime()
-    val (cDf, aDf) = SimOps.annIndexWith(spark, dir, nCells)
+    val (cDf, aDf) = buildMode match {
+      case "hier" => SimOps.annIndexHierarchical(spark, dir, nCells)
+      case "exact" => SimOps.annIndexWith(spark, dir, nCells)
+      case other => sys.error(s"SPARK_GRAFT_ANN_BUILD '$other' not in " +
+        "{exact, hier}")
+    }
     cDf.write.mode("overwrite").parquet(s"$dir/ann_index/centroids")
     // one task per cell -> one file per partition dir, not tasks×cells
     aDf.repartition(col("cell")).write.mode("overwrite")
@@ -113,6 +123,7 @@ object AnnScaleBench {
     require(plantedIvf >= 0.98, s"IVF planted recall $plantedIvf < 0.98")
     require(plantedSrp >= 0.98, s"SRP planted recall $plantedSrp < 0.98")
     println(s"""{"metric":"ann_scale","n_vectors":$n,"ivf_cells":$nCells,""" +
+      s""""build_mode":"$buildMode",""" +
       s""""sec_brute":$tBrute,"sec_index_build":$tBuild,""" +
       s""""sec_served_pruned":$tServe,"recall_ivf":${recallOf(served)},""" +
       s""""planted_pairs":${plantedQs.size},""" +

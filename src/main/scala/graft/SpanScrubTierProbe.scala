@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   */
 object SpanScrubTierProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/repo/stressdata100")
+    // fixture dir is REQUIRED (sibling benches take it explicitly too —
+    // a hardcoded absolute default silently measures the wrong tier when
+    // the repo moves or the fixture is regenerated elsewhere)
+    val dir = args.headOption.getOrElse(
+      sys.error("usage: SpanScrubTierProbe <fixtureDir> [runs]"))
     val runs = args.lift(1).map(_.toInt).getOrElse(2)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")

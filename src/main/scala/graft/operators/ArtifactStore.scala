@@ -7,25 +7,28 @@ package graft.operators
   * silently serves stale artifacts if the fixture at that path is
   * regenerated within one JVM (the advisor's round-11 finding). So the
   * key is canonical dir PLUS a content fingerprint (file count + max
-  * mtime over the fixture tree — cheap: fixture dirs hold a handful of
-  * parquet part files), and every temp dir is registered for recursive
-  * deletion on JVM exit instead of leaking into /tmp.
+  * mtime + TOTAL BYTES over the fixture tree — cheap: fixture dirs hold
+  * a handful of parquet part files; the byte total catches a fixture
+  * regenerated with the same part count inside one mtime granule, the
+  * same hazard Tables.documentsCount's cache key hardened against), and
+  * every temp dir is registered for recursive deletion on JVM exit
+  * instead of leaking into /tmp.
   */
 private[operators] object ArtifactStore {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def fingerprint(dir: java.io.File): String = {
-    def walk(f: java.io.File): (Long, Long) =
+    def walk(f: java.io.File): (Long, Long, Long) =
       if (f.isDirectory) {
         val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-        kids.foldLeft((0L, 0L)) { case ((n, m), k) =>
-          val (kn, km) = walk(k)
-          (n + kn, math.max(m, km))
+        kids.foldLeft((0L, 0L, 0L)) { case ((n, m, b), k) =>
+          val (kn, km, kb) = walk(k)
+          (n + kn, math.max(m, km), b + kb)
         }
-      } else (1L, f.lastModified())
-    val (n, m) = walk(dir)
-    s"$n:$m"
+      } else (1L, f.lastModified(), f.length())
+    val (n, m, b) = walk(dir)
+    s"$n:$m:$b"
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -845,7 +845,20 @@ object DedupOps extends OpModule {
     * silently recompute a nondeterministic lineage.
     */
   private[graft] def clustersFromEdges(pairs: DataFrame,
-      roundCap: Int = 20): DataFrame = {
+      roundCap: Int = 20): DataFrame =
+    clustersFromEdgesCounted(pairs, roundCap)._1
+
+  /** [[clustersFromEdges]] returning (labels, rounds-executed) — the
+    * round count is the scale variable for iterative CC (a 100 TB run
+    * pays one edge-join shuffle per round), so benches record it
+    * ([[graft.CcChainBench]]) instead of inferring it from wall time.
+    * `jump = false` disables the pointer-jump step — plain min-label
+    * propagation, whose round count IS the component diameter; it exists
+    * as the measured CONTRAST for the jump's O(log d) claim, never a
+    * production path.
+    */
+  private[graft] def clustersFromEdgesCounted(pairs: DataFrame,
+      roundCap: Int = 20, jump: Boolean = true): (DataFrame, Int) = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs
@@ -873,11 +886,13 @@ object DedupOps extends OpModule {
       // membership), so the lookup is a 1:1 self-join and the coalesce
       // never fires; the jump is what turns O(diameter) rounds into
       // O(log diameter).
-      val jumped = merged
-        .join(merged.select(col("doc_id").as("label"),
-          col("label").as("gl")), Seq("label"), "left")
-        .select(col("doc_id"), col("old"),
-          coalesce(col("gl"), col("label")).as("label"))
+      val jumped = (if (jump)
+        merged
+          .join(merged.select(col("doc_id").as("label"),
+            col("label").as("gl")), Seq("label"), "left")
+          .select(col("doc_id"), col("old"),
+            coalesce(col("gl"), col("label")).as("label"))
+      else merged)
         .transform(graft.Checkpoints.truncate)
       changed = jumped.filter(col("label") < col("old")).count()
       // DETERMINISTIC cleanup: `jumped` is materialized (eager truncate)
@@ -912,11 +927,121 @@ object DedupOps extends OpModule {
     require(changed == 0,
       s"clustersFromEdges hit the $round-round cap without converging — " +
         "refusing to emit unconverged cluster labels")
+    (labelsToClusters(labels), round)
+  }
+
+  /** Shared presentation tail of every CC implementation: (doc_id, label)
+    * → (doc_id, cluster_id, cluster_size, keeper).
+    */
+  private def labelsToClusters(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"), (col("doc_id") === col("label")).as("keeper"))
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR edge
+    * contraction (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond" — the alternating ★-operations algorithm), the second,
+    * independently-derived CC implementation next to
+    * [[clustersFromEdgesCounted]]'s min-label + pointer-jump loop. Both
+    * converge in O(log d) rounds and produce identical labels
+    * (component = its minimum member id; randomized agreement spec in
+    * Round15OpsSpec) — this form exists so the engine's CC claim never
+    * rests on a single algorithm, and because its per-round work is two
+    * groupBy-min + join passes over the EDGE list only (no |V|-row label
+    * frame maintained between rounds: the edge set itself contracts
+    * toward the star fixpoint, typically SHRINKING per round as
+    * duplicate (member, min) edges collapse in the distinct).
+    *
+    * One round = large-star (each vertex points its HIGHER neighbors at
+    * its closed-neighborhood min) then small-star (each vertex and its
+    * LOWER neighbors re-hang on their min). Every operation preserves
+    * connectivity and never raises the component min, so the fixpoint is
+    * a disjoint union of stars centered at the component minima. The
+    * fixpoint is detected by a (count, xxhash64-sum) checksum of the
+    * canonical edge set; because a checksum tie is probabilistic, the
+    * star property itself is then REQUIRED outright — every member under
+    * exactly one center (min=max over its centers) and no center also a
+    * member — so a collision can only fail loudly, never mislabel.
+    * Lineage is truncated per round like every iterative operator
+    * ([[graft.Checkpoints.truncate]]).
+    */
+  private[graft] def clustersLargeSmallStar(pairs: DataFrame,
+      roundCap: Int = 40): (DataFrame, Int) = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    def sym(e: DataFrame): DataFrame = e
+      .select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor, not sum: an exact-long sum overflows under ANSI mode on
+      // big edge sets; xor is order-independent and overflow-free, and
+      // the distinct canonical edges make per-round sets duplicate-free
+      // so xor cancellation needs a genuine 64-bit collision — which the
+      // star-property requires below turn into a loud failure anyway.
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var edges = canon(pairs
+      .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .transform(graft.Checkpoints.truncate)
+    var chk = checksum(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < roundCap) {
+      // large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) for
+      // every HIGHER neighbor v > u. Each undirected edge is re-emitted
+      // from its lower endpoint's side, so connectivity is preserved.
+      val ls = sym(edges)
+      val lsMin = ls.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = canon(ls.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+        .transform(graft.Checkpoints.truncate)
+      // small-star: for each u with lower neighbors, m = min of them
+      // (≤ u by construction); re-hang those neighbors AND u itself on
+      // m. Each undirected edge is processed exactly once, from its
+      // higher endpoint's side.
+      val lows = sym(large).filter(col("v") < col("u"))
+      val ssMin = lows.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = canon(lows.join(ssMin, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(ssMin.select(col("u").as("a"), col("m").as("b"))))
+        .transform(graft.Checkpoints.truncate)
+      val nchk = checksum(small)
+      converged = nchk == chk
+      chk = nchk
+      large.unpersist(false)
+      edges.unpersist(false)
+      edges = small
+      round += 1
+    }
+    require(converged,
+      s"clustersLargeSmallStar hit the $round-round cap without " +
+        "converging — refusing to emit unconverged cluster labels")
+    // fixpoint must be a star forest: every member hangs under exactly
+    // one center, and no center is itself a member. A checksum collision
+    // that stopped the loop early fails HERE, loudly.
+    val badMember = edges.groupBy(col("b"))
+      .agg(min(col("a")).as("lo"), max(col("a")).as("hi"))
+      .filter(col("lo") =!= col("hi")).limit(1).count()
+    require(badMember == 0,
+      "large/small-star fixpoint is not a star forest (member under " +
+        "two centers) — checksum convergence was premature")
+    val centerAsMember = edges.select(col("a"))
+      .intersect(edges.select(col("b").as("a"))).limit(1).count()
+    require(centerAsMember == 0,
+      "large/small-star fixpoint is not a star forest (center also a " +
+        "member) — checksum convergence was premature")
+    val labels = edges.select(col("b").as("doc_id"), col("a").as("label"))
+      .unionByName(
+        edges.select(col("a").as("doc_id"), col("a").as("label")).distinct())
+    (labelsToClusters(labels), round)
   }
 
   /** 64-bit SimHash fingerprints (xxhash64 token hashes, per-bit majority

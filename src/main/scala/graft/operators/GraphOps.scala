@@ -141,18 +141,33 @@ object GraphOps extends OpModule {
   }
 
   /** Connected components over the strong-tie trade graph — the graph
-    * family's third analysis, riding the engine's ONE components
-    * implementation ([[DedupOps.clustersFromEdges]]: min-label +
-    * pointer-jump, loud-fail cap) on a graph shape unlike the near-dup
-    * clusters it was built for. Nations outside every strong edge are
-    * their own singleton component (component_id = own key), so the
-    * output partitions all 25 nations. The scale story is the edge
-    * CENSUS: fact volume collapses to ≤ |entities|² weighted edges
-    * before any iteration, and the CC loop runs on that census — at
-    * 100 TB the iterations never touch fact data.
+    * family's third analysis, riding [[DedupOps.clustersFromEdges]]
+    * (min-label + pointer-jump, loud-fail cap) on a graph shape unlike
+    * the near-dup clusters it was built for. Nations outside every
+    * strong edge are their own singleton component (component_id = own
+    * key), so the output partitions all 25 nations. The scale story is
+    * the edge CENSUS: fact volume collapses to ≤ |entities|² weighted
+    * edges before any iteration, and the CC loop runs on that census —
+    * at 100 TB the iterations never touch fact data.
     */
-  def components(s: SparkSession, dir: String): DataFrame = {
-    val labeled = DedupOps.clustersFromEdges(
+  def components(s: SparkSession, dir: String): DataFrame =
+    componentsVia(s, dir, e => DedupOps.clustersFromEdges(e))
+
+  /** [[components]] through the engine's SECOND, independently-derived
+    * CC implementation — large-star/small-star edge contraction
+    * ([[DedupOps.clustersLargeSmallStar]], Kiveris et al.) — against the
+    * SAME recursive-closure oracle: two algorithms, one fixpoint,
+    * both value-checked per round. Exists so the components claim never
+    * rests on a single algorithm (the Round15 agreement spec pins them
+    * equal on random graphs; this query pins the star form against the
+    * independent DuckDB route on the shipped fixtures).
+    */
+  def componentsLss(s: SparkSession, dir: String): DataFrame =
+    componentsVia(s, dir, e => DedupOps.clustersLargeSmallStar(e)._1)
+
+  private def componentsVia(s: SparkSession, dir: String,
+      cc: DataFrame => DataFrame): DataFrame = {
+    val labeled = cc(
       strongEdges(s, dir)
         .select(col("a").as("doc_a"), col("b").as("doc_b")))
       .select(col("doc_id"), col("cluster_id"))
@@ -302,8 +317,50 @@ object GraphOps extends OpModule {
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
     "graph_components" -> components,
+    "graph_components_lss" -> componentsLss,
     "graph_bfs_hops" -> bfsHops
   )
+
+  /** Shared by graph_components and graph_components_lss: two CC
+    * algorithms (min-label + pointer-jump; large/small-star), one
+    * fixpoint, one independent recursive-closure oracle.
+    */
+  private val componentsOracleSql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT c_nationkey AS src, s_nationkey AS dst,
+      |         CAST(count(*) AS BIGINT) AS w
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |und AS (
+      |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+      |         CAST(sum(w) AS BIGINT) AS w
+      |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+      |m AS (SELECT CAST(sum(w) // count(*) AS BIGINT) AS mean_w FROM und),
+      |strong AS (
+      |  SELECT a, b FROM und, m WHERE w >= mean_w),
+      |sym AS (
+      |  SELECT a AS u, b AS v FROM strong
+      |  UNION ALL SELECT b, a FROM strong),
+      |reach AS (
+      |  SELECT u, v FROM sym
+      |  UNION
+      |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+      |lab AS (
+      |  SELECT u AS node, least(u, min(v)) AS comp
+      |  FROM reach GROUP BY u),
+      |assigned AS (
+      |  SELECT n_nationkey, n_name,
+      |         COALESCE(l.comp, n_nationkey) AS component_id
+      |  FROM nation LEFT JOIN lab l ON n_nationkey = l.node),
+      |sizes AS (
+      |  SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+      |  FROM assigned GROUP BY 1)
+      |SELECT a.n_nationkey, a.n_name, a.component_id, s.component_size
+      |FROM assigned a JOIN sizes s USING (component_id)
+      |ORDER BY n_nationkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "graph_degree_census" ->
@@ -443,42 +500,8 @@ object GraphOps extends OpModule {
     // Components via recursive transitive closure over the same strong
     // edge census — the independent route to the min-label fixpoint the
     // Spark pointer-jump loop converges to.
-    "graph_components" ->
-      """WITH RECURSIVE edges AS (
-        |  SELECT c_nationkey AS src, s_nationkey AS dst,
-        |         CAST(count(*) AS BIGINT) AS w
-        |  FROM lineitem
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY 1, 2),
-        |und AS (
-        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
-        |         CAST(sum(w) AS BIGINT) AS w
-        |  FROM edges WHERE src <> dst GROUP BY 1, 2),
-        |m AS (SELECT CAST(sum(w) // count(*) AS BIGINT) AS mean_w FROM und),
-        |strong AS (
-        |  SELECT a, b FROM und, m WHERE w >= mean_w),
-        |sym AS (
-        |  SELECT a AS u, b AS v FROM strong
-        |  UNION ALL SELECT b, a FROM strong),
-        |reach AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-        |lab AS (
-        |  SELECT u AS node, least(u, min(v)) AS comp
-        |  FROM reach GROUP BY u),
-        |assigned AS (
-        |  SELECT n_nationkey, n_name,
-        |         COALESCE(l.comp, n_nationkey) AS component_id
-        |  FROM nation LEFT JOIN lab l ON n_nationkey = l.node),
-        |sizes AS (
-        |  SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
-        |  FROM assigned GROUP BY 1)
-        |SELECT a.n_nationkey, a.n_name, a.component_id, s.component_size
-        |FROM assigned a JOIN sizes s USING (component_id)
-        |ORDER BY n_nationkey""".stripMargin,
+    "graph_components" -> componentsOracleSql,
+    "graph_components_lss" -> componentsOracleSql,
     // BFS via bounded recursive walk over the same strong edge census —
     // UNION dedups (node, h) pairs and the h < 25 guard bounds cycles,
     // so min(h) per node is the exact hop distance.

@@ -154,7 +154,16 @@ object ScalarFnOps extends OpModule {
     */
   def fnMap(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{MapType, StringType}
+    // Presentation sort runs FIRST, on the four raw columns: a trailing
+    // orderBy's range-exchange SAMPLES its child, re-evaluating the whole
+    // json/map pipeline a second time (measured 0.9 → 1.95 s at sf0.1 —
+    // the r14 fn_map flag). Sorting the skinny scan costs one cheap
+    // sampling pass; the expensive expressions then run ONCE in
+    // order-preserving narrow projects above the Sort.
     Tables.events(s, dir)
+      .select(col("event_id"), col("props"), col("event_type"),
+        col("user_id"))
+      .orderBy(col("event_id"))
       .withColumn("pm",
         from_json(col("props"), MapType(StringType, StringType)))
       .withColumn("kv", str_to_map(
@@ -163,17 +172,25 @@ object ScalarFnOps extends OpModule {
         lit(","), lit(":")))
       .withColumn("m", map_concat(
         map_filter(col("pm"), (k, _) => !k.isin("type", "uid")), col("kv")))
-      // sorted key array materialized once, referenced twice below
-      .withColumn("sk", array_sort(map_keys(col("m"))))
+      // ONE sorted entries array (struct ordering = key-major; keys are
+      // unique so it is exactly key order) feeds both projections below.
+      // The previous form ran `element_at(col("m"), k)` inside a
+      // transform lambda over the sorted keys — and CollapseProject
+      // inlines a computed column into a higher-order-function lambda,
+      // re-evaluating the whole map_concat(map_filter(from_json(...)))
+      // chain PER KEY (the r14 span-scrub lesson, PERF.md; measured 3×
+      // the family median here). Entries-based extraction touches the
+      // computed map once per row however the optimizer collapses it.
+      .withColumn("se", array_sort(map_entries(col("m"))))
       .select(
         col("event_id"),
         size(col("m")).as("n_entries"),
-        array_join(col("sk"), ",").as("keys_sorted"),
-        array_join(transform(col("sk"), k => element_at(col("m"), k)), ",")
+        array_join(transform(col("se"), e => e.getField("key")), ",")
+          .as("keys_sorted"),
+        array_join(transform(col("se"), e => e.getField("value")), ",")
           .as("vals_by_key"),
         element_at(col("kv"), lit("uid")).cast("int").as("uid_val"),
         element_at(col("pm"), lit("k")).cast("int").as("k_val"))
-      .orderBy(col("event_id"))
   }
 
   /** Bitwise scalar surface over the event keys: and/or/xor/not, shifts,
@@ -204,7 +221,12 @@ object ScalarFnOps extends OpModule {
     * ordered output.
     */
   def fnUrl(s: SparkSession, dir: String): DataFrame =
+    // sort-first (the fn_map lesson): a trailing orderBy's range sampling
+    // would run the four parse_url calls twice; sorting the skinny scan
+    // first keeps them to one order-preserving pass above the Sort
     Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .orderBy(col("event_id"))
       .select(col("event_id"),
         concat(lit("https://"), col("event_type"), lit(".example.com/u/"),
           col("user_id"), lit("/p?ref="), col("event_id") % 7,
@@ -213,7 +235,6 @@ object ScalarFnOps extends OpModule {
       .withColumn("path", expr("parse_url(url, 'PATH')"))
       .withColumn("query", expr("parse_url(url, 'QUERY')"))
       .withColumn("ref", expr("parse_url(url, 'QUERY', 'ref')"))
-      .orderBy(col("event_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_url" -> fnUrl,

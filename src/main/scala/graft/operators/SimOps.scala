@@ -515,6 +515,22 @@ object SimOps extends OpModule {
     */
   private[graft] val ivfLiteralCellBound = 64
 
+  /** Quantizer broadcasts from prior [[annIndexWithImpl]] builds in this
+    * JVM. Each new build unpersists (NOT destroys) the previous ones so
+    * executor block-manager memory holds at most one live quantizer in
+    * steady state; an unpersisted broadcast re-ships lazily from the
+    * driver if an old lazy frame is re-actioned, so correctness is
+    * unaffected.
+    */
+  private val liveQuantizerBcs =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.broadcast.Broadcast[_]]())
+
+  private def releaseQuantizerBroadcasts(): Unit = {
+    val it = liveQuantizerBcs.iterator()
+    while (it.hasNext) { it.next().unpersist(false); it.remove() }
+  }
+
   /** [[annIndexWith]] with the assignment path made explicit (specs pin
     * the two paths bit-identical — see Round14OpsSpec). The broadcast
     * argmax replays the literal form's exact semantics: strict
@@ -549,6 +565,13 @@ object SimOps extends OpModule {
       import s.implicits._
       val bc = s.sparkContext.broadcast(
         seeds.map { case (id, u) => (id, u.toArray) }.toArray)
+      // Evict the PREVIOUS build's quantizer blocks from the executors:
+      // repeated large-cell index builds in one JVM otherwise accumulate
+      // block-manager memory (the r12 bpeLoop cache-leak class). Plain
+      // unpersist, never destroy — an older assignment frame re-actioned
+      // later just re-fetches its quantizer from the driver.
+      releaseQuantizerBroadcasts()
+      liveQuantizerBcs.add(bc)
       emb.select(col("vec_id"), col("embedding"), col("norm"))
         .as[(Long, Array[Float], Double)]
         .mapPartitions { it =>
@@ -580,7 +603,16 @@ object SimOps extends OpModule {
         }
         .toDF("vec_id", "embedding", "norm", "cell")
     }).select(col("vec_id"), col("embedding"), col("norm"), col("cell"))
-    val centroids = assigned
+    (centroidsOf(assigned), assigned)
+  }
+
+  /** Fixed-point centroid refinement over a cell assignment — the shared
+    * tail of every IVF build: per-dimension micro-unit (1e-6) integer
+    * sums, exact longs no partition order can perturb, one deterministic
+    * division per component.
+    */
+  private def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cell"), posexplode(col("embedding")))
       .groupBy(col("cell"), col("pos"))
       .agg(sum(round(col("col").cast("double") * lit(1000000.0), 0)
@@ -591,7 +623,118 @@ object SimOps extends OpModule {
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("v"))))
         .getField("v").as("centroid"))
-    (centroids, assigned)
+
+  /** Two-level (coarse-grouped) IVF assignment — the BUILD-side scale
+    * path. The flat argmax assignment pays O(cells) dots per vector;
+    * at cells = √n the whole build is O(n^1.5 · d) flops — the measured
+    * superlinear term of the 1M → 4M → 10M build curve (ANNSCALE_r15).
+    * Here the cell seeds are grouped under ⌈√cells⌉ coarse pivots (each
+    * seed hangs on its nearest pivot — a driver-side pass over the seed
+    * array, trivial next to any corpus pass) and each vector probes only
+    * its top-`coarseProbes` pivot groups before the in-group argmax:
+    * O(√cells · (1 + coarseProbes · mean-group)) ≈ O(n^0.25 · d) dots
+    * per vector, n^1.25 total — the standard hierarchical-quantizer
+    * trick (IMI / two-level IVF).
+    *
+    * The assignment is APPROXIMATE: a vector near a pivot boundary can
+    * land in a second-best cell. The dedup/ANN contract survives by
+    * construction — a planted near-duplicate pair shares every dot to
+    * ~3 decimals, so both members take the same (possibly second-best)
+    * cell and stay co-located — and AnnScaleBench measures the planted
+    * recall gate (≥ 0.98) on this path before recording any number.
+    * With `coarseProbes >= pivot count` the probe is exhaustive and the
+    * assignment is BIT-IDENTICAL to the flat argmax (same strict
+    * left-to-right dot, same NaN-ranks-best, same smaller-sid
+    * tie-break) — spec-pinned in Round15OpsSpec. Serving is unchanged:
+    * (centroids, assigned) feed [[annSearchPruned]] like any build.
+    */
+  private[graft] def annIndexHierarchical(s: SparkSession, dir: String,
+      nSeeds: Int, coarseProbes: Int = 4): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    import s.implicits._
+    val emb = withNorm(Tables.embeddings(s, dir))
+    val seeds = driverSeeds(s, dir, nSeeds)
+      .map { case (id, u) => (id, u.toArray) }.toArray
+    val nPivots = math.ceil(math.sqrt(nSeeds.toDouble)).toInt
+    val pivots = seeds.take(nPivots).map(_._2)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    // driver-side: hang every cell seed on its nearest pivot (same
+    // neg/NaN/first-wins semantics as the corpus argmax)
+    val groups = Array.fill(nPivots)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])])
+    seeds.foreach { case (sid, v) =>
+      var bestNeg = Double.PositiveInfinity; var bestP = 0; var p = 0
+      var first = true
+      while (p < nPivots) {
+        val d = dot(v, pivots(p))
+        val neg = if (d.isNaN) Double.NegativeInfinity else -d
+        if (first || neg < bestNeg) { bestNeg = neg; bestP = p; first = false }
+        p += 1
+      }
+      groups(bestP) += ((sid, v))
+    }
+    val groupsArr = groups.map(_.sortBy(_._1).toArray)
+    val bc = s.sparkContext.broadcast((pivots, groupsArr))
+    releaseQuantizerBroadcasts()
+    liveQuantizerBcs.add(bc)
+    val w = math.min(coarseProbes, nPivots)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .as[(Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        val (pvs, grps) = bc.value
+        it.map { case (id, v, nrm) =>
+          val vd = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { vd(i) = v(i).toDouble; i += 1 }
+          // top-w pivots by (neg dot, pivot idx) — a w-pass selection
+          // over nPivots scores (w ≤ 4 in practice; no heap needed)
+          val negs = new Array[Double](pvs.length)
+          var p = 0
+          while (p < pvs.length) {
+            val d = dot(vd, pvs(p))
+            negs(p) = if (d.isNaN) Double.NegativeInfinity else -d
+            p += 1
+          }
+          val taken = new Array[Boolean](pvs.length)
+          var bestNeg = Double.PositiveInfinity
+          var bestSid = Long.MaxValue
+          var firstOverall = true
+          var probe = 0
+          while (probe < w) {
+            var selNeg = Double.PositiveInfinity; var sel = -1
+            var q = 0
+            while (q < pvs.length) {
+              if (!taken(q) && (sel < 0 || negs(q) < selNeg)) {
+                selNeg = negs(q); sel = q
+              }
+              q += 1
+            }
+            taken(sel) = true
+            val members = grps(sel)
+            var m = 0
+            while (m < members.length) {
+              val (sid, u) = members(m)
+              val d = dot(vd, u)
+              val neg = if (d.isNaN) Double.NegativeInfinity else -d
+              if (firstOverall || neg < bestNeg ||
+                  (neg == bestNeg && sid < bestSid)) {
+                bestNeg = neg; bestSid = sid; firstOverall = false
+              }
+              m += 1
+            }
+            probe += 1
+          }
+          (id, v, nrm, bestSid)
+        }
+      }
+      .toDF("vec_id", "embedding", "norm", "cell")
+    (centroidsOf(assigned), assigned)
   }
 
   /** Query-time IVF search against a (possibly persisted and reloaded)
@@ -937,12 +1080,93 @@ object SimOps extends OpModule {
     srpTopK(qs, table)
   }
 
+  /** ADAPTIVE multi-probe — the production serving policy on top of
+    * [[annSrpMultiProbe]]'s fixed-radius knob: each query escalates its
+    * probe radius 0 → 1 → 2 until its exact-verified top-k holds ≥ k
+    * members, then stops. Dense regions of the corpus pay the cheap
+    * single-bucket probe; sparse queries (the ones single-probe recall
+    * measurably starves — SRPPROBE_r14: iid recall 0.03 at radius 0)
+    * buy exactly the bucket neighborhood they need, never more than the
+    * radius-2 cap. Per-radius candidate volume keeps multi-probe's
+    * bound; total work is ≤ the fixed radius-2 probe restricted to the
+    * queries that actually escalate.
+    *
+    * Output adds a `probe_radius` column (the radius each query was
+    * satisfied at — the knob's observability); rows for a query are
+    * EXACTLY [[annSrpMultiProbe]]'s at that radius (spec-pinned). A
+    * query with fewer than k candidates even at the cap emits what it
+    * has — the cap terminates, never drops. The per-radius result
+    * frames are persisted but bounded (≤ k rows per pending query — a
+    * query-batch-proportional footprint, never corpus-proportional).
+    * Library knob, not an oracled query: `llm_ann_srp` /
+    * `_multiprobe` keep their frozen radius-0/1 oracle configurations.
+    */
+  private[graft] def annSrpAdaptive(s: SparkSession, dir: String,
+      bits: Int, bands: Int, k: Int, queryPred: Column,
+      corpus: Option[DataFrame] = None, maxRadius: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 5,
+      s"k=$k outside the top-5 heap's bound ([[srpTopK]] verifies 5)")
+    require(maxRadius >= 0 && maxRadius <= 2,
+      s"maxRadius $maxRadius unsupported (0-2)")
+    graft.functions.GraftFunctions.register(s)
+    val planes = driverSeeds(s, dir, bands * bits)
+    val table = corpus.getOrElse(
+      srpAssigned(s, planes, bits, withNorm(Tables.embeddings(s, dir)),
+        bands))
+    val qAssigned = srpAssigned(s, planes, bits,
+      withNorm(Tables.embeddings(s, dir).filter(queryPred)), bands)
+    var result: Option[DataFrame] = None
+    var pending: Option[DataFrame] = None // None = every query
+    var radius = 0
+    var exhausted = false
+    while (!exhausted && radius <= maxRadius) {
+      val masks = typedlit(probeMasks(bits, radius))
+      val probedAll = qAssigned
+        .withColumn("bucket",
+          explode(transform(masks, m => col("bucket").bitwiseXOR(m))))
+        .select(col("band"), col("bucket"), col("vec_id").as("q_id"),
+          col("embedding").as("q_emb"), col("norm").as("q_norm"))
+      val probed = pending.fold(probedAll)(p =>
+        probedAll.join(broadcast(p), Seq("q_id"), "left_semi"))
+      // ≤ 5 rows per pending query — tiny; persisted so the satisfied
+      // split + escalation decision don't re-run the band join
+      val res = srpTopK(probed, table)
+        .withColumn("probe_radius", lit(radius)).persist()
+      if (radius == maxRadius) {
+        result = Some(result.fold(res: DataFrame)(_.unionByName(res)))
+        exhausted = true
+      } else {
+        val sat = res.groupBy(col("q_id")).agg(count(lit(1)).as("nres"))
+          .filter(col("nres") >= k).select(col("q_id"))
+          .localCheckpoint(true)
+        val done = res.join(broadcast(sat), Seq("q_id"), "left_semi")
+        result = Some(result.fold(done)(_.unionByName(done)))
+        val rem = pending
+          .getOrElse(qAssigned.select(col("vec_id").as("q_id")).distinct())
+          .join(sat, Seq("q_id"), "left_anti")
+          .localCheckpoint(true)
+        if (rem.isEmpty) exhausted = true else pending = Some(rem)
+      }
+      radius += 1
+    }
+    result.get.orderBy(col("q_id"), col("rnk"))
+  }
+
   /** [[annSrpMultiProbe]] at radius 1 over the oracle-frozen 20-query
     * batch — the QUERY-surface form of the multi-probe knob, fully
     * value-oracled: the DuckDB twin replays the same 4-bit bands as
     * llm_ann_srp plus the five radius-≤1 XOR masks on the query side
     * (all shipped fixtures derive bits = 4, the config the SQL pins,
     * exactly as llm_ann_srp's own oracle pins its 16 planes).
+    *
+    * ORACLE PRECONDITION (shared with `llm_ann_srp`, whose adaptive bits
+    * this entry mirrors): the replayed SQL is only the engine's twin on
+    * fixtures whose vector count keeps [[srpBitsPerBand]] at the floor
+    * (≤ 2048 vectors ⇒ bits = 4 — every oracle fixture qualifies; the
+    * driver's gate runs at sf0.01). On larger corpora the entry stays
+    * CORRECT (adaptive bits, exact-cosine verify) but is no longer the
+    * oracle's configuration — stress tiers run it for timing, never for
+    * the DuckDB compare.
     */
   def annSrpMultiProbeQuery(s: SparkSession, dir: String): DataFrame =
     annSrpMultiProbe(s, dir,
