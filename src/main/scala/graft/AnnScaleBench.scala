@@ -51,9 +51,12 @@ object AnnScaleBench {
     // flat argmax's O(n^1.5)); same artifact shapes, same serving path,
     // same recall gates below.
     val buildMode = sys.env.getOrElse("SPARK_GRAFT_ANN_BUILD", "exact")
+    val coarseProbes = sys.env.get("SPARK_GRAFT_ANN_COARSE_PROBES")
+      .map(_.toInt).getOrElse(8)
     val tb0 = System.nanoTime()
     val (cDf, aDf) = buildMode match {
-      case "hier" => SimOps.annIndexHierarchical(spark, dir, nCells)
+      case "hier" =>
+        SimOps.annIndexHierarchical(spark, dir, nCells, coarseProbes)
       case "exact" => SimOps.annIndexWith(spark, dir, nCells)
       case other => sys.error(s"SPARK_GRAFT_ANN_BUILD '$other' not in " +
         "{exact, hier}")
@@ -123,7 +126,8 @@ object AnnScaleBench {
     require(plantedIvf >= 0.98, s"IVF planted recall $plantedIvf < 0.98")
     require(plantedSrp >= 0.98, s"SRP planted recall $plantedSrp < 0.98")
     println(s"""{"metric":"ann_scale","n_vectors":$n,"ivf_cells":$nCells,""" +
-      s""""build_mode":"$buildMode",""" +
+      s""""build_mode":"$buildMode","coarse_probes":""" +
+      (if (buildMode == "hier") s"$coarseProbes," else "null,") +
       s""""sec_brute":$tBrute,"sec_index_build":$tBuild,""" +
       s""""sec_served_pruned":$tServe,"recall_ivf":${recallOf(served)},""" +
       s""""planted_pairs":${plantedQs.size},""" +

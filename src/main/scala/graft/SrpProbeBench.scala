@@ -81,13 +81,38 @@ object SrpProbeBench {
     require(tiers.last._3 >= 0.3,
       s"radius-2 iid recall ${tiers.last._3} < 0.3 — multi-probe did " +
         "not lift recall at this scale")
+    // ADAPTIVE policy row: per-query minimal radius with >= k verified
+    // results. Measured honestly: on a DENSE table (bucket population
+    // ~n/2^bits >> k) every query fills its top-5 at radius 0 and the
+    // count-based escalation never fires — the policy is a SPARSE-regime
+    // tool (aggressive bits, thin tail buckets); recall hunting on dense
+    // tables stays with the explicit radius knob above.
+    val ta0 = System.nanoTime()
+    val adRows = SimOps.annSrpAdaptive(spark, dir, bits, bands, 5,
+      col("vec_id") < 20).collect()
+    val tAdapt = (System.nanoTime() - ta0) / 1e9
+    val adSets = adRows.map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val radiusOf = adRows
+      .map(r => (r.getLong(0), r.getAs[Int]("probe_radius"))).toMap
+    val adCands = (0 to 2).map { r =>
+      val qs = radiusOf.filter(_._2 == r).keys.toSeq
+      if (qs.isEmpty) 0L
+      else SimOps.srpCandidateCountMulti(spark, dir, bits, bands, r,
+        col("vec_id").isin(qs: _*))
+    }.sum
+    val radiusHist = (0 to 2).map(r =>
+      s""""$r":${radiusOf.values.count(_ == r)}""").mkString("{", ",", "}")
+    val adaptiveJson = s"""{"k":5,"sec":$tAdapt,""" +
+      s""""recall_iid":${recallOf(adSets)},"candidates":$adCands,""" +
+      s""""radius_hist":$radiusHist}"""
     val tiersJson = tiers.map { case (r, t, rec, cands, cap, pr) =>
       s"""{"radius":$r,"sec":$t,"recall_iid":$rec,""" +
         s""""candidates":$cands,"cap":$cap,"planted_recall":$pr}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"srp_multiprobe","n_vectors":$n,""" +
       s""""srp_bits":$bits,"bands":$bands,"sec_brute":$tBrute,""" +
-      s""""tiers":$tiersJson}""")
+      s""""tiers":$tiersJson,"adaptive":$adaptiveJson}""")
     spark.stop()
   }
 }
