@@ -149,8 +149,8 @@ object AggOps extends OpModule {
     * raw rows, where the rank equality picks the same order statistics
     * (ties share a value, so which tied row wins is value-irrelevant).
     */
-  private def exactPercentiles(s: SparkSession, df: DataFrame, key: String,
-      valueCol: String, quantiles: Seq[(String, Double)],
+  private[operators] def exactPercentiles(s: SparkSession, df: DataFrame,
+      key: String, valueCol: String, quantiles: Seq[(String, Double)],
       collapse: Boolean): DataFrame = {
     val parts = s.sessionState.conf.numShufflePartitions
     val nn = df.filter(col(valueCol).isNotNull)

@@ -451,7 +451,44 @@ object CurationOps extends OpModule {
       .orderBy(col("rank"))
   }
 
+  /** CCNet-style per-language quality buckets (Wenzek et al. 2020): score
+    * every document by its LM perplexity ([[TextOps.perplexityMicro]] —
+    * the same exact integer micro-nats the flag gate reads), then split
+    * each language at its within-language perplexity terciles into
+    * `head` / `middle` / `tail` — the corpus partition CCNet trains on
+    * head+middle of and discards tail of. Cutoffs are DATA-DERIVED
+    * per-language quantiles (the operator's point: "bad" is relative to
+    * the language's own distribution), computed through the
+    * [[AggOps.exactPercentiles]] spread-rank pass — distributed prefix
+    * counts, `percentile`/`quantile_cont`-exact, no per-group in-memory
+    * value list — then broadcast (3 numbers per language) onto a narrow
+    * comparison pass.
+    *
+    * Scale shape: perplexity scoring is the [[TextOps.perplexity]] plan
+    * (map-side-combined doc-bigram census + LM join); the tercile pass
+    * spreads doc scores across the full shuffle width even though
+    * languages are few (the spread-rank property); the bucket assignment
+    * is map-only against the broadcast cutoffs. Docs with <2 tokens have
+    * no perplexity evidence and drop out, as in [[TextOps.perplexity]].
+    */
+  def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextOps.perplexityMicro(s, dir, TextOps.lmArtifact(s, dir))
+      .select(col("doc_id"), col("avg_nll_micro"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id")
+    val cuts = AggOps.exactPercentiles(s, scored, "lang", "avg_nll_micro",
+      Seq(("c33", 1.0 / 3), ("c66", 2.0 / 3)), collapse = false)
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"),
+        when(col("avg_nll_micro").cast("double") <= col("c33"), lit("head"))
+          .when(col("avg_nll_micro").cast("double") <= col("c66"),
+            lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_quality_buckets" -> qualityBuckets,
     "llm_url_dedup" -> urlDedup,
     "llm_decontaminate" -> decontaminate,
     "llm_pii_scrub" -> piiScrub,
@@ -519,6 +556,45 @@ object CurationOps extends OpModule {
         |FROM top ORDER BY rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // The full perplexity pipeline (the llm_perplexity CTEs down to the
+    // integer micro-nat score) + per-language quantile_cont terciles —
+    // the independent route to the spread-rank cutoffs.
+    "llm_quality_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pz AS (
+        |  SELECT doc_id, unnest(list_zip(toks[1:length(toks) - 1],
+        |                                 toks[2:length(toks)])) AS pr
+        |  FROM t),
+        |p AS (SELECT doc_id, pr[1] AS a, pr[2] AS b FROM pz),
+        |lm AS (SELECT a, b, count(*) AS n_ab FROM p GROUP BY 1, 2),
+        |lq AS (
+        |  SELECT a, b,
+        |         CAST(round(ln(CAST(n_ab AS DOUBLE) /
+        |              CAST(sum(n_ab) OVER (PARTITION BY a) AS DOUBLE))
+        |              * 1000000.0) AS BIGINT) AS lq
+        |  FROM lm),
+        |dc AS (SELECT doc_id, a, b, count(*) AS c FROM p GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT doc_id,
+        |         CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(c * lq) AS BIGINT) AS sum_lq
+        |  FROM dc JOIN lq USING (a, b) GROUP BY 1),
+        |sc AS (
+        |  SELECT j.doc_id, d.lang,
+        |         (-sum_lq) // n_bigrams AS avg_nll_micro
+        |  FROM j JOIN documents d USING (doc_id)),
+        |cuts AS (
+        |  SELECT lang,
+        |         quantile_cont(avg_nll_micro, 1.0/3) AS c33,
+        |         quantile_cont(avg_nll_micro, 2.0/3) AS c66
+        |  FROM sc GROUP BY 1)
+        |SELECT sc.doc_id, sc.lang,
+        |       CASE WHEN CAST(avg_nll_micro AS DOUBLE) <= c33 THEN 'head'
+        |            WHEN CAST(avg_nll_micro AS DOUBLE) <= c66 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM sc JOIN cuts USING (lang)
+        |ORDER BY doc_id""".stripMargin,
     "llm_dsir_select" -> dsirSelectSql,
     "llm_dsir_select_served" -> dsirSelectSql,
     "llm_url_dedup" ->

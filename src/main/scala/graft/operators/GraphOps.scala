@@ -311,7 +311,54 @@ object GraphOps extends OpModule {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Synchronous label propagation (3 rounds) over the strong-tie trade
+    * graph — deterministic community detection next to [[components]]'
+    * reachability partition: a community is denser than mere
+    * connectivity, and LPA finds them without a modularity solve.
+    * Each round every node adopts the label held by the MOST neighbors
+    * (ties to the smallest label; isolated nodes keep their own).
+    * Classic async LPA is famously order-dependent — this is the
+    * SYNCHRONOUS fixed-round form precisely so the result is a pure
+    * function of the graph: updates read only the previous round's
+    * labels, the (count desc, label asc) vote is a total order, and the
+    * round count is config (3), not a convergence race.
+    *
+    * Scale shape: the [[strongEdges]] census is paid once; each round is
+    * one join of the census against the label frame (broadcast here —
+    * nation-sized; at web scale a shuffle join keyed by node, exactly
+    * like [[pagerank]]'s rank frame), a map-side-combined (node, label)
+    * vote count, and a node-keyed window over the vote census. Rounds
+    * never touch fact data.
+    */
+  def labelProp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val strong = strongEdges(s, dir)
+    val sym = strong.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(strong.select(col("b").as("u"), col("a").as("v")))
+      .transform(graft.Checkpoints.truncate)
+    val nodes = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
+    var lbl = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to 3) {
+      val votes = sym
+        .join(broadcast(lbl.select(col("node").as("v"), col("lbl"))), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("u"))
+        .orderBy(col("cnt").desc, col("lbl"))
+      val winner = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("lbl").as("new_lbl"))
+      lbl = lbl.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    }
+    Tables.nation(s, dir)
+      .join(lbl, col("n_nationkey") === col("node"))
+      .select(col("n_nationkey"), col("n_name"),
+        col("lbl").as("community_id"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop" -> labelProp,
     "graph_degree_census" -> degreeCensus,
     "graph_jaccard_neighbors" -> jaccardNeighbors,
     "graph_pagerank" -> pagerank,
@@ -363,6 +410,55 @@ object GraphOps extends OpModule {
       |ORDER BY n_nationkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Three synchronous LPA rounds unrolled as CTE chains — each round's
+    // vote census, windowed winner, and coalesce-carry replayed exactly.
+    "graph_label_prop" ->
+      """WITH edges AS (
+        |  SELECT c_nationkey AS src, s_nationkey AS dst,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |und AS (
+        |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+        |         CAST(sum(w) AS BIGINT) AS w
+        |  FROM edges WHERE src <> dst GROUP BY 1, 2),
+        |m AS (SELECT CAST(sum(w) // count(*) AS BIGINT) AS mean_w FROM und),
+        |strong AS (
+        |  SELECT a, b FROM und, m WHERE w >= mean_w),
+        |sym AS (
+        |  SELECT a AS u, b AS v FROM strong
+        |  UNION ALL SELECT b, a FROM strong),
+        |l0 AS (SELECT n_nationkey AS node, n_nationkey AS lbl FROM nation),
+        |v1 AS (SELECT e.u, l.lbl, count(*) AS cnt
+        |       FROM sym e JOIN l0 l ON l.node = e.v GROUP BY 1, 2),
+        |w1 AS (SELECT u AS node, lbl AS nl FROM (
+        |         SELECT u, lbl, row_number() OVER (
+        |           PARTITION BY u ORDER BY cnt DESC, lbl) AS rn FROM v1)
+        |       WHERE rn = 1),
+        |l1 AS (SELECT l0.node, COALESCE(w1.nl, l0.lbl) AS lbl
+        |       FROM l0 LEFT JOIN w1 USING (node)),
+        |v2 AS (SELECT e.u, l.lbl, count(*) AS cnt
+        |       FROM sym e JOIN l1 l ON l.node = e.v GROUP BY 1, 2),
+        |w2 AS (SELECT u AS node, lbl AS nl FROM (
+        |         SELECT u, lbl, row_number() OVER (
+        |           PARTITION BY u ORDER BY cnt DESC, lbl) AS rn FROM v2)
+        |       WHERE rn = 1),
+        |l2 AS (SELECT l1.node, COALESCE(w2.nl, l1.lbl) AS lbl
+        |       FROM l1 LEFT JOIN w2 USING (node)),
+        |v3 AS (SELECT e.u, l.lbl, count(*) AS cnt
+        |       FROM sym e JOIN l2 l ON l.node = e.v GROUP BY 1, 2),
+        |w3 AS (SELECT u AS node, lbl AS nl FROM (
+        |         SELECT u, lbl, row_number() OVER (
+        |           PARTITION BY u ORDER BY cnt DESC, lbl) AS rn FROM v3)
+        |       WHERE rn = 1),
+        |l3 AS (SELECT l2.node, COALESCE(w3.nl, l2.lbl) AS lbl
+        |       FROM l2 LEFT JOIN w3 USING (node))
+        |SELECT n_nationkey, n_name, l3.lbl AS community_id
+        |FROM nation JOIN l3 ON node = n_nationkey
+        |ORDER BY n_nationkey""".stripMargin,
     "graph_degree_census" ->
       """WITH edges AS (
         |  SELECT c_nationkey AS src, s_nationkey AS dst,

@@ -460,6 +460,21 @@ object SimOps extends OpModule {
     annSearch(s, queriesSide(s, dir), centroids, assigned)
   }
 
+  /** [[annIvf]] through the two-level [[annIndexHierarchical]] build with
+    * an EXHAUSTIVE coarse probe (coarseProbes ≥ pivot count, so every
+    * seed is scored and the assignment is bit-identical to the flat
+    * argmax — the Round15OpsSpec pin). Exists as a declared query so the
+    * build-side scale path is itself value-oracled end to end, not only
+    * spec-pinned: same serving, same oracle SQL as `llm_ann_ivf`, a
+    * different (and at √n cells 2.4–3.9× cheaper — ANNSCALE_r15) route
+    * to the same index.
+    */
+  def annIvfHier(s: SparkSession, dir: String): DataFrame = {
+    val (centroids, assigned) =
+      annIndexHierarchical(s, dir, 10, coarseProbes = 10)
+    annSearch(s, queriesSide(s, dir), centroids, assigned)
+  }
+
   /** The IVF index build — what a production deployment runs ONCE per
     * corpus snapshot and PERSISTS (the stress probe shows why: rebuilt
     * per query batch, the assignment + centroid passes dominate and
@@ -1478,6 +1493,7 @@ object SimOps extends OpModule {
     "llm_dedup_embed" -> ((s, dir) => dedupEmbed(s, dir)),
     "llm_dedup_embed_incremental" -> dedupEmbedIncremental,
     "llm_ann_ivf" -> annIvf,
+    "llm_ann_ivf_hier" -> annIvfHier,
     "llm_ann_frozen" -> annFrozen,
     "llm_ann_srp" -> annSrp,
     "llm_ann_srp_served" -> annSrpServed,
@@ -1491,7 +1507,15 @@ object SimOps extends OpModule {
   private val dotSql =
     "list_sum([%s.embedding[i]::DOUBLE * %s.embedding[i]::DOUBLE for i in range(1, 65)])"
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracleBase is declared below (keeping the literal next to its
+  // family), so the derived map must not dereference it during object init
+  lazy val oracle: Map[String, String] =
+    // llm_ann_ivf_hier is the hierarchical assignment at an EXHAUSTIVE
+    // coarse probe — spec-pinned bit-identical to the flat argmax — so
+    // it shares llm_ann_ivf's oracle: one SQL, two build paths.
+    oracleBase + ("llm_ann_ivf_hier" -> oracleBase("llm_ann_ivf"))
+
+  private val oracleBase: Map[String, String] = Map(
     "llm_embed_quantize" ->
       """WITH sc AS (
         |  SELECT i AS pos,

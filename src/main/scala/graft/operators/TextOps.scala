@@ -300,6 +300,60 @@ object TextOps extends OpModule {
       .limit(30)
   }
 
+  /** Interpolated Kneser–Ney smoothed bigram probabilities (Kneser &
+    * Ney 1995; the Chen & Goodman 1998 interpolated form with a fixed
+    * absolute discount D = 0.75) — the smoothing every count-based
+    * n-gram LM actually ships, next to [[bigramLm]]'s raw MLE:
+    *
+    *   p_KN(b|a) = max(n(a,b) − D, 0) / n(a·)
+    *             + (D · N1+(a·) / n(a·)) · N1+(·b) / N1+(··)
+    *
+    * where N1+(a·) = distinct continuations of `a`, N1+(·b) = distinct
+    * left-contexts of `b` (the "how many contexts has `b` completed"
+    * continuation count — KN's insight), N1+(··) = distinct bigram
+    * types. D = 0.75 is exactly representable in binary, so every term
+    * is either an exact-long cast or an IEEE op both engines sequence
+    * identically; the probability ships quantized to integer
+    * micro-units (the [[perplexity]] lq stance).
+    *
+    * Scale shape: everything runs on the [[pairCounts]] census
+    * (distinct-bigram cardinality, never corpus volume) — one
+    * vocabulary-keyed window for the leading-token totals, one
+    * map-side-combined aggregate for the continuation counts, one
+    * broadcast 1-row type total (the llm_tfidf scalar cross-join
+    * pattern — a 1-row-build BNLJ, constant work per census row, never
+    * a data×data product; QueriesSmokeSpec-allowlisted); top-30 is a
+    * bounded heap.
+    */
+  private[graft] def kneserNeyAll(s: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pc = pairCounts(s, dir, "n_ab")
+    val wA = Window.partitionBy(col("a"))
+    val withA = pc
+      .withColumn("n_a", sum(col("n_ab")).over(wA))
+      // pairCounts rows ARE distinct (a, b) types, so the per-a row
+      // count is exactly N1+(a·)
+      .withColumn("n1p_a", count(lit(1)).over(wA))
+    val contB = pc.groupBy(col("b")).agg(count(lit(1)).as("n1p_b"))
+    val total = pc.agg(count(lit(1)).as("n_types"))
+    withA.join(contB, Seq("b"))
+      .crossJoin(broadcast(total))
+      .withColumn("p_kn_micro",
+        round((greatest(col("n_ab").cast("double") - lit(0.75), lit(0.0)) /
+            col("n_a").cast("double") +
+          lit(0.75) * col("n1p_a").cast("double") /
+            col("n_a").cast("double") *
+            (col("n1p_b").cast("double") / col("n_types").cast("double"))) *
+          lit(1000000.0), 0).cast("long"))
+      .select(col("a"), col("b"), col("n_ab"), col("p_kn_micro"))
+  }
+
+  def kneserNey(s: SparkSession, dir: String): DataFrame =
+    kneserNeyAll(s, dir)
+      .orderBy(desc("n_ab"), col("a"), col("b"))
+      .limit(30)
+
   /** CCNet-style perplexity filtering: score every document by its
     * average negative log-likelihood under the corpus-trained bigram LM
     * (the [[bigramLm]] counts) and flag high-perplexity outliers — the
@@ -349,6 +403,21 @@ object TextOps extends OpModule {
     * the production form: the LM never retrains per scoring run.
     */
   def perplexityFromStore(s: SparkSession, dir: String,
+      lm: DataFrame): DataFrame =
+    perplexityMicro(s, dir, lm)
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("avg_nll_micro").cast("double") / lit(1000000.0))
+          .as("avg_nll"),
+        (-col("sum_lq") > lit(3700000L) * col("n_bigrams")).as("flagged"))
+      .orderBy(col("doc_id"))
+
+  /** The integer core of [[perplexityFromStore]]: per-doc exact micro-nat
+    * sums against the LM, before any double leaves the pipeline —
+    * (doc_id, n_bigrams, sum_lq, avg_nll_micro). Shared with
+    * [[CurationOps.qualityBuckets]] so the bucket gate and the flag gate
+    * score documents from the SAME integers and cannot drift.
+    */
+  private[graft] def perplexityMicro(s: SparkSession, dir: String,
       lm: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val docPairs = Tables.documents(s, dir)
@@ -367,11 +436,6 @@ object TextOps extends OpModule {
       // double division — a round(rational, 4) here would reintroduce
       // the decimal-tie divergence the lq quantization exists to avoid
       .withColumn("avg_nll_micro", expr("(-sum_lq) div n_bigrams"))
-      .select(col("doc_id"), col("n_bigrams"),
-        (col("avg_nll_micro").cast("double") / lit(1000000.0))
-          .as("avg_nll"),
-        (-col("sum_lq") > lit(3700000L) * col("n_bigrams")).as("flagged"))
-      .orderBy(col("doc_id"))
   }
 
   /** Out-of-vocabulary rate — the tokenizer-health metric a pipeline
@@ -1276,6 +1340,7 @@ object TextOps extends OpModule {
     "llm_oov_rate" -> oovRate,
     "llm_perplexity" -> perplexity,
     "llm_bigram_lm" -> bigramLm,
+    "llm_kneser_ney" -> kneserNey,
     "llm_bpe_pairs" -> bpePairs,
     "llm_vocab_census" -> vocabCensus,
     "llm_text_stats" -> textStats,
@@ -1621,6 +1686,39 @@ object TextOps extends OpModule {
         |SELECT a, b, n_ab, n_a,
         |       CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS p
         |FROM u ORDER BY n_ab DESC, a, b LIMIT 30""".stripMargin,
+    // Interpolated Kneser–Ney replayed on the same pair census: the
+    // discounted term, the interpolation weight, and the continuation
+    // probability are each written in the exact operator order the
+    // Spark expression uses (left-assoc * and /), so the doubles agree
+    // bit-for-bit before the micro-unit quantization.
+    "llm_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents),
+        |pz AS (
+        |  SELECT unnest(list_zip(toks[1:length(toks) - 1],
+        |                         toks[2:length(toks)])) AS pr
+        |  FROM t),
+        |c AS (
+        |  SELECT pr[1] AS a, pr[2] AS b, count(*) AS n_ab
+        |  FROM pz GROUP BY 1, 2),
+        |u AS (
+        |  SELECT *,
+        |         CAST(sum(n_ab) OVER (PARTITION BY a) AS BIGINT) AS n_a,
+        |         CAST(count(*) OVER (PARTITION BY a) AS BIGINT) AS n1p_a
+        |  FROM c),
+        |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS n1p_b
+        |       FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c)
+        |SELECT a, b, n_ab,
+        |       CAST(round((greatest(CAST(n_ab AS DOUBLE) - 0.75, 0.0)
+        |                     / CAST(n_a AS DOUBLE)
+        |                   + 0.75 * CAST(n1p_a AS DOUBLE)
+        |                     / CAST(n_a AS DOUBLE)
+        |                     * (CAST(n1p_b AS DOUBLE)
+        |                        / CAST(n_types AS DOUBLE)))
+        |                  * 1000000.0) AS BIGINT) AS p_kn_micro
+        |FROM u JOIN cb USING (b), tot
+        |ORDER BY n_ab DESC, a, b LIMIT 30""".stripMargin,
     "llm_bpe_pairs" ->
       """WITH t AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents),

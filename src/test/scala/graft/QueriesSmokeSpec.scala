@@ -77,6 +77,14 @@ class QueriesSmokeSpec extends SparkSpec {
   // same broadcast ONE-ROW scalar aggregate as llm_tfidf, crossed onto
   // the FIXED 256-row hashed-feature census — constant work at any
   // corpus size (justified in CurationOps.dsirSelect's doc).
+  // llm_ann_ivf_hier (round 15): identical serving plan to llm_ann_ivf —
+  // the probe step's broadcast(queries) × broadcast(centroids) join is
+  // tiny on both axes (20 queries × cells); only the BUILD path differs
+  // (justified in SimOps.annIvfHier's doc).
+  // llm_kneser_ney (round 15): the distinct-bigram-type total N1+(··) is
+  // the same broadcast ONE-ROW scalar aggregate as llm_tfidf, crossed
+  // onto the type census — never token volume (justified in
+  // TextOps.kneserNeyAll's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
@@ -84,7 +92,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "graph_jaccard_neighbors", "llm_doc_outlier", "graph_degree_census",
     "llm_embed_quantize", "tpch_q2_shape", "tpch_q9_shape",
     "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape",
-    "llm_dsir_select")
+    "llm_dsir_select", "llm_ann_ivf_hier", "llm_kneser_ney")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {
