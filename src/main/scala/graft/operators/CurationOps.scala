@@ -472,10 +472,18 @@ object CurationOps extends OpModule {
     * no perplexity evidence and drop out, as in [[TextOps.perplexity]].
     */
   def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    // lineage cut: the scored frame feeds BOTH the cutoff pass and the
+    // assignment join. Catalyst's exchange reuse usually dedups the
+    // shared subplan, but that reuse is a fragile plan-shape accident
+    // under AQE; the checkpoint makes the single materialization a
+    // guarantee (500k-doc tier measured equal either way — this is
+    // insurance, not a win). Doc-count × 3 narrow columns — the score
+    // table a real pipeline would persist anyway.
     val scored = TextOps.perplexityMicro(s, dir, TextOps.lmArtifact(s, dir))
       .select(col("doc_id"), col("avg_nll_micro"))
       .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
         "doc_id")
+      .transform(graft.Checkpoints.truncate)
     val cuts = AggOps.exactPercentiles(s, scored, "lang", "avg_nll_micro",
       Seq(("c33", 1.0 / 3), ("c66", 2.0 / 3)), collapse = false)
     scored.join(broadcast(cuts), "lang")
