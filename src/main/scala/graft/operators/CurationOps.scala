@@ -479,13 +479,46 @@ object CurationOps extends OpModule {
     // guarantee (500k-doc tier measured equal either way — this is
     // insurance, not a win). Doc-count × 3 narrow columns — the score
     // table a real pipeline would persist anyway.
-    val scored = TextOps.perplexityMicro(s, dir, TextOps.lmArtifact(s, dir))
+    val scored = qualityScored(s, dir, TextOps.lmArtifact(s, dir))
+      .transform(graft.Checkpoints.truncate)
+    qualityAssign(scored, qualityCuts(s, scored))
+  }
+
+  /** [[qualityBuckets]] against PERSISTED model artifacts — the
+    * production serving form: the bigram LM ([[TextOps.lmStore]]) and
+    * the per-language tercile cutoffs (built ONCE from a scoring pass
+    * against that same stored LM, so the two artifacts cannot drift,
+    * then persisted as a languages × 3 parquet) are both read back, and
+    * a scoring run pays exactly one doc-census pass + two broadcast
+    * joins. Nothing data-derived is recomputed — the shape a continuing
+    * crawl pays per batch. Identical output by construction (the stored
+    * cutoffs ARE the recompute's doubles) — shared oracle.
+    */
+  def qualityBucketsServed(s: SparkSession, dir: String): DataFrame = {
+    val lm = TextOps.lmStore(s, dir)
+    val root = ArtifactStore.cached("quality_cuts", dir) { out =>
+      qualityCuts(s, qualityScored(s, dir, lm)).write.mode("overwrite")
+        .parquet(s"$out/cuts.parquet")
+    }
+    qualityAssign(qualityScored(s, dir, lm),
+      s.read.parquet(s"$root/cuts.parquet"))
+  }
+
+  /** Per-doc (doc_id, avg_nll_micro, lang) scoring frame under a given
+    * LM — the shared head of both bucket forms.
+    */
+  private def qualityScored(s: SparkSession, dir: String,
+      lm: DataFrame): DataFrame =
+    TextOps.perplexityMicro(s, dir, lm)
       .select(col("doc_id"), col("avg_nll_micro"))
       .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
         "doc_id")
-      .transform(graft.Checkpoints.truncate)
-    val cuts = AggOps.exactPercentiles(s, scored, "lang", "avg_nll_micro",
+
+  private def qualityCuts(s: SparkSession, scored: DataFrame): DataFrame =
+    AggOps.exactPercentiles(s, scored, "lang", "avg_nll_micro",
       Seq(("c33", 1.0 / 3), ("c66", 2.0 / 3)), collapse = false)
+
+  private def qualityAssign(scored: DataFrame, cuts: DataFrame): DataFrame =
     scored.join(broadcast(cuts), "lang")
       .select(col("doc_id"), col("lang"),
         when(col("avg_nll_micro").cast("double") <= col("c33"), lit("head"))
@@ -493,10 +526,10 @@ object CurationOps extends OpModule {
             lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "llm_quality_buckets" -> qualityBuckets,
+    "llm_quality_buckets_served" -> qualityBucketsServed,
     "llm_url_dedup" -> urlDedup,
     "llm_decontaminate" -> decontaminate,
     "llm_pii_scrub" -> piiScrub,
@@ -563,7 +596,14 @@ object CurationOps extends OpModule {
         |       CAST(score_unat AS DOUBLE) / 1000000.0 AS gumbel_score
         |FROM top ORDER BY rank""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracleBase is declared below; the _served twin reads persisted
+  // LM + cutoff artifacts but emits identical rows (the stored cutoffs
+  // ARE the recompute's doubles) — shared oracle.
+  lazy val oracle: Map[String, String] =
+    oracleBase +
+      ("llm_quality_buckets_served" -> oracleBase("llm_quality_buckets"))
+
+  private val oracleBase: Map[String, String] = Map(
     // The full perplexity pipeline (the llm_perplexity CTEs down to the
     // integer micro-nat score) + per-language quantile_cont terciles —
     // the independent route to the spread-rank cutoffs.

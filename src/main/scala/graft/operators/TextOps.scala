@@ -399,6 +399,28 @@ object TextOps extends OpModule {
       .select(col("a"), col("b"), col("lq"))
   }
 
+  /** The persisted [[lmArtifact]] — built once per fixture fingerprint
+    * ([[ArtifactStore]], the [[mergeStore]]/dsir_lr precedent) and read
+    * back as a parquet model table. Vocabulary²-bounded rows of exact
+    * integers, so the store is engine-independent and the served twins
+    * emit byte-identical scores to their inline forms.
+    */
+  private[operators] def lmStore(s: SparkSession, dir: String): DataFrame = {
+    val root = ArtifactStore.cached("bigram_lm", dir) { out =>
+      lmArtifact(s, dir).write.mode("overwrite")
+        .parquet(s"$out/lm.parquet")
+    }
+    s.read.parquet(s"$root/lm.parquet")
+  }
+
+  /** [[perplexity]] against the persisted [[lmStore]] — same output
+    * (shared oracle), production serving cost: a scoring run pays one
+    * doc-census pass + the model join, never the corpus-wide LM
+    * training aggregate.
+    */
+  def perplexityServed(s: SparkSession, dir: String): DataFrame =
+    perplexityFromStore(s, dir, lmStore(s, dir))
+
   /** [[perplexity]] scoring a batch against a PERSISTED [[lmArtifact]] —
     * the production form: the LM never retrains per scoring run.
     */
@@ -1339,6 +1361,7 @@ object TextOps extends OpModule {
     "llm_sample_temperature" -> sampleTemperature,
     "llm_oov_rate" -> oovRate,
     "llm_perplexity" -> perplexity,
+    "llm_perplexity_served" -> perplexityServed,
     "llm_bigram_lm" -> bigramLm,
     "llm_kneser_ney" -> kneserNey,
     "llm_bpe_pairs" -> bpePairs,
@@ -1448,7 +1471,13 @@ object TextOps extends OpModule {
        |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
   }
 
-  val oracle: Map[String, String] = Map(
+  // lazy: oracleBase is declared below; the _served twin consumes the
+  // persisted lmStore but emits the same rows by construction (the
+  // stored lq IS the recompute's integer) — shared oracle.
+  lazy val oracle: Map[String, String] =
+    oracleBase + ("llm_perplexity_served" -> oracleBase("llm_perplexity"))
+
+  private val oracleBase: Map[String, String] = Map(
     // Independent OLS replay: same micro-nat quantized logs, moments in
     // HUGEINT (the DuckDB twin of Spark's DECIMAL(38,0) sums), identical
     // edge-division formulas.

@@ -97,6 +97,16 @@ class Round15bOpsSpec extends SparkSpec {
     }
   }
 
+  test("perplexityServed + qualityBucketsServed: byte-identical to their " +
+    "inline twins (persisted LM + cutoffs, different code path)") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    assert(rows(TextOps.perplexityServed(spark, sf0001)) ===
+      rows(TextOps.perplexity(spark, sf0001)))
+    assert(rows(CurationOps.qualityBucketsServed(spark, sf0001)) ===
+      rows(CurationOps.qualityBuckets(spark, sf0001)))
+  }
+
   test("annIvfHier: the oracled query is row-identical to llm_ann_ivf") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
