@@ -395,4 +395,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("PushedFilters"), p)
   }
+
+  test("llm_kneser_ney: census-bound — partial aggregation on the pair " +
+    "census, exactly one sanctioned 1-row BNLJ, hash join for " +
+    "continuation counts") {
+    val p = plan(TextOps.kneserNey(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    // the type-total cross is the ONLY non-equi join: a 1-row build side
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1, p)
+    // pair census keeps map-side combine before its shuffle
+    assert(p.contains("partial_count") || p.contains("partial count"), p)
+    // top-30 is a bounded heap, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("llm_quality_buckets: tercile cutoffs broadcast onto the scored " +
+    "frame — assignment is join-narrow above the checkpointed scores") {
+    val p = plan(CurationOps.qualityBuckets(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the (lang -> c33, c66) frame broadcasts; the scored side is never
+    // shuffled for the assignment join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("llm_ann_ivf_hier: serving plan matches llm_ann_ivf — windowless " +
+    "corpus side, one probe window, bounded-heap top-k") {
+    val p = plan(SimOps.annIvfHier(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "expect partial + final TopKByScore aggregation\n" + p)
+  }
+
+  test("graph_label_prop: vote census joins are hash joins over the " +
+    "collapsed edge census — no cartesian anywhere in 3 rounds") {
+    val p = plan(GraphOps.labelProp(spark, sf0001))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
