@@ -43,7 +43,10 @@ object SpillProbe {
       ("agg_percentile", relDir),
       ("agg_weighted_percentile", relDir),
       ("llm_dedup_near", docDir),
-      ("llm_dup_clusters", docDir))
+      ("llm_dup_clusters", docDir),
+      // r15: the quality gate — perplexity doc-census + spread-rank
+      // terciles over the 100× corpus, the newest value-buffering family
+      ("llm_quality_buckets", docDir))
     val results = runs.map { case (q, d) =>
       memSpill.set(0); diskSpill.set(0)
       val t0 = System.nanoTime()
