@@ -264,9 +264,15 @@ object TextOps extends OpModule {
     * built once so a tokenization change cannot drift between them.
     */
   private def pairCounts(s: SparkSession, dir: String,
-      cntName: String): DataFrame = {
+      cntName: String): DataFrame =
+    pairCountsOf(Tables.documents(s, dir), cntName)
+
+  /** [[pairCounts]] over an arbitrary document frame — the held-out
+    * forms train on a SLICE, so the census can't be dir-bound.
+    */
+  private def pairCountsOf(docs: DataFrame, cntName: String): DataFrame = {
     val toks = split(col("text"), " ")
-    Tables.documents(s, dir)
+    docs
       .select(explode(arrays_zip(
         slice(toks, lit(1), size(toks) - 1).as("a"),
         slice(toks, lit(2), size(toks) - 1).as("b"))).as("pr"))
@@ -353,6 +359,90 @@ object TextOps extends OpModule {
     kneserNeyAll(s, dir)
       .orderBy(desc("n_ab"), col("a"), col("b"))
       .limit(30)
+
+  /** HELD-OUT perplexity under the interpolated Kneser–Ney model — the
+    * evaluation [[perplexity]]'s MLE join cannot do: train the smoothed
+    * LM on the snapshot slice (doc_id < boundary), score the batch
+    * slice, and give UNSEEN bigrams real probability mass instead of
+    * dropping them (the inner-join limitation the MLE form documents).
+    * Three backoff regimes, each a `when` branch both engines replay in
+    * the same order:
+    *
+    *   - (a,b) seen in training: full interpolated KN;
+    *   - `a` seen, pair unseen:  λ(a) · p_cont(b) — the backoff weight
+    *     times the continuation probability (0 if `b` never continues
+    *     anything in training);
+    *   - `a` unseen: p_cont(b) alone (unigram continuation backoff).
+    *
+    * A hard floor of 1e-9 keeps truly-OOV bigrams (both routes above can
+    * yield exactly 0) finite — the standard OOV bucket, applied as
+    * `greatest(p, 1e-9)` identically on both engines. Per-distinct-pair
+    * quantization to integer micro-nats and the exact-long per-doc sum
+    * are the [[perplexity]] parity stance.
+    *
+    * Scale shape: the training census is [[pairCountsOf]] on the slice
+    * (map-side combined, vocab²-bounded); per-a and per-b stats are
+    * vocab-sized broadcasts; the type total is the sanctioned 1-row
+    * cross (QueriesSmokeSpec-allowlisted); the scoring pass is one
+    * doc-census aggregate + broadcast joins — linear in the batch, and
+    * the boundary literal pushes into the parquet scan.
+    */
+  def perplexityKn(s: SparkSession, dir: String): DataFrame = {
+    val k = Tables.snapshotBoundary(s, dir, "documents")
+    val docs = Tables.documents(s, dir)
+    perplexityKnFrames(s,
+      docs.filter(col("doc_id") < lit(k)),
+      docs.filter(col("doc_id") >= lit(k)))
+  }
+
+  /** [[perplexityKn]] over explicit (train, score) frames — the spec
+    * entry point for synthetic corpora exercising every backoff branch.
+    */
+  private[graft] def perplexityKnFrames(s: SparkSession, train: DataFrame,
+      score: DataFrame): DataFrame = {
+    val pc = pairCountsOf(train, "n_ab")
+    val aStats = pc.groupBy(col("a"))
+      .agg(sum(col("n_ab")).as("n_a"), count(lit(1)).as("n1p_a"))
+    val bStats = pc.groupBy(col("b")).agg(count(lit(1)).as("n1p_b"))
+    val tot = pc.agg(count(lit(1)).as("n_types"))
+    val toks = split(col("text"), " ")
+    val docPairs = score
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).as("a"),
+        slice(toks, lit(2), size(toks) - 1).as("b"))).as("pr"))
+      .select(col("doc_id"), col("pr.a").as("a"), col("pr.b").as("b"))
+      .groupBy(col("doc_id"), col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val pCont = coalesce(col("n1p_b").cast("double"), lit(0.0)) /
+      col("n_types").cast("double")
+    val pRaw = when(col("n_a").isNotNull && col("n_ab").isNotNull,
+        greatest(col("n_ab").cast("double") - lit(0.75), lit(0.0)) /
+          col("n_a").cast("double") +
+          lit(0.75) * col("n1p_a").cast("double") /
+            col("n_a").cast("double") * pCont)
+      .when(col("n_a").isNotNull,
+        lit(0.75) * col("n1p_a").cast("double") /
+          col("n_a").cast("double") * pCont)
+      .otherwise(pCont)
+    docPairs
+      .join(pc, Seq("a", "b"), "left")
+      .join(broadcast(aStats), Seq("a"), "left")
+      .join(broadcast(bStats), Seq("b"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lq",
+        round(log(greatest(pRaw, lit(1e-9))) * lit(1000000.0), 0)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("lq")).as("sum_lq"),
+        sum(when(col("n_ab").isNull, col("c")).otherwise(lit(0L)))
+          .as("n_unseen"))
+      .withColumn("avg_nll_micro", expr("(-sum_lq) div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        (col("avg_nll_micro").cast("double") / lit(1000000.0))
+          .as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
 
   /** CCNet-style perplexity filtering: score every document by its
     * average negative log-likelihood under the corpus-trained bigram LM
@@ -1362,6 +1452,7 @@ object TextOps extends OpModule {
     "llm_oov_rate" -> oovRate,
     "llm_perplexity" -> perplexity,
     "llm_perplexity_served" -> perplexityServed,
+    "llm_perplexity_kn" -> perplexityKn,
     "llm_bigram_lm" -> bigramLm,
     "llm_kneser_ney" -> kneserNey,
     "llm_bpe_pairs" -> bpePairs,
@@ -1715,6 +1806,62 @@ object TextOps extends OpModule {
         |SELECT a, b, n_ab, n_a,
         |       CAST(n_ab AS DOUBLE) / CAST(n_a AS DOUBLE) AS p
         |FROM u ORDER BY n_ab DESC, a, b LIMIT 30""".stripMargin,
+    // Held-out KN perplexity: train census on the doc_id < 4/5 slice,
+    // score the rest; the three backoff branches and the 1e-9 OOV floor
+    // are written in the Spark when-chain's exact order and operator
+    // associativity so every double agrees before quantization.
+    "llm_perplexity_kn" ->
+      """WITH k AS (SELECT max(doc_id) * 4 // 5 AS kv FROM documents),
+        |t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |pz AS (
+        |  SELECT doc_id, unnest(list_zip(toks[1:length(toks) - 1],
+        |                                 toks[2:length(toks)])) AS pr
+        |  FROM t),
+        |p AS (SELECT doc_id, pr[1] AS a, pr[2] AS b FROM pz),
+        |c AS (SELECT a, b, count(*) AS n_ab
+        |      FROM p, k WHERE doc_id < kv GROUP BY 1, 2),
+        |ast AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a,
+        |               CAST(count(*) AS BIGINT) AS n1p_a
+        |        FROM c GROUP BY 1),
+        |bst AS (SELECT b, CAST(count(*) AS BIGINT) AS n1p_b
+        |        FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c),
+        |dc AS (SELECT doc_id, a, b, count(*) AS c
+        |       FROM p, k WHERE doc_id >= kv GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT dc.doc_id, dc.c, c.n_ab, ast.n_a, ast.n1p_a,
+        |         bst.n1p_b, tot.n_types
+        |  FROM dc LEFT JOIN c USING (a, b)
+        |  LEFT JOIN ast USING (a) LEFT JOIN bst USING (b), tot),
+        |lqj AS (
+        |  SELECT doc_id, c, n_ab,
+        |    CAST(round(ln(greatest(
+        |      CASE
+        |        WHEN n_a IS NOT NULL AND n_ab IS NOT NULL THEN
+        |          greatest(CAST(n_ab AS DOUBLE) - 0.75, 0.0)
+        |            / CAST(n_a AS DOUBLE)
+        |          + 0.75 * CAST(n1p_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |            * (coalesce(CAST(n1p_b AS DOUBLE), 0.0)
+        |               / CAST(n_types AS DOUBLE))
+        |        WHEN n_a IS NOT NULL THEN
+        |          0.75 * CAST(n1p_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |            * (coalesce(CAST(n1p_b AS DOUBLE), 0.0)
+        |               / CAST(n_types AS DOUBLE))
+        |        ELSE coalesce(CAST(n1p_b AS DOUBLE), 0.0)
+        |             / CAST(n_types AS DOUBLE)
+        |      END, 1e-9)) * 1000000.0) AS BIGINT) AS lq
+        |  FROM j),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(c * lq) AS BIGINT) AS sum_lq,
+        |         CAST(sum(CASE WHEN n_ab IS NULL THEN c ELSE 0 END)
+        |              AS BIGINT) AS n_unseen
+        |  FROM lqj GROUP BY 1)
+        |SELECT doc_id, n_bigrams, n_unseen,
+        |       CAST((-sum_lq) // n_bigrams AS DOUBLE) / 1000000.0
+        |         AS avg_nll
+        |FROM agg ORDER BY doc_id""".stripMargin,
     // Interpolated Kneser–Ney replayed on the same pair census: the
     // discounted term, the interpolation weight, and the continuation
     // probability are each written in the exact operator order the

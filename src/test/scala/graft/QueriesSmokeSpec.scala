@@ -85,6 +85,9 @@ class QueriesSmokeSpec extends SparkSpec {
   // the same broadcast ONE-ROW scalar aggregate as llm_tfidf, crossed
   // onto the type census — never token volume (justified in
   // TextOps.kneserNeyAll's doc).
+  // llm_perplexity_kn (round 15): the same 1-row type total crossed onto
+  // the scoring doc-census — constant work per distinct doc-bigram row
+  // (justified in TextOps.perplexityKn's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
@@ -92,7 +95,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "graph_jaccard_neighbors", "llm_doc_outlier", "graph_degree_census",
     "llm_embed_quantize", "tpch_q2_shape", "tpch_q9_shape",
     "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape",
-    "llm_dsir_select", "llm_ann_ivf_hier", "llm_kneser_ney")
+    "llm_dsir_select", "llm_ann_ivf_hier", "llm_kneser_ney",
+    "llm_perplexity_kn")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {

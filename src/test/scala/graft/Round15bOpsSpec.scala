@@ -97,6 +97,28 @@ class Round15bOpsSpec extends SparkSpec {
     }
   }
 
+  test("perplexityKnFrames: all three backoff branches verified against " +
+    "a hand-computed KN model") {
+    import spark.implicits._
+    // train "x y x z": n(x,y)=n(y,x)=n(x,z)=1; n_a: x=2 (2 conts),
+    // y=1 (1 cont); N1+(·b): x=1, y=1, z=1; 3 bigram types.
+    val train = Seq((1L, "x y x z")).toDF("doc_id", "text")
+    // score "x y q r y": (x,y) fully seen; (y,q) a-seen pair-unseen with
+    // unseen b (λ·0 → floor); (q,r) a-unseen b-unseen (0 → floor);
+    // (r,y) a-unseen b-seen (continuation backoff 1/3)
+    val score = Seq((10L, "x y q r y")).toDF("doc_id", "text")
+    val got = TextOps.perplexityKnFrames(spark, train, score).collect()
+    assert(got.length === 1)
+    val r = got.head
+    def lq(p: Double): Long = math.round(math.log(math.max(p, 1e-9)) * 1e6)
+    val pXY = math.max(1.0 - 0.75, 0.0) / 2.0 + 0.75 * 2.0 / 2.0 * (1.0 / 3.0)
+    val sumLq = lq(pXY) + lq(0.0) + lq(0.0) + lq(1.0 / 3.0)
+    val expectedAvg = (-sumLq / 4L).toDouble / 1e6 // exact-int div, then /1e6
+    assert(r.getLong(1) === 4L, "n_bigrams")
+    assert(r.getLong(2) === 3L, "n_unseen")
+    assert(r.getDouble(3) === expectedAvg, "avg_nll")
+  }
+
   test("perplexityServed + qualityBucketsServed: byte-identical to their " +
     "inline twins (persisted LM + cutoffs, different code path)") {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
