@@ -88,6 +88,10 @@ class QueriesSmokeSpec extends SparkSpec {
   // llm_perplexity_kn (round 15): the same 1-row type total crossed onto
   // the scoring doc-census — constant work per distinct doc-bigram row
   // (justified in TextOps.perplexityKn's doc).
+  // graph_modularity (round 15): strongEdges' 1-row mean-weight scalar
+  // (the graph_degree_census justification) plus the 1-row edge total m
+  // crossed onto the ≤|communities| summary frame (justified in
+  // GraphOps.modularity's doc).
   private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
@@ -96,7 +100,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "llm_embed_quantize", "tpch_q2_shape", "tpch_q9_shape",
     "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape",
     "llm_dsir_select", "llm_ann_ivf_hier", "llm_kneser_ney",
-    "llm_perplexity_kn")
+    "llm_perplexity_kn", "graph_modularity")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {

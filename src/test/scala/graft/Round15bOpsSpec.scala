@@ -137,6 +137,20 @@ class Round15bOpsSpec extends SparkSpec {
       rows(SimOps.annIvf(spark, sf0001)))
   }
 
+  test("modularity: degree mass sums to 2m, intra edges bounded by m, " +
+    "singletons score exactly 0, Q within [-1, 1]") {
+    val m = GraphOps.strongEdges(spark, sf0001).count()
+    val rows = GraphOps.modularity(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._3).sum === 2 * m, "sum(d_c) must be 2m")
+    assert(rows.map(_._2).sum <= m, "intra-community edges exceed m")
+    rows.filter(t => t._1 == 1L && t._3 == 0L).foreach { t =>
+      assert(t._2 === 0L && t._4 === 0L, s"isolated singleton must score 0: $t")
+    }
+    val q = rows.map(_._4).sum
+    assert(q >= -1000000L && q <= 1000000L, s"Q out of range: $q")
+  }
+
   test("labelProp: matches a driver-side synchronous LPA over the same " +
     "strong graph; isolated nations keep their own label") {
     def asLong(r: org.apache.spark.sql.Row, i: Int): Long =
