@@ -341,9 +341,12 @@ object GraphOps extends OpModule {
     * [[labelProp]] and [[modularity]] so the partition scored is by
     * construction the partition emitted.
     */
-  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame =
+    lpaLabelsFrom(s, dir, strongEdges(s, dir))
+
+  private def lpaLabelsFrom(s: SparkSession, dir: String,
+      strong: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val strong = strongEdges(s, dir)
     val sym = strong.select(col("a").as("u"), col("b").as("v"))
       .unionByName(strong.select(col("b").as("u"), col("a").as("v")))
       .transform(graft.Checkpoints.truncate)
@@ -381,8 +384,11 @@ object GraphOps extends OpModule {
     * the sanctioned 1-row scalar cross.
     */
   def modularity(s: SparkSession, dir: String): DataFrame = {
-    val strong = strongEdges(s, dir)
-    val lbl = lpaLabels(s, dir)
+    // one checkpointed census feeds BOTH the LPA rounds and the scoring
+    // joins — without it the fact-table joins behind strongEdges run
+    // twice (measured: 5.8 s vs label_prop's 2.8 s at sf0.1)
+    val strong = strongEdges(s, dir).transform(graft.Checkpoints.truncate)
+    val lbl = lpaLabelsFrom(s, dir, strong)
     val la = lbl.select(col("node").as("a"), col("lbl").as("lbl_a"))
     val lb = lbl.select(col("node").as("b"), col("lbl").as("lbl_b"))
     val labeled = strong.join(broadcast(la), "a").join(broadcast(lb), "b")
