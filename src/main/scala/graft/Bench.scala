@@ -41,6 +41,23 @@ object Bench {
   private def familyOf(name: String): String =
     name.split('_').take(2).mkString("_")
 
+  /** Fixed 10-query weather sentinel, re-run at RUNS=5 in ONE fresh JVM
+    * at the end of every FULL family-JVM record (r15 verdict item 4):
+    * shared-query drift ran 1.032× (r13→r14) then 1.112× (r14→r15) on
+    * family-JVM records while single-JVM runs stayed flat — the
+    * sentinel block separates a true protocol-level slowdown from CPU
+    * weather BY CONSTRUCTION, because the same 10 queries at 5 runs in
+    * one fresh JVM give a per-record variance estimate to judge the
+    * per-query scatter against. Names are frozen (cheap, stable,
+    * cross-family, including r15's "weather mover" suspects
+    * running_sum/retention); changing them breaks cross-round
+    * comparability.
+    */
+  private[graft] val sentinelQueries: Seq[String] = Seq(
+    "agg_hash_group", "join_broadcast", "win_running_sum",
+    "event_sessionize", "event_retention", "llm_dedup_exact",
+    "llm_sim_topk", "llm_token_count", "fn_string", "udf_scalar")
+
   private def selectedQueries(): Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     (sys.env.get("SPARK_GRAFT_ONLY_LIST"), sys.env.get("SPARK_GRAFT_ONLY_PREFIX")) match {
       case (Some(ls), _) =>
@@ -114,6 +131,31 @@ object Bench {
         System.err.println(s"[bench] family $fam child exited $exit")
       (fam, qs, out)
     }
+    // weather sentinel: one more fresh child, the frozen 10-query set at
+    // RUNS=5 — only on FULL records (a filtered tier isn't a round
+    // record and shouldn't pay it)
+    val isFullRun = !sys.env.contains("SPARK_GRAFT_ONLY_PREFIX") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_LIST")
+    val sentinelOut: Option[String] = if (!isFullRun) None else {
+      val out = tmpRoot.resolve("sentinel.json").toString
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench"))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().remove("SPARK_GRAFT_FAMILY_JVMS")
+      pb.environment().remove("SPARK_GRAFT_ONLY_PREFIX")
+      pb.environment().put("SPARK_GRAFT_ONLY_LIST",
+        sentinelQueries.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "5")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(tmpRoot.resolve("sentinel.stdout").toFile)
+      System.err.println(
+        s"[bench] sentinel JVM: ${sentinelQueries.size} queries x 5 runs")
+      val exit = pb.start().waitFor()
+      if (exit != 0)
+        System.err.println(s"[bench] sentinel child exited $exit")
+      Some(out).filter(o => new java.io.File(o).exists())
+    }
     // merge the children's artifacts (same schema each) into one line
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -167,8 +209,15 @@ object Bench {
     val total = queries.flatMap(_._2).sum
     val failedJson = failed.distinct.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
+    // the sentinel child's artifact is already one self-describing JSON
+    // object (queries + all 5 runs each) — embed it verbatim
+    val sentinelJson = sentinelOut.map { o =>
+      val s = java.nio.file.Files.readString(java.nio.file.Paths.get(o))
+        .trim
+      s""","sentinel":$s"""
+    }.getOrElse("")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","protocol":"family_jvms","families":$famJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","protocol":"family_jvms","families":$famJson$sentinelJson}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath()), line + "\n")

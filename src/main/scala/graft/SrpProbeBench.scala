@@ -81,37 +81,68 @@ object SrpProbeBench {
     require(tiers.last._3 >= 0.3,
       s"radius-2 iid recall ${tiers.last._3} < 0.3 — multi-probe did " +
         "not lift recall at this scale")
-    // ADAPTIVE policy row: per-query minimal radius with >= k verified
-    // results. Measured honestly: on a DENSE table (bucket population
-    // ~n/2^bits >> k) every query fills its top-5 at radius 0 and the
-    // count-based escalation never fires — the policy is a SPARSE-regime
-    // tool (aggressive bits, thin tail buckets); recall hunting on dense
-    // tables stays with the explicit radius knob above.
-    val ta0 = System.nanoTime()
-    val adRows = SimOps.annSrpAdaptive(spark, dir, bits, bands, 5,
-      col("vec_id") < 20).collect()
-    val tAdapt = (System.nanoTime() - ta0) / 1e9
+    // ADAPTIVE policy rows under the r16 QUALITY law (satisfied ⇔ ≥ k
+    // verified members AND kth cosine ≥ srpQualityBar(bits, bands, r)).
+    // The r15 count-only trigger never fired on this dense table
+    // (SRPPROBE_r15: adaptive iid recall 0.03 ≡ radius 0); the bar
+    // escalates exactly the starved queries — REQUIRE iid adaptive
+    // recall ≈ the radius-2 tier's, and planted near-dup queries (k=1,
+    // kth ≈ 0.9997 ≫ τ₀) still stopping at radius 0.
+    val bars = (0 to 2).map(SimOps.srpQualityBar(bits, bands, _))
+    def adaptiveRun(k: Int, qp: org.apache.spark.sql.Column)
+        : (Double, Array[org.apache.spark.sql.Row]) = {
+      val t0 = System.nanoTime()
+      val rows = SimOps.annSrpAdaptive(spark, dir, bits, bands, k, qp)
+        .collect()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    def adaptiveJsonOf(k: Int, sec: Double,
+        rows: Array[org.apache.spark.sql.Row], extra: String): String = {
+      val radiusOf = rows
+        .map(r => (r.getLong(0), r.getAs[Int]("probe_radius"))).toMap
+      val cands = (0 to 2).map { r =>
+        val qs = radiusOf.filter(_._2 == r).keys.toSeq
+        if (qs.isEmpty) 0L
+        else SimOps.srpCandidateCountMulti(spark, dir, bits, bands, r,
+          col("vec_id").isin(qs: _*))
+      }.sum
+      val hist = (0 to 2).map(r =>
+        s""""$r":${radiusOf.values.count(_ == r)}""")
+        .mkString("{", ",", "}")
+      s"""{"k":$k,"sec":$sec,"candidates":$cands,""" +
+        s""""radius_hist":$hist$extra}"""
+    }
+    val (tAdapt, adRows) = adaptiveRun(5, col("vec_id") < 20)
     val adSets = adRows.map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val radiusOf = adRows
-      .map(r => (r.getLong(0), r.getAs[Int]("probe_radius"))).toMap
-    val adCands = (0 to 2).map { r =>
-      val qs = radiusOf.filter(_._2 == r).keys.toSeq
-      if (qs.isEmpty) 0L
-      else SimOps.srpCandidateCountMulti(spark, dir, bits, bands, r,
-        col("vec_id").isin(qs: _*))
-    }.sum
-    val radiusHist = (0 to 2).map(r =>
-      s""""$r":${radiusOf.values.count(_ == r)}""").mkString("{", ",", "}")
-    val adaptiveJson = s"""{"k":5,"sec":$tAdapt,""" +
-      s""""recall_iid":${recallOf(adSets)},"candidates":$adCands,""" +
-      s""""radius_hist":$radiusHist}"""
+    val adRecall = recallOf(adSets)
+    require(adRecall >= tiers.last._3 - 0.05,
+      s"adaptive iid recall $adRecall below the radius-2 tier " +
+        s"${tiers.last._3} — the quality bar failed to escalate")
+    val (tPlant, plRows) = adaptiveRun(1, col("vec_id") % 400 === 1)
+    val plRecall = {
+      val got = plRows.map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      plantedQs.count(q =>
+        got.getOrElse(q, Set.empty).contains(q - 1)).toDouble /
+        plantedQs.size
+    }
+    val plR0 = plRows.count(_.getAs[Int]("probe_radius") == 0)
+    require(plRecall >= 0.98 && plR0 == plRows.length,
+      s"planted adaptive: recall $plRecall, ${plRows.length - plR0} " +
+        "rows escalated past radius 0 — dense queries must stop at 0")
+    val adaptiveJson = Seq(
+      adaptiveJsonOf(5, tAdapt, adRows, s""","recall_iid":$adRecall"""),
+      adaptiveJsonOf(1, tPlant, plRows,
+        s""","planted_recall":$plRecall"""))
+      .mkString("[", ",", "]")
     val tiersJson = tiers.map { case (r, t, rec, cands, cap, pr) =>
       s"""{"radius":$r,"sec":$t,"recall_iid":$rec,""" +
         s""""candidates":$cands,"cap":$cap,"planted_recall":$pr}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"srp_multiprobe","n_vectors":$n,""" +
       s""""srp_bits":$bits,"bands":$bands,"sec_brute":$tBrute,""" +
+      s""""quality_bars":${bars.mkString("[", ",", "]")},""" +
       s""""tiers":$tiersJson,"adaptive":$adaptiveJson}""")
     spark.stop()
   }

@@ -72,23 +72,29 @@ object StreamNearDedupBench {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(src)
     val kinds = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    var batches = 0
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
     // per-batch walls: the scale claim is that batch cost tracks BATCH
     // size while the store grows — the last batch joins a store 25%
-    // bigger than the first's and must not pay 25% more
-    val batchWalls = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var lastMark = System.nanoTime()
+    // bigger than the first's and must not pay 25% more. Timed INSIDE
+    // the foreachBatch body around the verdict pass itself, so stream
+    // startup latency and trigger gaps never inflate a wall (the r15
+    // form marked lastMark before start(), padding the first batch);
+    // the queue gives safe publication from the micro-batch thread to
+    // the post-awaitTermination read.
+    val batchWalls = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
     val t1 = System.nanoTime()
-    val q = StreamingNearDedup.start(stream, storePath, s"$base/ckpt",
-      { v =>
-        batches += 1
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val bt = System.nanoTime()
+        val v = StreamingNearDedup.verdictBatch(b.sparkSession, b, storePath)
         v.groupBy(col("kind")).agg(count(lit(1))).collect().foreach(r =>
           kinds.merge(r.getString(0), r.getLong(1), Long.box(_) + _))
-        val nowNs = System.nanoTime()
-        batchWalls += (nowNs - lastMark) / 1e9
-        lastMark = nowNs
-      },
-      Some(Trigger.AvailableNow()))
+        batchWalls.add((System.nanoTime() - bt) / 1e9)
+        batches.incrementAndGet()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val streamSec = (System.nanoTime() - t1) / 1e9
     val storeRowsAfter = spark.read.parquet(storePath).count()
@@ -96,12 +102,16 @@ object StreamNearDedupBench {
     import scala.jdk.CollectionConverters._
     val kindsJson = kinds.asScala.toSeq.sortBy(_._1)
       .map { case (kk, v) => s""""$kk":$v""" }.mkString("{", ",", "}")
+    val walls = {
+      import scala.jdk.CollectionConverters._
+      batchWalls.asScala.toSeq
+    }
     println(s"""{"metric":"stream_near_dedup","sf":"$fixture",""" +
       s""""store_docs":$storeRows,"store_build_sec":$storeBuildSec,""" +
-      s""""batch_docs":$batchDocs,"micro_batches":$batches,""" +
+      s""""batch_docs":$batchDocs,"micro_batches":${batches.get()},""" +
       s""""stream_sec":$streamSec,""" +
       s""""docs_per_sec":${batchDocs / streamSec},""" +
-      s""""batch_walls_sec":${batchWalls.mkString("[", ",", "]")},""" +
+      s""""batch_walls_sec":${walls.mkString("[", ",", "]")},""" +
       s""""verdicts":$kindsJson,""" +
       s""""store_docs_after":$storeRowsAfter}""")
     spark.stop()

@@ -63,24 +63,37 @@ case class DotProduct(left: Expression, right: Expression,
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
-      val strictChecks = if (strict)
-        s"""if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }"""
-      else ""
-      val strictElem = if (strict)
-        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
-      else ""
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |$strictChecks
-         |if (!${ev.isNull}) {
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $strictElem
-         |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
-         |  }
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
+      // ev.isNull may ONLY be referenced on the strict path: strict
+      // forces nullable=true, so nullSafeCodeGen declares the isNull
+      // local. On the fast path with two NON-nullable children (e.g.
+      // graft_dot(centroid, centroid) on a collect_list output) the
+      // expression is non-nullable, no isNull local exists, and any
+      // mention of it is a Janino "isNull_N is not an rvalue" compile
+      // error — which silently demoted the whole projection to
+      // interpreter mode (the r15 verdict's EdgeCaseSpec fallback).
+      // CodegenFallbackSpec pins this under CODEGEN_ONLY.
+      if (strict)
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |if (!${ev.isNull}) {
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      else
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += ((double) $a.$lGet($i)) * ((double) $b.$rGet($i));
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
     })
   }
 

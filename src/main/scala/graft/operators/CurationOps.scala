@@ -485,22 +485,38 @@ object CurationOps extends OpModule {
   }
 
   /** [[qualityBuckets]] against PERSISTED model artifacts — the
-    * production serving form: the bigram LM ([[TextOps.lmStore]]) and
-    * the per-language tercile cutoffs (built ONCE from a scoring pass
-    * against that same stored LM, so the two artifacts cannot drift,
-    * then persisted as a languages × 3 parquet) are both read back, and
-    * a scoring run pays exactly one doc-census pass + two broadcast
-    * joins. Nothing data-derived is recomputed — the shape a continuing
-    * crawl pays per batch. Identical output by construction (the stored
-    * cutoffs ARE the recompute's doubles) — shared oracle.
+    * production serving form. Three artifacts land at build time from
+    * ONE scoring pass under the stored LM (so none can drift): the
+    * bigram LM itself ([[TextOps.lmStore]]), the per-language tercile
+    * cutoffs (languages × 3 parquet), and the SNAPSHOT slice's per-doc
+    * score table (doc_id < the fixture's snapshot boundary —
+    * `(doc_id, avg_nll_micro, lang)`, exact integers, so the read-back
+    * rows ARE the recompute's). A serving run then scores ONLY the
+    * crawl batch (doc_id ≥ boundary) against the stored LM, unions the
+    * stored snapshot scores, and broadcast-assigns buckets with the
+    * stored cutoffs — per-batch cost proportional to the BATCH, not the
+    * corpus. (The r15 form persisted only LM + cutoffs and re-paid
+    * full-corpus perplexity scoring every run — the
+    * BENCH_stress100x_qualitybuckets_ab_r15 measured tie; the score
+    * table is what a production pipeline persists anyway, the same
+    * stance as the dedup label store.) Identical output by
+    * construction — shared `llm_quality_buckets` oracle.
     */
   def qualityBucketsServed(s: SparkSession, dir: String): DataFrame = {
     val lm = TextOps.lmStore(s, dir)
+    val k = Tables.snapshotBoundary(s, dir, "documents")
     val root = ArtifactStore.cached("quality_cuts", dir) { out =>
-      qualityCuts(s, qualityScored(s, dir, lm)).write.mode("overwrite")
+      val scored = qualityScored(s, dir, lm)
+        .transform(graft.Checkpoints.truncate)
+      qualityCuts(s, scored).write.mode("overwrite")
         .parquet(s"$out/cuts.parquet")
+      scored.filter(col("doc_id") < k)
+        .write.mode("overwrite").parquet(s"$out/scores.parquet")
     }
-    qualityAssign(qualityScored(s, dir, lm),
+    val batchScored = qualityScoredDocs(
+      Tables.documents(s, dir).filter(col("doc_id") >= k), lm)
+    qualityAssign(
+      s.read.parquet(s"$root/scores.parquet").unionByName(batchScored),
       s.read.parquet(s"$root/cuts.parquet"))
   }
 
@@ -509,10 +525,13 @@ object CurationOps extends OpModule {
     */
   private def qualityScored(s: SparkSession, dir: String,
       lm: DataFrame): DataFrame =
-    TextOps.perplexityMicro(s, dir, lm)
+    qualityScoredDocs(Tables.documents(s, dir), lm)
+
+  private def qualityScoredDocs(docs: DataFrame,
+      lm: DataFrame): DataFrame =
+    TextOps.perplexityMicroDocs(docs, lm)
       .select(col("doc_id"), col("avg_nll_micro"))
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")),
-        "doc_id")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
 
   private def qualityCuts(s: SparkSession, scored: DataFrame): DataFrame =
     AggOps.exactPercentiles(s, scored, "lang", "avg_nll_micro",

@@ -325,10 +325,11 @@ object GraphOps extends OpModule {
     *
     * Scale shape: the [[strongEdges]] census is paid once; each round is
     * one join of the census against the label frame (broadcast here —
-    * nation-sized; at web scale a shuffle join keyed by node, exactly
-    * like [[pagerank]]'s rank frame), a map-side-combined (node, label)
-    * vote count, and a node-keyed window over the vote census. Rounds
-    * never touch fact data.
+    * nation-sized; past [[lpaBroadcastMaxNodes]] the SAME [[lpaRounds]]
+    * machinery keys the join by node — [[lpaAuto]] dispatches, and
+    * LPASCALE_r16 proves the shuffle form at 1.2M planted nodes), a
+    * map-side-combined (node, label) vote count, and a node-keyed
+    * window over the vote census. Rounds never touch fact data.
     */
   def labelProp(s: SparkSession, dir: String): DataFrame =
     Tables.nation(s, dir)
@@ -346,15 +347,46 @@ object GraphOps extends OpModule {
 
   private def lpaLabelsFrom(s: SparkSession, dir: String,
       strong: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sym = strong.select(col("a").as("u"), col("b").as("v"))
       .unionByName(strong.select(col("b").as("u"), col("a").as("v")))
       .transform(graft.Checkpoints.truncate)
     val nodes = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
+    // the nation graph is ≤ 25 nodes — always the broadcast regime; the
+    // generic machinery below carries the shuffle form for real graphs
+    lpaRounds(nodes, sym, rounds = 3, broadcastLabels = true)
+  }
+
+  /** Past this node count the per-round label frame stops broadcasting
+    * and the vote join keys by node instead ([[lpaRounds]]'s dispatch
+    * bar — the [[graft.operators.EventOps.attributionAuto]] pattern).
+    * 1M (node, lbl) longs ≈ 16 MB serialized — the edge of what a
+    * per-round broadcast should pin on every executor, well before the
+    * 8 GB hard cap.
+    */
+  private[graft] val lpaBroadcastMaxNodes = 1000000L
+
+  /** The synchronous-LPA round loop over an explicit (node) frame and a
+    * symmetric (u, v) edge frame — the machinery behind [[labelProp]] /
+    * [[modularity]], factored fixture-free so the stress tier
+    * (LpaScaleBench) runs the REAL code at planted-community scale.
+    * Each round: one join of the edge census against the label frame
+    * (BROADCAST when the node census fits [[lpaBroadcastMaxNodes]],
+    * else a node-keyed shuffle hash join — same rows either way, the
+    * dispatch can only change the plan), a map-side-combined
+    * (node, label) vote count, and a node-keyed window vote. The label
+    * frame is checkpoint-truncated per round so round N's lineage never
+    * replays rounds 1..N−1 (the iterative-plan blowup every fixpoint
+    * loop here guards against).
+    */
+  private[graft] def lpaRounds(nodes: DataFrame, sym: DataFrame,
+      rounds: Int, broadcastLabels: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var lbl = nodes.withColumn("lbl", col("node"))
-    for (_ <- 1 to 3) {
+    for (r <- 1 to rounds) {
+      val labelFrame = lbl.select(col("node").as("v"), col("lbl"))
       val votes = sym
-        .join(broadcast(lbl.select(col("node").as("v"), col("lbl"))), "v")
+        .join(if (broadcastLabels) broadcast(labelFrame) else labelFrame,
+          "v")
         .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("u"))
         .orderBy(col("cnt").desc, col("lbl"))
@@ -363,8 +395,25 @@ object GraphOps extends OpModule {
         .select(col("u").as("node"), col("lbl").as("new_lbl"))
       lbl = lbl.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      if (!broadcastLabels && r < rounds)
+        lbl = lbl.transform(graft.Checkpoints.truncate)
     }
     lbl
+  }
+
+  /** [[lpaRounds]] with the size dispatch made explicit: count the node
+    * census once (cheap next to the rounds it gates) and pick the
+    * broadcast or shuffle form, with the stderr breadcrumb the
+    * attribution dispatch set the precedent for.
+    */
+  private[graft] def lpaAuto(nodes: DataFrame, sym: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    val n = nodes.count()
+    val bcast = n <= lpaBroadcastMaxNodes
+    System.err.println(s"[graft] lpa dispatch: nodes=$n " +
+      s"bar=$lpaBroadcastMaxNodes -> " +
+      (if (bcast) "broadcast" else "shuffle"))
+    lpaRounds(nodes, sym, rounds, bcast)
   }
 
   /** Newman modularity of the [[labelProp]] partition, per community:
@@ -389,9 +438,22 @@ object GraphOps extends OpModule {
     // twice (measured: 5.8 s vs label_prop's 2.8 s at sf0.1)
     val strong = strongEdges(s, dir).transform(graft.Checkpoints.truncate)
     val lbl = lpaLabelsFrom(s, dir, strong)
+    modularityOf(lbl, strong, broadcastLabels = true)
+  }
+
+  /** The modularity scoring tail over explicit label/edge frames —
+    * factored fixture-free (the [[lpaRounds]] stance) so LpaScaleBench
+    * scores planted-community graphs with the REAL code; the
+    * `broadcastLabels` dispatch mirrors [[lpaRounds]]': endpoint-keyed
+    * hash joins when the label frame outgrows the broadcast bar.
+    */
+  private[graft] def modularityOf(lbl: DataFrame, strong: DataFrame,
+      broadcastLabels: Boolean): DataFrame = {
+    def side(f: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(f) else f
     val la = lbl.select(col("node").as("a"), col("lbl").as("lbl_a"))
     val lb = lbl.select(col("node").as("b"), col("lbl").as("lbl_b"))
-    val labeled = strong.join(broadcast(la), "a").join(broadcast(lb), "b")
+    val labeled = strong.join(side(la), "a").join(side(lb), "b")
     val m = strong.agg(count(lit(1)).as("m"))
     // intra-community edges per community
     val ec = labeled.filter(col("lbl_a") === col("lbl_b"))
@@ -410,13 +472,17 @@ object GraphOps extends OpModule {
         coalesce(col("e_c"), lit(0L)).as("e_c"),
         coalesce(col("d_c"), lit(0L)).as("d_c"))
       .crossJoin(broadcast(m))
-      .withColumn("q_micro", round((
+      // m=0 guard: on a corpus with zero strong edges every community is
+      // a singleton with e_c = d_c = 0 and 0.0/0.0 = NaN, which Spark's
+      // cast('long') silently zeroes while DuckDB errors — make q = 0
+      // explicit on the degenerate empty graph (mirrored in the oracle)
+      .withColumn("q_micro", when(col("m") > 0, round((
         col("e_c").cast("double") / col("m").cast("double") -
           (col("d_c").cast("double") /
             (lit(2.0) * col("m").cast("double"))) *
           (col("d_c").cast("double") /
             (lit(2.0) * col("m").cast("double")))) *
-        lit(1000000.0), 0).cast("long"))
+        lit(1000000.0), 0).cast("long")).otherwise(lit(0L)))
       .select(col("community_id"), col("n_nodes"), col("e_c"),
         col("d_c"), col("q_micro"))
       .orderBy(col("community_id"))
@@ -556,13 +622,15 @@ object GraphOps extends OpModule {
         |SELECT sz.community_id, sz.n_nodes,
         |       coalesce(ec.e_c, 0) AS e_c,
         |       coalesce(dc.d_c, 0) AS d_c,
+        |       CASE WHEN em > 0 THEN
         |       CAST(round((CAST(coalesce(ec.e_c, 0) AS DOUBLE)
         |                     / CAST(em AS DOUBLE)
         |                   - (CAST(coalesce(dc.d_c, 0) AS DOUBLE)
         |                      / (2.0 * CAST(em AS DOUBLE)))
         |                     * (CAST(coalesce(dc.d_c, 0) AS DOUBLE)
         |                        / (2.0 * CAST(em AS DOUBLE))))
-        |                  * 1000000.0) AS BIGINT) AS q_micro
+        |                  * 1000000.0) AS BIGINT)
+        |       ELSE 0 END AS q_micro
         |FROM sz LEFT JOIN ec USING (community_id)
         |LEFT JOIN dc USING (community_id), mm
         |ORDER BY community_id""".stripMargin),

@@ -1095,30 +1095,98 @@ object SimOps extends OpModule {
     srpTopK(qs, table)
   }
 
+  /** Default per-neighbor collision-probability floor for
+    * [[annSrpAdaptive]]'s quality bar — see [[srpQualityBar]]. 0.25 is
+    * calibrated so the two regimes separate where recall actually
+    * separates (ANNSCALE_r13's measured curve): at the bits = 4 floor
+    * (n ≤ 2048, bucket population ≫ k) τ₀ ≈ 0.042, below iid noise
+    * top-5 levels (~0.3 at 64 dims), so dense-bucket corpora stop at
+    * radius 0 exactly as before; from bits ≈ 6 (n ≳ 5k — where
+    * single-bucket iid recall measurably decays: 0.55 → 0.10 → 0.03 at
+    * 10k → 100k → 1M) τ₀ crosses above the noise line (0.43 at bits 6,
+    * 0.84 at bits 13) and starved queries escalate.
+    */
+  val srpDefaultRecallFloor = 0.25
+
+  /** The quality bar behind [[annSrpAdaptive]]'s recall-aware stopping
+    * rule: the COSINE at which the radius-`radius` flip-bit probe's
+    * per-neighbor collision probability (over `bands` bands of `bits`
+    * signed-random-projection planes) equals `floor`. SRP geometry
+    * (Charikar 2002): one plane separates vectors at angle θ with
+    * probability θ/π, so a band of `bits` planes lands a neighbor
+    * within Hamming distance r of the query's bucket with probability
+    * q_r(θ) = Σ_{i≤r} C(bits,i)(θ/π)^i(1−θ/π)^(bits−i), and the probe
+    * finds it in ≥1 of `bands` bands with P_r = 1−(1−q_r)^bands. P_r is
+    * monotone decreasing in θ, so the bar is the unique θ* with
+    * P_r(θ*) = floor, returned as cos θ*: a top-k whose kth member sits
+    * ABOVE the bar certifies that anything closer than the kth would
+    * have collided with probability ≥ floor — the list is trustworthy
+    * and probing stops; a kth below the bar means the probed
+    * neighborhood likely MISSED neighbors between the kth and the bar,
+    * so the radius escalates. `floor ≤ 0` disables the bar (returns
+    * −∞ — the legacy count-only law).
+    */
+  private[graft] def srpQualityBar(bits: Int, bands: Int, radius: Int,
+      floor: Double = srpDefaultRecallFloor): Double = {
+    require(floor < 1.0, s"recall floor $floor must be < 1")
+    if (floor <= 0.0) return Double.NegativeInfinity
+    def choose(n: Int, r: Int): Double =
+      (0 until r).map(i => (n - i).toDouble / (i + 1)).product
+    def pCollide(x: Double): Double = {
+      val q = (0 to radius).map(i =>
+        choose(bits, i) * math.pow(x, i) *
+          math.pow(1.0 - x, bits - i)).sum
+      1.0 - math.pow(1.0 - q, bands)
+    }
+    // P_r(x) falls monotonically from 1 (x = 0) toward 0 (x = 1, since
+    // radius < bits always — probeMasks caps radius at 2, bits ≥ 4);
+    // bisect for P_r(x*) = floor
+    var lo = 0.0; var hi = 1.0
+    (1 to 60).foreach { _ =>
+      val mid = (lo + hi) / 2
+      if (pCollide(mid) > floor) lo = mid else hi = mid
+    }
+    math.cos(math.Pi * (lo + hi) / 2)
+  }
+
   /** ADAPTIVE multi-probe — the production serving policy on top of
     * [[annSrpMultiProbe]]'s fixed-radius knob: each query escalates its
-    * probe radius 0 → 1 → 2 until its exact-verified top-k holds ≥ k
-    * members, then stops. Dense regions of the corpus pay the cheap
-    * single-bucket probe; sparse queries (the ones single-probe recall
-    * measurably starves — SRPPROBE_r14: iid recall 0.03 at radius 0)
-    * buy exactly the bucket neighborhood they need, never more than the
-    * radius-2 cap. Per-radius candidate volume keeps multi-probe's
-    * bound; total work is ≤ the fixed radius-2 probe restricted to the
-    * queries that actually escalate.
+    * probe radius 0 → 1 → 2 until its exact-verified top-k is
+    * TRUSTWORTHY, then stops. Satisfied at radius r ⇔ the query holds
+    * ≥ k exact-verified members AND its kth-best cosine clears
+    * [[srpQualityBar]](bits, bands, r, recallFloor) — the similarity
+    * down to which the radius-r probe guarantees per-neighbor collision
+    * probability ≥ recallFloor. Dense regions (kth already above the
+    * bar — near-dup-saturated top-k, or bits at the floor where buckets
+    * dwarf k) pay the cheap single-bucket probe; starved queries
+    * escalate even when k candidates exist, because k RANDOM bucket-
+    * mates are not k neighbors.
+    *
+    * Why not count-based (the r15 law)? On a dense corpus nearly every
+    * query finds ≥ k candidates at radius 0, so a count trigger never
+    * fires exactly where recall is starved — SRPPROBE_r15 measured
+    * adaptive iid recall@5 = 0.03 ≡ radius 0 while fixed radius 2
+    * reaches 0.55. The quality bar escalates on result VALUE: at 1M
+    * vectors (bits = 13) an iid query's kth cosine (~0.4) sits far
+    * below τ₀ ≈ 0.84, so it buys the radius the fixed knob proved it
+    * needs; a planted near-dup (cosine ≈ 0.9997) still stops at
+    * radius 0. `recallFloor ≤ 0` restores the count-only law (the
+    * minimal-count-radius spec pins that mechanism separately).
     *
     * Output adds a `probe_radius` column (the radius each query was
     * satisfied at — the knob's observability); rows for a query are
     * EXACTLY [[annSrpMultiProbe]]'s at that radius (spec-pinned). A
-    * query with fewer than k candidates even at the cap emits what it
-    * has — the cap terminates, never drops. The per-radius result
-    * frames are persisted but bounded (≤ k rows per pending query — a
+    * query that fails the bar even at the cap emits what it has — the
+    * cap terminates, never drops. The per-radius result frames are
+    * persisted but bounded (≤ k rows per pending query — a
     * query-batch-proportional footprint, never corpus-proportional).
     * Library knob, not an oracled query: `llm_ann_srp` /
     * `_multiprobe` keep their frozen radius-0/1 oracle configurations.
     */
   private[graft] def annSrpAdaptive(s: SparkSession, dir: String,
       bits: Int, bands: Int, k: Int, queryPred: Column,
-      corpus: Option[DataFrame] = None, maxRadius: Int = 2): DataFrame = {
+      corpus: Option[DataFrame] = None, maxRadius: Int = 2,
+      recallFloor: Double = srpDefaultRecallFloor): DataFrame = {
     require(k >= 1 && k <= 5,
       s"k=$k outside the top-5 heap's bound ([[srpTopK]] verifies 5)")
     require(maxRadius >= 0 && maxRadius <= 2,
@@ -1151,8 +1219,16 @@ object SimOps extends OpModule {
         result = Some(result.fold(res: DataFrame)(_.unionByName(res)))
         exhausted = true
       } else {
-        val sat = res.groupBy(col("q_id")).agg(count(lit(1)).as("nres"))
-          .filter(col("nres") >= k).select(col("q_id"))
+        // satisfied ⇔ k verified members AND the kth clears the radius's
+        // quality bar (max-of-when: the rnk=k row's cosine; absent when
+        // nres < k, and a null kth never passes the ≥ filter)
+        val bar = srpQualityBar(bits, bands, radius, recallFloor)
+        val sat = res.groupBy(col("q_id"))
+          .agg(count(lit(1)).as("nres"),
+            max(when(col("rnk") === k, col("cosine"))).as("kth"))
+          .filter(col("nres") >= k &&
+            col("kth") >= (if (bar.isNegInfinity) lit(-2.0) else lit(bar)))
+          .select(col("q_id"))
           .localCheckpoint(true)
         val done = res.join(broadcast(sat), Seq("q_id"), "left_semi")
         result = Some(result.fold(done)(_.unionByName(done)))

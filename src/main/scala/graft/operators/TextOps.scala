@@ -395,16 +395,70 @@ object TextOps extends OpModule {
       docs.filter(col("doc_id") >= lit(k)))
   }
 
+  /** [[perplexityKn]] serving from the PERSISTED KN model — the
+    * production form every other expensive family already has
+    * ([[lmStore]], the dsir lr table, the dedup label store): the four
+    * model tables ([[knModelOf]] — pair census, per-`a` totals +
+    * fan-out, per-`b` continuation counts, type total; all exact longs)
+    * are built ONCE per fixture fingerprint from the snapshot slice and
+    * land as parquet; a scoring run then pays exactly one batch
+    * doc-census pass + the broadcast model joins — never the training
+    * census. Identical output by construction (the stored longs ARE the
+    * recompute's, and [[knScore]] is the same code path), so it shares
+    * `llm_perplexity_kn`'s oracle.
+    */
+  def perplexityKnServed(s: SparkSession, dir: String): DataFrame = {
+    val k = Tables.snapshotBoundary(s, dir, "documents")
+    val root = ArtifactStore.cached("kn_lm", dir) { out =>
+      val (pc, aStats, bStats, tot) = knModelOf(Tables.documents(s, dir)
+        .filter(col("doc_id") < lit(k)), checkpoint = true)
+      pc.write.mode("overwrite").parquet(s"$out/pc.parquet")
+      aStats.write.mode("overwrite").parquet(s"$out/a_stats.parquet")
+      bStats.write.mode("overwrite").parquet(s"$out/b_stats.parquet")
+      tot.write.mode("overwrite").parquet(s"$out/total.parquet")
+    }
+    knScore(
+      s.read.parquet(s"$root/pc.parquet"),
+      s.read.parquet(s"$root/a_stats.parquet"),
+      s.read.parquet(s"$root/b_stats.parquet"),
+      s.read.parquet(s"$root/total.parquet"),
+      Tables.documents(s, dir).filter(col("doc_id") >= lit(k)))
+  }
+
   /** [[perplexityKn]] over explicit (train, score) frames — the spec
     * entry point for synthetic corpora exercising every backoff branch.
     */
   private[graft] def perplexityKnFrames(s: SparkSession, train: DataFrame,
       score: DataFrame): DataFrame = {
-    val pc = pairCountsOf(train, "n_ab")
+    val (pc, aStats, bStats, tot) = knModelOf(train)
+    knScore(pc, aStats, bStats, tot, score)
+  }
+
+  /** The four KN model tables from a training slice — ALL exact longs
+    * (pair census; per-`a` totals + continuation fan-out; per-`b`
+    * left-context counts; 1-row type total), so a parquet round-trip
+    * reproduces the inline model bit-for-bit and the served scorer
+    * shares [[perplexityKn]]'s oracle.
+    */
+  private def knModelOf(train: DataFrame, checkpoint: Boolean = false)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val pc0 = pairCountsOf(train, "n_ab")
+    // the artifact build materializes four tables from one census —
+    // checkpoint it there so the train-slice token explode runs once
+    val pc = if (checkpoint) pc0.transform(graft.Checkpoints.truncate)
+      else pc0
     val aStats = pc.groupBy(col("a"))
       .agg(sum(col("n_ab")).as("n_a"), count(lit(1)).as("n1p_a"))
     val bStats = pc.groupBy(col("b")).agg(count(lit(1)).as("n1p_b"))
     val tot = pc.agg(count(lit(1)).as("n_types"))
+    (pc, aStats, bStats, tot)
+  }
+
+  /** The held-out KN scoring pass over explicit model tables — shared
+    * by the inline form and [[perplexityKnServed]]'s read-back path.
+    */
+  private def knScore(pc: DataFrame, aStats: DataFrame, bStats: DataFrame,
+      tot: DataFrame, score: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
     val docPairs = score
       .select(col("doc_id"), explode(arrays_zip(
@@ -530,9 +584,17 @@ object TextOps extends OpModule {
     * score documents from the SAME integers and cannot drift.
     */
   private[graft] def perplexityMicro(s: SparkSession, dir: String,
+      lm: DataFrame): DataFrame =
+    perplexityMicroDocs(Tables.documents(s, dir), lm)
+
+  /** [[perplexityMicro]] over an explicit document frame — the serving
+    * twins score a crawl BATCH against the stored LM without touching
+    * snapshot text ([[CurationOps.qualityBucketsServed]]).
+    */
+  private[graft] def perplexityMicroDocs(docs: DataFrame,
       lm: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val docPairs = Tables.documents(s, dir)
+    val docPairs = docs
       .select(col("doc_id"), explode(arrays_zip(
         slice(toks, lit(1), size(toks) - 1).as("a"),
         slice(toks, lit(2), size(toks) - 1).as("b"))).as("pr"))
@@ -1453,6 +1515,7 @@ object TextOps extends OpModule {
     "llm_perplexity" -> perplexity,
     "llm_perplexity_served" -> perplexityServed,
     "llm_perplexity_kn" -> perplexityKn,
+    "llm_perplexity_kn_served" -> perplexityKnServed,
     "llm_bigram_lm" -> bigramLm,
     "llm_kneser_ney" -> kneserNey,
     "llm_bpe_pairs" -> bpePairs,
@@ -1566,7 +1629,10 @@ object TextOps extends OpModule {
   // persisted lmStore but emits the same rows by construction (the
   // stored lq IS the recompute's integer) — shared oracle.
   lazy val oracle: Map[String, String] =
-    oracleBase + ("llm_perplexity_served" -> oracleBase("llm_perplexity"))
+    oracleBase +
+      ("llm_perplexity_served" -> oracleBase("llm_perplexity")) +
+      // the served twin's stored longs ARE the recompute's — same oracle
+      ("llm_perplexity_kn_served" -> oracleBase("llm_perplexity_kn"))
 
   private val oracleBase: Map[String, String] = Map(
     // Independent OLS replay: same micro-nat quantized logs, moments in

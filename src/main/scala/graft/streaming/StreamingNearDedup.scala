@@ -31,14 +31,19 @@ import graft.operators.DedupOps
   *    duplication (the planted fixture, and the common crawl case) the
   *    two emit IDENTICAL verdicts — asserted in StreamingNearDedupSpec.
   *
-  *  - Crash-replay is idempotent ON THE STORE: a re-delivered micro-batch
-  *    finds its own keepers already persisted, verdicts them `exact`
-  *    against their stored copies (digest self-match), and appends
-  *    nothing. Verdict EMISSION is at-least-once (a replayed batch
-  *    re-emits, possibly revised to `exact`) — the reference's
-  *    at-least-once ledger with the digest as the end-to-end identifier,
-  *    and exactly-once where the sink upserts by doc_id
-  *    ([[JdbcUpsert]]).
+  *  - Crash-replay is idempotent ON THE STORE AND ON THE VERDICT VALUE:
+  *    a re-delivered micro-batch finds its own keepers already
+  *    persisted; the raw incremental pass digest-matches each against
+  *    its OWN stored copy (dup_of == doc_id), which [[verdictBatch]]
+  *    normalizes back to the `keep` verdict before emission — a
+  *    replayed batch re-emits the SAME rows as the original delivery,
+  *    and appends nothing (the append filter runs on the RAW keep set,
+  *    so a replayed keeper is never re-appended). Emission is therefore
+  *    at-least-once in count but value-idempotent in content — the
+  *    reference's at-least-once ledger with the digest as the
+  *    end-to-end identifier, and genuinely exactly-once where the sink
+  *    upserts by doc_id ([[JdbcUpsert]]): the upserted final state of a
+  *    crash-replayed run equals the crash-free run's.
   *
   * Scale shape per micro-batch: the batch side is micro-batch-sized and
   * broadcastable; the store contributes only its digest/band-key/shingle
@@ -60,15 +65,26 @@ object StreamingNearDedup {
   def verdictBatch(s: SparkSession, batch: DataFrame,
       storePath: String): DataFrame = {
     val store = s.read.parquet(storePath)
-    val verdicts = DedupOps
+    val raw = DedupOps
       .dedupIncrementalFromStore(s, store, batch)
       .localCheckpoint(true)
-    val keepers = verdicts.filter(col("kind") === "keep")
+    val keepers = raw.filter(col("kind") === "keep")
       .select(col("doc_id"))
     DedupOps.snapshotArtifacts(s, batch)
       .join(keepers, Seq("doc_id"), "left_semi")
       .write.mode("append").parquet(storePath)
-    verdicts
+    // Replay normalization: a re-delivered keeper digest-matches its
+    // OWN stored copy (raw kind='exact', dup_of=doc_id). Emitting that
+    // would make an upsert-by-doc_id sink converge to "canonical doc,
+    // recorded as a dup of itself" after a crash — rewrite the
+    // self-match back to the keep verdict so replay emission is
+    // value-idempotent. The store append above ran on the RAW keep set,
+    // so a replayed keeper still appends nothing.
+    val selfMatch = col("dup_of") === col("doc_id")
+    raw.select(col("doc_id"),
+      when(selfMatch, lit("keep")).otherwise(col("kind")).as("kind"),
+      when(selfMatch, lit(null)).otherwise(col("dup_of")).as("dup_of"),
+      when(selfMatch, lit(null)).otherwise(col("jaccard")).as("jaccard"))
   }
 
   /** Attach the per-batch verdict pass to a document stream

@@ -100,7 +100,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "llm_embed_quantize", "tpch_q2_shape", "tpch_q9_shape",
     "tpch_q11_shape", "tpch_q16_shape", "tpch_q20_shape",
     "llm_dsir_select", "llm_ann_ivf_hier", "llm_kneser_ney",
-    "llm_perplexity_kn", "graph_modularity")
+    // llm_perplexity_kn_served (round 16): the served twin reads the
+    // SAME 1-row type total back from the persisted model table — the
+    // sanctioned scalar cross its inline form already carries
+    "llm_perplexity_kn", "llm_perplexity_kn_served", "graph_modularity")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name executes at sf0.001; plan is cartesian-free") {

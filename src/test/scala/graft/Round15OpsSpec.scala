@@ -91,7 +91,9 @@ class Round15OpsSpec extends SparkSpec {
   test("annSrpAdaptive: radius-0-satisfied queries return exactly the " +
     "single-probe rows, stamped radius 0") {
     // sf0.001 is dense per bucket (500 vectors / 16 buckets per band),
-    // so every query fills its top-5 at radius 0 and the adaptive form
+    // so every query fills its top-5 at radius 0, AND at the bits = 4
+    // floor the r16 quality bar sits below iid noise (τ₀ ≈ 0.042 vs
+    // kth ~0.3) — the adaptive form under the DEFAULT recall floor
     // must degenerate to the single-probe answer EXACTLY.
     val bits = SimOps.srpBitsPerBand(Tables.vectorCount(spark, sf0001))
     val single = SimOps.annSrpMultiProbe(spark, sf0001, bits,
@@ -104,8 +106,9 @@ class Round15OpsSpec extends SparkSpec {
     assert(adaptive.forall(_.getAs[Int]("probe_radius") == 0))
   }
 
-  test("annSrpAdaptive: sparse queries escalate to the minimal radius " +
-    "with >= k results (or the cap), matching that radius's multi-probe") {
+  test("annSrpAdaptive (count-only law, recallFloor = 0): sparse " +
+    "queries escalate to the minimal radius with >= k results (or the " +
+    "cap), matching that radius's multi-probe") {
     import spark.implicits._
     // 16 iid 64-dim vectors at 4-bit bands: ~1 vector per bucket, so
     // most queries cannot fill top-5 at radius 0 and MUST escalate. Two
@@ -136,7 +139,11 @@ class Round15OpsSpec extends SparkSpec {
         byRadius(r).getOrElse(q, Array.empty[(Long, Int, Long)])
           .map { case (qq, rnk, nb) => (qq, rnk, nb, r) }
       }.sortBy(t => (t._1, t._2))
-      val got = SimOps.annSrpAdaptive(spark, dir, 4, bands, k, qp)
+      // recallFloor = 0 pins the COUNT mechanism in isolation (the
+      // minimal-count-radius law); the quality bar's law has its own
+      // Round16OpsSpec pinning
+      val got = SimOps.annSrpAdaptive(spark, dir, 4, bands, k, qp,
+          recallFloor = 0.0)
         .collect()
         .map(row => (row.getLong(0), row.getInt(1), row.getLong(2),
           row.getAs[Int]("probe_radius")))
