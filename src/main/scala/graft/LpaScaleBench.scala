@@ -76,35 +76,56 @@ object LpaScaleBench {
       ((System.nanoTime() - t0) / 1e9, r)
     }
 
-    val (tShuffle, lblShuffle) = timed {
-      val l = GraphOps.lpaRounds(nodes, sym, rounds = 3,
-        broadcastLabels = false).transform(Checkpoints.truncate)
-      assertPlanted(l); l
-    }
-    val (tBcast, _) = timed {
-      assertPlanted(GraphOps.lpaRounds(nodes, sym, rounds = 3,
-        broadcastLabels = true))
-    }
-    // the dispatch itself: 1.2M nodes > the 1M bar -> shuffle (breadcrumb)
-    val (tAuto, _) = timed {
-      assertPlanted(GraphOps.lpaAuto(nodes, sym))
-    }
-    val (tMod, q) = timed {
-      val rows = GraphOps.modularityOf(lblShuffle, strong,
-        broadcastLabels = false)
-        .agg(sum(col("q_micro")).as("q"), count(lit(1)).as("nc"))
-        .collect()(0)
-      require(rows.getLong(1) == nCliques.toLong,
-        s"${rows.getLong(1)} communities, expected $nCliques")
-      rows.getLong(0).toDouble / 1e6
-    }
-    require(q > 0.9, s"planted-clique modularity $q <= 0.9")
+    // warm-up (unrecorded): JIT + codegen compile — the first LPA pass
+    // on a cold JVM measured 34 s where the steady state is ~10 s
+    GraphOps.lpaRounds(nodes, sym, rounds = 1, broadcastLabels = true)
+      .write.format("noop").mode("overwrite").save()
 
+    // best-of-2 per form, every run recorded (the Bench stance)
+    def best2(f: => DataFrame): (Double, Seq[Double], DataFrame) = {
+      val (t1, _) = timed { assertPlanted(f) }
+      val (t2, r) = timed {
+        val l = f.transform(Checkpoints.truncate); assertPlanted(l); l
+      }
+      (math.min(t1, t2), Seq(t1, t2), r)
+    }
+    val (tShuffle, runsShuffle, lblShuffle) = best2(
+      GraphOps.lpaRounds(nodes, sym, rounds = 3, broadcastLabels = false))
+    val (tBcast, runsBcast, _) = best2(
+      GraphOps.lpaRounds(nodes, sym, rounds = 3, broadcastLabels = true))
+    // the dispatch itself: 1.2M nodes > the 1M bar -> shuffle (breadcrumb)
+    val (tAuto, runsAuto, _) = best2(GraphOps.lpaAuto(nodes, sym))
+    val (tMod, qs) = timed {
+      // Q from the EXACT per-community terms: Σe_c/m − Σd_c²/(2m)².
+      // Summing the emitted q_micro instead accumulates the
+      // per-community half-micro rounding bias (~+0.42 micro × 60k
+      // communities ≈ +0.025 — enough to print an impossible Q > 1);
+      // the micro quantization exists for ORACLE parity, not for
+      // 60k-term summation.
+      val r = GraphOps.modularityOf(lblShuffle, strong,
+        broadcastLabels = false)
+        .agg(count(lit(1)).as("nc"), sum(col("e_c")).as("se"),
+          sum(col("d_c") * col("d_c")).as("sd2"),
+          sum(col("q_micro")).as("qmicro"))
+        .collect()(0)
+      require(r.getLong(0) == nCliques.toLong,
+        s"${r.getLong(0)} communities, expected $nCliques")
+      val m = nEdges.toDouble
+      (r.getLong(1) / m - r.getLong(2) / (4.0 * m * m),
+        r.getLong(3).toDouble / 1e6)
+    }
+    val (q, qMicroSum) = qs
+    require(q > 0.9 && q <= 1.0, s"planted-clique modularity $q")
+
+    def arr(ts: Seq[Double]) = ts.mkString("[", ",", "]")
     println(s"""{"metric":"lpa_scale","n_nodes":$n,"n_cliques":$nCliques,""" +
       s""""clique_size":$cliqueSize,"n_edges":$nEdges,"rounds":3,""" +
-      s""""sec_lpa_shuffle":$tShuffle,"sec_lpa_broadcast":$tBcast,""" +
-      s""""sec_lpa_auto":$tAuto,"auto_dispatch":"shuffle",""" +
+      s""""sec_lpa_shuffle":$tShuffle,"runs_shuffle":${arr(runsShuffle)},""" +
+      s""""sec_lpa_broadcast":$tBcast,"runs_broadcast":${arr(runsBcast)},""" +
+      s""""sec_lpa_auto":$tAuto,"runs_auto":${arr(runsAuto)},""" +
+      s""""auto_dispatch":"shuffle",""" +
       s""""sec_modularity_shuffle":$tMod,"modularity_q":$q,""" +
+      s""""modularity_q_micro_sum":$qMicroSum,""" +
       s""""planted_labeling_exact":true}""")
     spark.stop()
   }
