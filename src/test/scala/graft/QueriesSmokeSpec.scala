@@ -92,7 +92,11 @@ class QueriesSmokeSpec extends SparkSpec {
   // (the graph_degree_census justification) plus the 1-row edge total m
   // crossed onto the ≤|communities| summary frame (justified in
   // GraphOps.modularity's doc).
-  private val broadcastNonEqui = Set("join_cross_small", "llm_sim_topk",
+  // llm_ann_pq (round 16): ADC scan — the tiny query frame (20 rows of
+  // LUTs) broadcast-joined on q_id =!= vec_id, the llm_sim_topk shape;
+  // at 100 TB the scan is confined to IVF cells (annPq scaladoc).
+  private val broadcastNonEqui = Set("llm_ann_pq",
+    "join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
     "graph_triangles", "llm_bm25_topk", "tpch_q22_shape",
