@@ -1838,7 +1838,48 @@ object SimOps extends OpModule {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) of two
+    * shipped rankers over the same 20-query batch — the standard
+    * hybrid-retrieval combiner a curation pipeline uses to merge
+    * rankers with incomparable score scales: here the exact-cosine
+    * top-5 ([[simTopk]], the dense arm) and the PQ-ADC top-5
+    * ([[annPq]], the compressed-index arm), but the operator is
+    * ranker-agnostic — it consumes (q_id, rnk, neighbor_id) lists.
+    * rrf(q, d) = Σ_arms 1/(60 + rank_arm(q, d)) with the classic
+    * k = 60; a doc absent from an arm contributes 0 from it.
+    *
+    * Parity: each arm's reciprocal is micro-quantized ONCE
+    * (round(10⁶/(60+rnk)) — exact small integers), the fused score is
+    * an exact integer sum, and ranking ties on (rrf desc, id). Scale
+    * shape: the arms' outputs are ≤ k rows per query, so the fusion
+    * itself is a trivially small groupBy — the cost IS the arms, each
+    * already scale-shaped.
+    */
+  def annFuseRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByScore
+    val arms = simTopk(s, dir)
+      .select(col("q_id"), col("rnk"), col("neighbor_id"))
+      .unionByName(annPq(s, dir)
+        .select(col("q_id"), col("rnk"), col("neighbor_id")))
+    val topk = udaf(TopKByScore.TopKAgg(10),
+      Encoders.product[TopKByScore.ScoredId])
+    arms
+      .withColumn("contrib",
+        round(lit(1000000.0) / (lit(60) + col("rnk")), 0).cast("long"))
+      .groupBy(col("q_id"), col("neighbor_id"))
+      .agg(sum(col("contrib")).as("rrf_micro"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("neighbor_id"), col("rrf_micro").cast("double"))
+        .as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("neighbor_id"),
+        col("col.score").cast("long").as("rrf_micro"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "llm_ann_fuse_rrf" -> annFuseRrf,
     "llm_ann_pq" -> annPq,
     "llm_embed_quantize" -> embedQuantize,
     "llm_doc_outlier" -> docOutlier,
@@ -1866,7 +1907,35 @@ object SimOps extends OpModule {
     // llm_ann_ivf_hier is the hierarchical assignment at an EXHAUSTIVE
     // coarse probe — spec-pinned bit-identical to the flat argmax — so
     // it shares llm_ann_ivf's oracle: one SQL, two build paths.
-    oracleBase + ("llm_ann_ivf_hier" -> oracleBase("llm_ann_ivf"))
+    oracleBase +
+      ("llm_ann_ivf_hier" -> oracleBase("llm_ann_ivf")) +
+      // RRF fusion twin COMPOSED from the two arms' own oracles (each
+      // embedded as a WITH-bearing subquery), so the arm definitions
+      // cannot drift from the rankings the fusion consumes.
+      ("llm_ann_fuse_rrf" ->
+        s"""WITH cosarm AS (SELECT q_id, rnk, neighbor_id FROM (
+           |${oracleBase("llm_sim_topk")})),
+           |pqarm AS (SELECT q_id, rnk, neighbor_id FROM (
+           |${oracleBase("llm_ann_pq")})),
+           |u AS (
+           |  SELECT q_id, neighbor_id,
+           |         CAST(round(1000000.0 / (60 + rnk)) AS BIGINT) AS c
+           |  FROM cosarm
+           |  UNION ALL
+           |  SELECT q_id, neighbor_id,
+           |         CAST(round(1000000.0 / (60 + rnk)) AS BIGINT)
+           |  FROM pqarm),
+           |f AS (
+           |  SELECT q_id, neighbor_id, CAST(sum(c) AS BIGINT) AS rrf_micro
+           |  FROM u GROUP BY 1, 2),
+           |t AS (
+           |  SELECT q_id, neighbor_id, rrf_micro,
+           |         row_number() OVER (PARTITION BY q_id
+           |                            ORDER BY rrf_micro DESC,
+           |                                     neighbor_id) AS rnk
+           |  FROM f)
+           |SELECT q_id, CAST(rnk AS INT) AS rnk, neighbor_id, rrf_micro
+           |FROM t WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     // PQ twin: codebook = 8-dim slices of the first 16 embeddings (the

@@ -216,6 +216,55 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("annPq degenerate corpora: a 16-vector corpus (codebook = the " +
+    "whole corpus) works; fewer vectors fail loudly, not wrongly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(163)
+    def fixture(n: Int): String = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_pq_$n").toString
+      (0L until n.toLong)
+        .map(i => (i, Array.fill(64)(rnd.nextGaussian().toFloat),
+          (i % 10).toInt))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val ok = SimOps.annPq(spark, fixture(16)).collect()
+    // 16 queries (vec_id < 20 admits all), each ranking the other 15
+    assert(ok.map(_.getLong(0)).distinct.length === 16)
+    assert(ok.forall(_.getInt(1) <= 5))
+    val e = intercept[IllegalArgumentException] {
+      SimOps.annPq(spark, fixture(10)).collect()
+    }
+    assert(e.getMessage.contains("PQ codebook"))
+  }
+
+  test("annFuseRrf: fused scores replay the RRF law over the two arms' " +
+    "actual rankings (contribution sums, top-10 tie order)") {
+    def arm(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq
+    val arms = arm(SimOps.simTopk(spark, sf0001)) ++
+      arm(SimOps.annPq(spark, sf0001))
+    val expected = arms
+      .groupBy(t => (t._1, t._3))
+      .map { case ((q, d), rs) =>
+        (q, d, rs.map(t => math.round(1000000.0 / (60 + t._2))).sum)
+      }.toSeq
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy { case (_, d, s) => (-s, d) }.take(10).zipWithIndex
+          .map { case ((q, d, sc), i) => (q, i + 1, d, sc) }
+      }.sortBy(t => (t._1, t._2))
+    val got = SimOps.annFuseRrf(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // both arms genuinely contribute: at least one fused pair carries a
+    // two-arm sum (> the max single-arm contribution of 1e6/61)
+    assert(got.exists(_._4 > 16393L))
+  }
+
   test("annPqRerank: exact re-rank of the ADC shortlist lifts recall@5 " +
     "vs brute-force cosine to >= pure ADC's") {
     def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
