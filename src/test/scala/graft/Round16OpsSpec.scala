@@ -240,6 +240,14 @@ class Round16OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("PQ codebook"))
   }
 
+  test("annPqServed: byte-identical to the inline ADC twin (persisted " +
+    "code artifact, different code path)") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    assert(rows(SimOps.annPqServed(spark, sf0001)) ===
+      rows(SimOps.annPq(spark, sf0001)))
+  }
+
   test("annFuseRrf: fused scores replay the RRF law over the two arms' " +
     "actual rankings (contribution sums, top-10 tie order)") {
     def arm(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
