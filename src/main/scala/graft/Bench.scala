@@ -210,11 +210,22 @@ object Bench {
     val failedJson = failed.distinct.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     // the sentinel child's artifact is already one self-describing JSON
-    // object (queries + all 5 runs each) — embed it verbatim
-    val sentinelJson = sentinelOut.map { o =>
+    // object (queries + all 5 runs each) — embed it verbatim, but only
+    // after PARSE-VALIDATING it: a child that crashed mid-write leaves a
+    // truncated sentinel.json, and splicing that in verbatim would
+    // corrupt the ENTIRE record line into invalid JSON. A bad sentinel
+    // is dropped with a stderr breadcrumb; the record stays parseable.
+    val sentinelJson = sentinelOut.flatMap { o =>
       val s = java.nio.file.Files.readString(java.nio.file.Paths.get(o))
         .trim
-      s""","sentinel":$s"""
+      scala.util.Try(JsonMethods.parse(s)) match {
+        case scala.util.Success(_) => Some(s""","sentinel":$s""")
+        case scala.util.Failure(e) =>
+          System.err.println(
+            s"[bench] sentinel.json unparseable (${e.getMessage}); " +
+              "dropping sentinel block from the record")
+          None
+      }
     }.getOrElse("")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","protocol":"family_jvms","families":$famJson$sentinelJson}"""

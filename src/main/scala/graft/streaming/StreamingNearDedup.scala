@@ -80,7 +80,17 @@ object StreamingNearDedup {
     // self-match back to the keep verdict so replay emission is
     // value-idempotent. The store append above ran on the RAW keep set,
     // so a replayed keeper still appends nothing.
-    val selfMatch = col("dup_of") === col("doc_id")
+    //
+    // EXACT matches only: a NEAR self-match (same doc_id re-ingested
+    // with MUTATED content, jaccard ≥ 0.9 against its own stored copy)
+    // is not a replay — it is a content revision colliding with a
+    // stale store entry, and normalizing it to `keep` would silently
+    // drop the jaccard signal while the store retains the old text.
+    // That row keeps its raw near verdict so the caller sees the
+    // collision; re-used doc_ids with changed content are otherwise
+    // outside the replay contract (the checkpoint ledger replays
+    // identical batches, never mutated ones).
+    val selfMatch = col("kind") === "exact" && col("dup_of") === col("doc_id")
     raw.select(col("doc_id"),
       when(selfMatch, lit("keep")).otherwise(col("kind")).as("kind"),
       when(selfMatch, lit(null)).otherwise(col("dup_of")).as("dup_of"),

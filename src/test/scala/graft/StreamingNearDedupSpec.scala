@@ -147,4 +147,28 @@ class StreamingNearDedupSpec extends SparkSpec {
     assert(replay === first)
     assert(spark.read.parquet(storePath).count() === storeAfterFirst)
   }
+
+  test("near self-match is NOT normalized: a re-used doc_id with " +
+    "mutated content keeps its near verdict against its stored copy") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_snd_mut").toString
+    val storePath = s"$base/store"
+    val toks = (0 until 100).map(i => s"tok$i")
+    val orig = toks.mkString(" ")
+    // one token changed: shingle-Jaccard vs the stored copy ≈ 0.94 ≥ 0.9
+    val mutated = toks.updated(10, "changedone").mkString(" ")
+    DedupOps.snapshotArtifacts(spark,
+      Seq((1L, orig)).toDF("doc_id", "text"))
+      .write.parquet(storePath)
+    val v = collectVerdicts(StreamingNearDedup.verdictBatch(spark,
+      Seq((1L, mutated)).toDF("doc_id", "text"), storePath))
+    // the replay normalization is restricted to EXACT self-matches:
+    // a content revision colliding with its own stale store entry
+    // surfaces as a near-dup of itself (jaccard signal intact), never
+    // a silent `keep`
+    assert(v.size === 1)
+    val (id, kind, dupOf, jac) = v.head
+    assert(id === 1L && kind === "near" && dupOf === Some(1L))
+    assert(jac.exists(j => j >= 0.9 && j < 1.0))
+  }
 }
