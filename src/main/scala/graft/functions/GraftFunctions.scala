@@ -38,6 +38,27 @@ object GraftFunctions {
   private def simhashInfo = new ExpressionInfo(
     classOf[SimHash].getName, "graft_simhash")
 
+  /** `graft_pq_encode(embedding, codebookLiteral)`: the codebook child
+    * must be FOLDABLE (a `typedlit` of the cb(m)(k)(i) nested array) —
+    * it is evaluated ONCE at resolution into [[PqEncode]]'s constructor
+    * constant, so the generated per-row loop indexes a flat JVM double[]
+    * instead of re-walking a plan literal.
+    */
+  private[functions] def pqEncodeBuilder(
+      children: Seq[Expression]): Expression = {
+    require(children.size == 2,
+      "graft_pq_encode takes (embedding, codebook)")
+    require(children(1).foldable,
+      "graft_pq_encode codebook must be a foldable literal")
+    val outer = children(1).eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val cb = Array.tabulate(outer.numElements()) { m =>
+      val mid = outer.getArray(m)
+      Array.tabulate(mid.numElements())(k => mid.getArray(k).toDoubleArray())
+    }
+    PqEncode(children(0), cb)
+  }
+
   /** Idempotent per-session registration (overwrites any prior binding). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -67,6 +88,12 @@ object GraftFunctions {
         "graft_fingerprint_portable"),
       (children: Seq[Expression]) =>
         RollingFingerprint(children.head, portable = true))
+    reg.registerFunction(FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1)))
+    reg.registerFunction(FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      pqEncodeBuilder _)
     // optimizer rule on a live session (extensions only bind at build time)
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct))
       spark.experimental.extraOptimizations =
@@ -109,6 +136,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_fingerprint_portable"),
       (children: Seq[Expression]) =>
         RollingFingerprint(children.head, portable = true)))
+    ext.injectFunction((FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => PqAdc(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      GraftFunctions.pqEncodeBuilder _))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }

@@ -65,4 +65,36 @@ class CodegenFallbackSpec extends SparkSpec {
         assert(got.getDouble(i) === expected, df.columns.lift(i)))
     }
   }
+
+  test("graft_pq_adc and graft_pq_encode compile under CODEGEN_ONLY " +
+    "with the right values, on nullable and non-nullable children") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // 2 subspaces x 2 codes x 2 dims toy book; v = [1, 2, 3, 4]:
+    // subspace 0 slice (1,2) is nearer code 1 = (1,2) -> code 1;
+    // subspace 1 slice (3,4) nearer code 0 = (3,5) (d=1) than (0,0)
+    // (d=25) -> code 0. ADC with lut [[10,20],[30,40]] = 20 + 30.
+    val cb = Seq(
+      Seq(Seq(9.0, 9.0), Seq(1.0, 2.0)),
+      Seq(Seq(3.0, 5.0), Seq(0.0, 0.0)))
+    withCodegenOnly {
+      // nullable children (encoder-produced arrays)
+      val df = Seq((Array(1.0f, 2.0f, 3.0f, 4.0f),
+        Array(Array(10L, 20L), Array(30L, 40L)), Array(1L, 0L)))
+        .toDF("v", "lut", "codes")
+      val got = df.select(
+        call_function("graft_pq_encode", col("v"), typedlit(cb))
+          .as("codes_n"),
+        call_function("graft_pq_adc", col("lut"), col("codes"))
+          .as("adc_n"),
+        // non-nullable children (array(...) literals)
+        call_function("graft_pq_adc",
+          array(array(lit(10L), lit(20L)), array(lit(30L), lit(40L))),
+          array(lit(1L), lit(0L))).as("adc_nn"))
+        .collect().head
+      assert(got.getSeq[Long](0) === Seq(1L, 0L))
+      assert(got.getLong(1) === 50L)
+      assert(got.getLong(2) === 50L)
+    }
+  }
 }

@@ -97,8 +97,13 @@ class QueriesSmokeSpec extends SparkSpec {
   // at 100 TB the scan is confined to IVF cells (annPq scaladoc).
   // llm_ann_fuse_rrf (round 16): both fused arms carry the sanctioned
   // 20-row broadcast q=!=v join (sim_topk + ann_pq above/below)
+  // llm_ann_pq8(_served) (round 17): the identical ADC scan shape under
+  // the trained 256-code book — same 20-row broadcast q=!=v join.
+  // llm_ann_fuse_rrf_served (round 17): its PQ arm is llm_ann_pq_served,
+  // which carries the same sanctioned 20-row broadcast q=!=v join.
   private val broadcastNonEqui = Set("llm_ann_pq", "llm_ann_pq_served",
-    "llm_ann_fuse_rrf",
+    "llm_ann_pq8", "llm_ann_pq8_served",
+    "llm_ann_fuse_rrf", "llm_ann_fuse_rrf_served",
     "join_cross_small", "llm_sim_topk",
     "llm_ann_ivf", "llm_tfidf", "agg_kmv_setops", "llm_vocab_census",
     "agg_heavy_hitters", "event_cooccur_pmi", "llm_bpe_merge_step",
