@@ -89,11 +89,12 @@ object SrpProbeBench {
     // recall ≈ the radius-2 tier's, and planted near-dup queries (k=1,
     // kth ≈ 0.9997 ≫ τ₀) still stopping at radius 0.
     val bars = (0 to 2).map(SimOps.srpQualityBar(bits, bands, _))
-    def adaptiveRun(k: Int, qp: org.apache.spark.sql.Column)
+    def adaptiveRun(k: Int, qp: org.apache.spark.sql.Column,
+        skipAhead: Boolean = false)
         : (Double, Array[org.apache.spark.sql.Row]) = {
       val t0 = System.nanoTime()
-      val rows = SimOps.annSrpAdaptive(spark, dir, bits, bands, k, qp)
-        .collect()
+      val rows = SimOps.annSrpAdaptive(spark, dir, bits, bands, k, qp,
+        skipAhead = skipAhead).collect()
       ((System.nanoTime() - t0) / 1e9, rows)
     }
     def adaptiveJsonOf(k: Int, sec: Double,
@@ -131,10 +132,38 @@ object SrpProbeBench {
     require(plRecall >= 0.98 && plR0 == plRows.length,
       s"planted adaptive: recall $plRecall, ${plRows.length - plR0} " +
         "rows escalated past radius 0 — dense queries must stop at 0")
+    // skip-ahead arm (r16 verdict item 6's measured knob): the ladder
+    // re-probes radii cumulatively, so a batch where every query climbs
+    // 0 -> 1 -> 2 pays ~2x the fixed-cap wall (SRPPROBE_r16: 20.0 s vs
+    // 10.6 s). With skipAhead, a radius-0 kth below even tau_cap parks
+    // the query straight to the cap probe, skipping the middle pass —
+    // same final recall REQUIRED (parked queries emit the fixed-cap
+    // rows verbatim, Round17OpsSpec), wall recorded next to the ladder's.
+    val (tSkip, skRows) = adaptiveRun(5, col("vec_id") < 20,
+      skipAhead = true)
+    val skSets = skRows.map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val skRecall = recallOf(skSets)
+    require(skRecall >= tiers.last._3 - 0.05,
+      s"skip-ahead iid recall $skRecall below the radius-2 tier " +
+        s"${tiers.last._3} — parking dropped starved queries short")
+    // planted under skip-ahead: dense queries stop at radius 0 exactly
+    // as the ladder does (kth >= tau_0 >= tau_cap — never parked)
+    val (tPlantSkip, plSkipRows) = adaptiveRun(1,
+      col("vec_id") % 400 === 1, skipAhead = true)
+    require(plSkipRows.count(_.getAs[Int]("probe_radius") == 0) ==
+      plSkipRows.length,
+      "skip-ahead escalated planted near-dup queries past radius 0")
     val adaptiveJson = Seq(
       adaptiveJsonOf(5, tAdapt, adRows, s""","recall_iid":$adRecall"""),
       adaptiveJsonOf(1, tPlant, plRows,
         s""","planted_recall":$plRecall"""))
+      .mkString("[", ",", "]")
+    val skipJson = Seq(
+      adaptiveJsonOf(5, tSkip, skRows,
+        s""","recall_iid":$skRecall,"skip_ahead":true"""),
+      adaptiveJsonOf(1, tPlantSkip, plSkipRows,
+        s""","skip_ahead":true"""))
       .mkString("[", ",", "]")
     val tiersJson = tiers.map { case (r, t, rec, cands, cap, pr) =>
       s"""{"radius":$r,"sec":$t,"recall_iid":$rec,""" +
@@ -143,7 +172,8 @@ object SrpProbeBench {
     println(s"""{"metric":"srp_multiprobe","n_vectors":$n,""" +
       s""""srp_bits":$bits,"bands":$bands,"sec_brute":$tBrute,""" +
       s""""quality_bars":${bars.mkString("[", ",", "]")},""" +
-      s""""tiers":$tiersJson,"adaptive":$adaptiveJson}""")
+      s""""tiers":$tiersJson,"adaptive":$adaptiveJson,""" +
+      s""""adaptive_skip":$skipJson}""")
     spark.stop()
   }
 }

@@ -1182,11 +1182,28 @@ object SimOps extends OpModule {
     * query-batch-proportional footprint, never corpus-proportional).
     * Library knob, not an oracled query: `llm_ann_srp` /
     * `_multiprobe` keep their frozen radius-0/1 oracle configurations.
+    *
+    * `skipAhead` (r16 verdict item 6 — the measured alternative to the
+    * "quality costs one extra probe pass" note): the ladder re-probes
+    * radii cumulatively, so a starved batch that climbs 0 → 1 → 2 pays
+    * ~2× the fixed-cap cost (SRPPROBE_r16: 20.0 s vs 10.6 s when all
+    * 20 iid queries escalate). The bars are closed-form, so the skip is
+    * computable per query after the radius-0 pass: a query whose kth
+    * cosine sits below even the CAP's bar τ_cap (the loosest — bars
+    * relax with radius) is in a starved region where the intermediate
+    * radius almost surely cannot satisfy it; it PARKS and re-probes
+    * once at the cap, skipping the middle pass. Queries at or above
+    * τ_cap stay on the ladder (they are within striking distance of an
+    * intermediate stop). Cost knob, not a correctness knob: a parked
+    * query emits the fixed-cap result VERBATIM (spec-pinned) — the
+    * trade is that a parked query that WOULD have satisfied at an
+    * intermediate radius now pays (and benefits from) the cap probe.
     */
   private[graft] def annSrpAdaptive(s: SparkSession, dir: String,
       bits: Int, bands: Int, k: Int, queryPred: Column,
       corpus: Option[DataFrame] = None, maxRadius: Int = 2,
-      recallFloor: Double = srpDefaultRecallFloor): DataFrame = {
+      recallFloor: Double = srpDefaultRecallFloor,
+      skipAhead: Boolean = false): DataFrame = {
     require(k >= 1 && k <= 5,
       s"k=$k outside the top-5 heap's bound ([[srpTopK]] verifies 5)")
     require(maxRadius >= 0 && maxRadius <= 2,
@@ -1200,22 +1217,31 @@ object SimOps extends OpModule {
       withNorm(Tables.embeddings(s, dir).filter(queryPred)), bands)
     var result: Option[DataFrame] = None
     var pending: Option[DataFrame] = None // None = every query
+    var parked: Option[DataFrame] = None // skipAhead: waiting for cap
     var radius = 0
     var exhausted = false
     while (!exhausted && radius <= maxRadius) {
+      val isCap = radius == maxRadius
       val masks = typedlit(probeMasks(bits, radius))
       val probedAll = qAssigned
         .withColumn("bucket",
           explode(transform(masks, m => col("bucket").bitwiseXOR(m))))
         .select(col("band"), col("bucket"), col("vec_id").as("q_id"),
           col("embedding").as("q_emb"), col("norm").as("q_norm"))
-      val probed = pending.fold(probedAll)(p =>
+      // the cap pass also serves every parked query (their probe set is
+      // cumulative in radius, so one cap probe covers all skipped radii)
+      val probeSet: Option[DataFrame] =
+        if (isCap) (pending, parked) match {
+          case (Some(p), Some(pk)) => Some(p.unionByName(pk))
+          case (a, b) => a.orElse(b)
+        } else pending
+      val probed = probeSet.fold(probedAll)(p =>
         probedAll.join(broadcast(p), Seq("q_id"), "left_semi"))
       // ≤ 5 rows per pending query — tiny; persisted so the satisfied
       // split + escalation decision don't re-run the band join
       val res = srpTopK(probed, table)
         .withColumn("probe_radius", lit(radius)).persist()
-      if (radius == maxRadius) {
+      if (isCap) {
         result = Some(result.fold(res: DataFrame)(_.unionByName(res)))
         exhausted = true
       } else {
@@ -1232,11 +1258,47 @@ object SimOps extends OpModule {
           .localCheckpoint(true)
         val done = res.join(broadcast(sat), Seq("q_id"), "left_semi")
         result = Some(result.fold(done)(_.unionByName(done)))
-        val rem = pending
+        var rem = pending
           .getOrElse(qAssigned.select(col("vec_id").as("q_id")).distinct())
           .join(sat, Seq("q_id"), "left_anti")
           .localCheckpoint(true)
-        if (rem.isEmpty) exhausted = true else pending = Some(rem)
+        var remEmpty = rem.isEmpty
+        if (skipAhead && !remEmpty) {
+          // ladder only the GUARANTEED stops: kth and nres are
+          // monotone in radius (probe sets are cumulative), so a query
+          // whose current kth already clears the NEXT rung's bar
+          // τ_{r+1} will satisfy there with certainty — everything
+          // else parks straight to the cap, because its next probe
+          // would have to LIFT kth across a bar the current evidence
+          // sits under (a starved region says it won't). Parking on
+          // the cap's looser bar instead was measured useless: at 1M /
+          // 13 bits an iid kth ≈ 0.40 sits ABOVE τ₂ ≈ 0.347, so
+          // nothing parked and the decision jobs were pure overhead.
+          val tauNext =
+            srpQualityBar(bits, bands, radius + 1, recallFloor)
+          val onLadder = res.groupBy(col("q_id"))
+            .agg(count(lit(1)).as("nres"),
+              max(when(col("rnk") === k, col("cosine"))).as("kth"))
+            .filter(col("nres") >= k && col("kth") >=
+              (if (tauNext.isNegInfinity) lit(-2.0) else lit(tauNext)))
+            .select(col("q_id"))
+            .localCheckpoint(true)
+          val park = rem.join(onLadder, Seq("q_id"), "left_anti")
+            .localCheckpoint(true)
+          if (!park.isEmpty) {
+            parked = Some(parked.fold(park)(_.unionByName(park)
+              .localCheckpoint(true)))
+            rem = rem.join(onLadder, Seq("q_id"), "left_semi")
+              .localCheckpoint(true)
+            remEmpty = rem.isEmpty
+          }
+        }
+        if (remEmpty && parked.isEmpty) exhausted = true
+        else {
+          pending = Some(rem)
+          // nothing left on the ladder: jump straight to the cap pass
+          if (remEmpty) radius = maxRadius - 1
+        }
       }
       radius += 1
     }
