@@ -97,8 +97,16 @@ object PqScaleBench {
       SimOps.annIvfPq(spark, dir, probes = 4,
         encodedOpt = Some(encoded))))
 
-    // scaled IVF-PQ probe sweep over the assigned 8-bit store
+    // scaled IVF-PQ probe sweep over the assigned 8-bit store. Each
+    // entry warms through the noop sink first (the SrpProbeBench
+    // topSets pattern): without it the FIRST sweep entry pays the
+    // store's first-touch page-in and JIT and the recorded walls come
+    // out non-monotone in probes (the r17 first cut measured probe-2 at
+    // 8.1 s and probe-8 at 0.98 s on the same store).
     val sweep = Seq(1, 2, 4, 8).map { p =>
+      val q = SimOps.annIvfPqScaledQuery(
+        spark, dir, assigned8, cb8, cells, probes = p)
+      q.write.format("noop").mode("overwrite").save()
       val (t, sets) = timed(topSets(SimOps.annIvfPqScaledQuery(
         spark, dir, assigned8, cb8, cells, probes = p)))
       (p, t, recall(sets))
