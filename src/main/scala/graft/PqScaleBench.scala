@@ -112,6 +112,16 @@ object PqScaleBench {
       (p, t, recall(sets))
     }
 
+    // the composed two-stage serving pipeline: pruned ADC shortlist +
+    // exact re-rank (what a deployment actually runs per query batch)
+    val (tScaledRerank, scaledRerankSets) = {
+      val q = SimOps.annIvfPqScaledRerank(spark, dir, assigned8, cb8,
+        cells, probes = 4)
+      q.write.format("noop").mode("overwrite").save()
+      timed(topSets(SimOps.annIvfPqScaledRerank(spark, dir, assigned8,
+        cb8, cells, probes = 4)))
+    }
+
     // planted near-dups: legacy 32-cell gate + the scaled-path gate
     val plantedQs = (1L until n by 4000L).toSeq
     val plantedPred = col("vec_id") % 4000 === 1
@@ -145,6 +155,8 @@ object PqScaleBench {
       s""""sec_rerank":$tRerank,"sec_rerank8":$tRerank8,""" +
       s""""sec_ivfpq_probe4":$tIvfPq,""" +
       s""""sweep_scaled":$sweepJson,""" +
+      s""""sec_scaled_rerank_p4":$tScaledRerank,""" +
+      s""""recall_iid_scaled_rerank":${recall(scaledRerankSets)},""" +
       s""""sec_planted":$tPlanted,"sec_planted_scaled":$tPlantedScaled,""" +
       s""""n_planted_queries":${plantedQs.size},""" +
       s""""recall_iid_adc":${recall(adcSets)},""" +

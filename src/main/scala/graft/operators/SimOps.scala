@@ -2223,7 +2223,8 @@ object SimOps extends OpModule {
   private[graft] def annIvfPqScaledQuery(s: SparkSession, dir: String,
       assigned: DataFrame, cb: Seq[Seq[Seq[Double]]], cells: Int,
       probes: Int, coarseProbes: Int = 4,
-      queryPred: Column = col("vec_id") < 20): DataFrame = {
+      queryPred: Column = col("vec_id") < 20,
+      topK: Int = 5): DataFrame = {
     import s.implicits._
     import graft.functions.TopKByScore
     graft.functions.GraftFunctions.register(s)
@@ -2301,7 +2302,7 @@ object SimOps extends OpModule {
         sequence(lit(0), lit(pqSubspaces - 1)), m =>
           slice(col("flat_lut"), m * lit(kCodes) + lit(1), lit(kCodes))))
       .select(col("q_id"), col("cell"), col("lut"))
-    val topk = udaf(TopKByScore.TopKAgg(5),
+    val topk = udaf(TopKByScore.TopKAgg(topK),
       Encoders.product[TopKByScore.ScoredId])
     broadcast(qs).join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -2312,6 +2313,49 @@ object SimOps extends OpModule {
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
         col("col.id").as("neighbor_id"),
         (-col("col.score")).cast("long").as("adc_micro"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The COMPOSED two-stage search at scale — Jégou et al.'s standard
+    * serving pipeline assembled from the round's pieces: the √n-cell
+    * IVF-PQ scan ([[annIvfPqScaledQuery]]) proposes a `shortlist`-deep
+    * ADC candidate list from the probed cells only, and one exact-
+    * cosine pass re-ranks it to top-5. The re-rank join touches the
+    * embedding table once, keyed by the (queries × shortlist)-row
+    * candidate frame — broadcast-sized by construction, so the whole
+    * query pipeline stays corpus-scan-free outside the probed cells.
+    * At exhaustive probes the shortlist equals [[annPqRerank]]'s
+    * (spec-pinned — same candidates, same ADC, same tie law), making
+    * the pruned form's contract auditable against the exhaustive one.
+    */
+  private[graft] def annIvfPqScaledRerank(s: SparkSession, dir: String,
+      assigned: DataFrame, cb: Seq[Seq[Seq[Double]]], cells: Int,
+      probes: Int, shortlist: Int = 50, coarseProbes: Int = 4,
+      queryPred: Column = col("vec_id") < 20): DataFrame = {
+    import graft.functions.TopKByScore
+    graft.functions.GraftFunctions.register(s)
+    val cands = annIvfPqScaledQuery(s, dir, assigned, cb, cells, probes,
+      coarseProbes, queryPred, topK = shortlist)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    val qs = withNorm(Tables.embeddings(s, dir).filter(queryPred))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val topk = udaf(TopKByScore.TopKAgg(5),
+      Encoders.product[TopKByScore.ScoredId])
+    // the candidate frame is (queries × shortlist)-row small but sits
+    // behind a groupBy whose size estimate is opaque — broadcast it
+    // explicitly so the re-rank is one hash-join pass over the corpus
+    withNorm(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .join(broadcast(cands.join(broadcast(qs), Seq("q_id"))),
+        Seq("vec_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
       .orderBy(col("q_id"), col("rnk"))
   }
 

@@ -146,6 +146,18 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("annIvfPqScaledRerank: exhaustive probes reproduce annPqRerank " +
+    "under the trained book (same shortlist, same exact re-rank)") {
+    val cb8 = SimOps.pq8Codebook(spark, sf0001)
+    val encoded = SimOps.pq8Encoded(spark, sf0001, cb8)
+    val assigned = SimOps.annIvfPqScaled(spark, sf0001, encoded, cb8,
+      32, coarseProbes = 32)
+    val got = rows(SimOps.annIvfPqScaledRerank(spark, sf0001, assigned,
+      cb8, 32, probes = 32, coarseProbes = 32))
+    assert(got === rows(SimOps.annPqRerank(spark, sf0001,
+      encodedOpt = Some(encoded), cbOpt = Some(cb8))))
+  }
+
   test("annSrpAdaptive skipAhead: every stop still emits its radius's " +
     "multiprobe rows verbatim, and parking only removes mid-ladder " +
     "stops") {
