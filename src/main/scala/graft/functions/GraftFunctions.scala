@@ -50,6 +50,18 @@ object GraftFunctions {
       "graft_pq_encode takes (embedding, codebook)")
     require(children(1).foldable,
       "graft_pq_encode codebook must be a foldable literal")
+    // validate the literal's TYPE before evaluating it — a mistyped
+    // codebook (e.g. array<array<double>> or integer cells) would
+    // otherwise surface as a raw ClassCastException out of getArray
+    children(1).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, _), _), _) => ()
+      case t => throw new IllegalArgumentException(
+        "graft_pq_encode codebook must be array<array<array<double>>> " +
+          s"(cb(m)(k)(i)), got ${t.catalogString}")
+    }
     val outer = children(1).eval()
       .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val cb = Array.tabulate(outer.numElements()) { m =>

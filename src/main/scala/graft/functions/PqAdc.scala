@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -31,6 +32,21 @@ case class PqAdc(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  /** The expression is user-callable SQL (`graft_pq_adc`), so mistyped
+    * arguments must fail analysis — without this check an array<int>
+    * lut/codes would be reinterpreted by getLong and return silently
+    * wrong sums.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(LongType, _), _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        "graft_pq_adc requires (lut: array<array<bigint>>, " +
+          s"codes: array<bigint>), got (${l.catalogString}, " +
+          s"${r.catalogString})")
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val lut = a.asInstanceOf[ArrayData]

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -58,8 +59,47 @@ case class PqEncode(child: Expression,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private def isFloat: Boolean =
+  /** User-callable SQL surface (`graft_pq_encode`): a non-array or
+    * non-float/double embedding child must fail ANALYSIS with a typed
+    * message, not a raw ClassCastException out of [[isFloat]]. The
+    * subspace geometry (`mSub · dSub` elements) is a runtime property of
+    * each row, checked by the fixture requires, not here.
+    */
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        "graft_pq_encode requires an array<float> or array<double> " +
+          s"embedding, got ${t.catalogString}")
+    }
+
+  // stable post-analysis (checkInputDataTypes guarantees the ArrayType);
+  // a lazy val so the per-row eval path doesn't re-walk the schema
+  private lazy val isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Structural identity on the codebook CONTENTS: raw-array
+    * equals/hashCode are reference-based, so two PqEncodes built from
+    * equal codebooks would never canonicalize together and plan caching
+    * / common-subexpression elimination could never dedupe the
+    * (expensive, up-to-16K-double) encode. Shape fields pin the
+    * geometry; [[flat]] pins the values.
+    */
+  override def equals(other: Any): Boolean = other match {
+    case p: PqEncode =>
+      child == p.child && mSub == p.mSub && kCodes == p.kCodes &&
+        dSub == p.dSub && java.util.Arrays.equals(flat, p.flat)
+    case _ => false
+  }
+
+  override def hashCode(): Int = {
+    var h = child.hashCode()
+    h = 31 * h + mSub
+    h = 31 * h + kCodes
+    h = 31 * h + dSub
+    31 * h + java.util.Arrays.hashCode(flat)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
