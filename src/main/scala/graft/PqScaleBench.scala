@@ -5,30 +5,30 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.SimOps
 
-/** Product-quantization scale probe on a StressGen ANN fixture — the
-  * round-17 shape: both codebook families, codegen'd hot loops, and the
-  * √n-cell IVF-PQ serving path the r16 verdict demanded.
+/** Product-quantization scale probe on a StressGen/AnnGen ANN fixture —
+  * the round-18 shape: the r17 blocks (both codebook families, codegen'd
+  * hot loops, √n-cell IVF-PQ serving) PLUS the three moves the r17
+  * verdict demanded measured separably:
   *
-  * One-off index builds (timed separately — the persisted artifacts a
-  * production deployment amortizes):
-  *   - 16-code frozen-book encode ([[SimOps.pqEncoded]] fast — now the
-  *     codegen'd PqEncode expression);
-  *   - 256-code TRAINED book ([[SimOps.pq8Codebook]] driver k-means on
-  *     the first 2048 — corpus-size-independent) + encode;
-  *   - √n-cell assignment of the 8-bit codes
-  *     ([[SimOps.annIvfPqScaled]], two-level compiled argmax).
+  *   - PREFIX vs STRATIFIED training sample A/B (verdict item 2): the
+  *     8-bit book trained on stride-1 (the old corpus-prefix head) and
+  *     on the [[SimOps.pqTrainStride]] stratified sample, each measured
+  *     as exhaustive ADC + shortlist-50 re-rank recall;
+  *   - RESIDUAL encoding (IVFADC proper, verdict item 1): the
+  *     [[SimOps.annIvfPqrScaled]] store (PQ over x − coarse_cell_unit)
+  *     at √n cells, probe sweep + re-rank ladder;
+  *   - SHORTLIST ladder (50/200/500 at probes 4/8, raw + residual):
+  *     the re-rank is exact, so recall@5 = P(true top-5 ∈ ADC
+  *     shortlist); holding the shortlist QUANTILE rather than count is
+  *     the knob that survives 10× corpus growth.
   *
-  * Query-time measurements against those artifacts:
-  *   - exact brute force ([[SimOps.simTopk]]) — the bar;
-  *   - pure ADC top-5 under both books (wall + iid recall@5) — with
-  *     [[graft.functions.PqAdc]] codegen'd, ADC must now BEAT the
-  *     brute dot single-host (r16: it lost 6.4 vs 3.7 s at 1M);
-  *   - ADC-shortlist + exact re-rank recall under both books;
-  *   - IVF-PQ at 32 frozen cells probe-4 (continuity with r16) and at
-  *     [[SimOps.scaledCells]] cells with a probe SWEEP (1/2/4/8):
-  *     wall + iid recall each;
-  *   - planted near-dup recall through the scaled path at probe 4,
-  *     GATED ≥ 0.98 (the verdict's bar), plus the legacy 32-cell gate.
+  * Probe sweeps are reported per-run AND as min-of-N (`sweep_min`,
+  * verdict item 6) — the r17 record's out-of-order single-run walls
+  * (probe-2 at 8.05 s vs probe-8 at 0.98 s) were JVM/cache state, and
+  * min-per-point is the claim-bearing summary.
+  *
+  * Planted near-dup recall is GATED ≥ 0.98 through BOTH scaled paths
+  * (raw 8-bit and residual) before any number is recorded.
   *
   * Usage: tools/run_main.sh PqScaleBench [fixtureDir]
   */
@@ -45,6 +45,7 @@ object PqScaleBench {
     graft.functions.GraftFunctions.register(spark)
     val n = Tables.vectorCount(spark, dir)
     val cells = SimOps.scaledCells(n)
+    val strideStrat = SimOps.pqTrainStride(n)
 
     def timed[A](f: => A): (Double, A) = {
       val t0 = System.nanoTime()
@@ -63,15 +64,35 @@ object PqScaleBench {
       e.count()
       e
     }
-    val (tTrain8, cb8) = timed(SimOps.pq8Codebook(spark, dir))
-    val (tEncode8, encoded8) = timed {
-      val e = SimOps.pq8Encoded(spark, dir, cb8)
+    // A/B books: P = the r17 corpus-prefix sample (stride 1), S = the
+    // stratified sample (stride = max(1, n/2048); identical to P on
+    // fixtures ≤ 2048 vectors)
+    val (tTrainP, cbP) = timed(SimOps.pq8CodebookWith(spark, dir, 1L))
+    val (tTrainS, cbS) = timed(SimOps.pq8Codebook(spark, dir))
+    val (tTrainR, cbR) =
+      timed(SimOps.pqrCodebook(spark, dir, cells = cells))
+    val (tEncodeP, encodedP) = timed {
+      val e = SimOps.pq8Encoded(spark, dir, cbP)
         .transform(Checkpoints.truncate)
       e.count()
       e
     }
-    val (tAssign, assigned8) = timed {
-      val a = SimOps.annIvfPqScaled(spark, dir, encoded8, cb8, cells)
+    val (tEncodeS, encodedS) = timed {
+      val e = SimOps.pq8Encoded(spark, dir, cbS)
+        .transform(Checkpoints.truncate)
+      e.count()
+      e
+    }
+    val (tAssign, assignedS) = timed {
+      val a = SimOps.annIvfPqScaled(spark, dir, encodedS, cbS, cells)
+        .transform(Checkpoints.truncate)
+      a.count()
+      a
+    }
+    // residual store: one compiled pass (two-level assign + residual)
+    // + codegen'd 256-code encode
+    val (tBuildR, assignedR) = timed {
+      val a = SimOps.annIvfPqrScaled(spark, dir, cbR, cells)
         .transform(Checkpoints.truncate)
       a.count()
       a
@@ -84,88 +105,135 @@ object PqScaleBench {
         brute(q).size
     }.sum / brute.size
 
+    // exhaustive scans: 4-bit continuity + the 8-bit prefix/strat A/B
     val (tAdc, adcSets) =
       timed(topSets(SimOps.annPqOn(spark, dir, encoded)))
-    val (tAdc8, adc8Sets) =
-      timed(topSets(SimOps.annPqOnCb(spark, dir, encoded8, cb8)))
+    val (tAdcP, adcPSets) =
+      timed(topSets(SimOps.annPqOnCb(spark, dir, encodedP, cbP)))
+    val (tAdcS, adcSSets) =
+      timed(topSets(SimOps.annPqOnCb(spark, dir, encodedS, cbS)))
     val (tRerank, rerankSets) = timed(topSets(
       SimOps.annPqRerank(spark, dir, 50, encodedOpt = Some(encoded))))
-    val (tRerank8, rerank8Sets) = timed(topSets(
-      SimOps.annPqRerank(spark, dir, 50, encodedOpt = Some(encoded8),
-        cbOpt = Some(cb8))))
+    val (tRerankP, rerankPSets) = timed(topSets(
+      SimOps.annPqRerank(spark, dir, 50, encodedOpt = Some(encodedP),
+        cbOpt = Some(cbP))))
+    val (tRerankS, rerankSSets) = timed(topSets(
+      SimOps.annPqRerank(spark, dir, 50, encodedOpt = Some(encodedS),
+        cbOpt = Some(cbS))))
     val (tIvfPq, ivfPqSets) = timed(topSets(
       SimOps.annIvfPq(spark, dir, probes = 4,
         encodedOpt = Some(encoded))))
 
-    // scaled IVF-PQ probe sweep over the assigned 8-bit store. Each
-    // entry warms through the noop sink first (the SrpProbeBench
-    // topSets pattern): without it the FIRST sweep entry pays the
-    // store's first-touch page-in and JIT and the recorded walls come
-    // out non-monotone in probes (the r17 first cut measured probe-2 at
-    // 8.1 s and probe-8 at 0.98 s on the same store).
-    val sweep = Seq(1, 2, 4, 8).map { p =>
-      val q = SimOps.annIvfPqScaledQuery(
-        spark, dir, assigned8, cb8, cells, probes = p)
-      q.write.format("noop").mode("overwrite").save()
-      val (t, sets) = timed(topSets(SimOps.annIvfPqScaledQuery(
-        spark, dir, assigned8, cb8, cells, probes = p)))
-      (p, t, recall(sets))
-    }
+    // probe sweeps over both scaled stores: warm once through the noop
+    // sink, then RUNS timed passes per point; the summary quotes
+    // min-of-N (the r17 record's single-run walls were cache state)
+    val sweepRuns = sys.env.getOrElse("SPARK_GRAFT_SWEEP_RUNS", "3").toInt
+    def sweepOf(q: Int => org.apache.spark.sql.DataFrame)
+        : Seq[(Int, Seq[Double], Double, Double)] =
+      Seq(1, 2, 4, 8).map { p =>
+        q(p).write.format("noop").mode("overwrite").save()
+        var rec = 0.0
+        val walls = (1 to sweepRuns).map { _ =>
+          val (t, sets) = timed(topSets(q(p)))
+          rec = recall(sets)
+          t
+        }
+        (p, walls, walls.min, rec)
+      }
+    val sweepS = sweepOf(p => SimOps.annIvfPqScaledQuery(
+      spark, dir, assignedS, cbS, cells, probes = p))
+    val sweepR = sweepOf(p => SimOps.annIvfPqrScaledQuery(
+      spark, dir, assignedR, cbR, cells, probes = p))
 
-    // the composed two-stage serving pipeline: pruned ADC shortlist +
-    // exact re-rank (what a deployment actually runs per query batch)
-    val (tScaledRerank, scaledRerankSets) = {
-      val q = SimOps.annIvfPqScaledRerank(spark, dir, assigned8, cb8,
-        cells, probes = 4)
-      q.write.format("noop").mode("overwrite").save()
-      timed(topSets(SimOps.annIvfPqScaledRerank(spark, dir, assigned8,
-        cb8, cells, probes = 4)))
-    }
+    // the two-stage serving ladder: probes × shortlist, raw + residual
+    def ladderOf(q: (Int, Int) => org.apache.spark.sql.DataFrame)
+        : Seq[(Int, Int, Double, Double)] =
+      for (p <- Seq(4, 8); sl <- Seq(50, 200, 500)) yield {
+        val (t, sets) = timed(topSets(q(p, sl)))
+        (p, sl, t, recall(sets))
+      }
+    val ladderS = ladderOf((p, sl) => SimOps.annIvfPqScaledRerank(
+      spark, dir, assignedS, cbS, cells, probes = p, shortlist = sl))
+    val ladderR = ladderOf((p, sl) => SimOps.annIvfPqrScaledRerank(
+      spark, dir, assignedR, cbR, cells, probes = p, shortlist = sl))
 
-    // planted near-dups: legacy 32-cell gate + the scaled-path gate
+    // planted near-dups: legacy 32-cell gate + both scaled-path gates.
+    // The residual batch is thinned 4× (per-cell LUTs broadcast
+    // probes× tables per query — 2500 queries × 4 × 16 KB would ship a
+    // 160 MB broadcast; 625 queries keep the gate statistical and the
+    // payload bounded).
     val plantedQs = (1L until n by 4000L).toSeq
     val plantedPred = col("vec_id") % 4000 === 1
-    def plantedRecall(m: Map[Long, Set[Long]]): Double =
-      plantedQs.count(q =>
-        m.getOrElse(q, Set.empty).contains(q - 1)).toDouble /
-        plantedQs.size
-    val (tPlanted, plRecall) = timed(plantedRecall(topSets(
+    val plantedQsR = (1L until n by 16000L).toSeq
+    val plantedPredR = col("vec_id") % 16000 === 1
+    def plantedRecall(qs: Seq[Long], m: Map[Long, Set[Long]]): Double =
+      qs.count(q =>
+        m.getOrElse(q, Set.empty).contains(q - 1)).toDouble / qs.size
+    val (tPlanted, plRecall) = timed(plantedRecall(plantedQs, topSets(
       SimOps.annIvfPq(spark, dir, probes = 4, queryPred = plantedPred,
         encodedOpt = Some(encoded)))))
-    val (tPlantedScaled, plRecallScaled) = timed(plantedRecall(topSets(
-      SimOps.annIvfPqScaledQuery(spark, dir, assigned8, cb8, cells,
-        probes = 4, queryPred = plantedPred))))
+    val (tPlantedScaled, plRecallScaled) = timed(plantedRecall(plantedQs,
+      topSets(SimOps.annIvfPqScaledQuery(spark, dir, assignedS, cbS,
+        cells, probes = 4, queryPred = plantedPred))))
+    val (tPlantedR, plRecallR) = timed(plantedRecall(plantedQsR,
+      topSets(SimOps.annIvfPqrScaledQuery(spark, dir, assignedR, cbR,
+        cells, probes = 4, queryPred = plantedPredR))))
     require(plRecall >= 0.9,
       s"planted IVF-PQ recall $plRecall < 0.9 — the code/cell path " +
         "lost near-identical partners")
     require(plRecallScaled >= 0.98,
       s"planted scaled-IVF-PQ recall $plRecallScaled < 0.98 — the " +
         "two-level assignment split near-identical partners")
+    require(plRecallR >= 0.98,
+      s"planted residual-IVFADC recall $plRecallR < 0.98 — residual " +
+        "encoding or the two-level assignment lost near-identical " +
+        "partners")
 
-    val sweepJson = sweep.map { case (p, t, r) =>
-      s"""{"probes":$p,"sec":$t,"recall_iid":$r}"""
-    }.mkString("[", ",", "]")
+    def sweepJson(sw: Seq[(Int, Seq[Double], Double, Double)]): String =
+      sw.map { case (p, walls, mn, r) =>
+        s"""{"probes":$p,"sec_runs":[${walls.mkString(",")}],""" +
+          s""""sec_min":$mn,"recall_iid":$r}"""
+      }.mkString("[", ",", "]")
+    def ladderJson(ld: Seq[(Int, Int, Double, Double)]): String =
+      ld.map { case (p, sl, t, r) =>
+        s"""{"probes":$p,"shortlist":$sl,"sec":$t,"recall_iid":$r}"""
+      }.mkString("[", ",", "]")
+
     println(s"""{"metric":"pq_scale","n_vectors":$n,"subspaces":8,""" +
       s""""codes":16,"codes8":256,"cells_scaled":$cells,""" +
+      s""""stride_strat":$strideStrat,"sweep_runs":$sweepRuns,""" +
       s""""bytes_per_vector":8,"raw_bytes_per_vector":256,""" +
-      s""""sec_encode_fast":$tEncode,"sec_train8":$tTrain8,""" +
-      s""""sec_encode8":$tEncode8,"sec_assign_scaled":$tAssign,""" +
+      s""""sec_encode_fast":$tEncode,""" +
+      s""""sec_train8_prefix":$tTrainP,"sec_train8_strat":$tTrainS,""" +
+      s""""sec_train_residual":$tTrainR,""" +
+      s""""sec_encode8_prefix":$tEncodeP,""" +
+      s""""sec_encode8_strat":$tEncodeS,""" +
+      s""""sec_assign_scaled":$tAssign,""" +
+      s""""sec_build_residual":$tBuildR,""" +
       s""""sec_brute":$tBrute,""" +
-      s""""sec_adc":$tAdc,"sec_adc8":$tAdc8,""" +
-      s""""sec_rerank":$tRerank,"sec_rerank8":$tRerank8,""" +
+      s""""sec_adc":$tAdc,"sec_adc8_prefix":$tAdcP,""" +
+      s""""sec_adc8_strat":$tAdcS,""" +
+      s""""sec_rerank":$tRerank,"sec_rerank8_prefix":$tRerankP,""" +
+      s""""sec_rerank8_strat":$tRerankS,""" +
       s""""sec_ivfpq_probe4":$tIvfPq,""" +
-      s""""sweep_scaled":$sweepJson,""" +
-      s""""sec_scaled_rerank_p4":$tScaledRerank,""" +
-      s""""recall_iid_scaled_rerank":${recall(scaledRerankSets)},""" +
+      s""""sweep_scaled":${sweepJson(sweepS)},""" +
+      s""""sweep_residual":${sweepJson(sweepR)},""" +
+      s""""ladder_scaled":${ladderJson(ladderS)},""" +
+      s""""ladder_residual":${ladderJson(ladderR)},""" +
       s""""sec_planted":$tPlanted,"sec_planted_scaled":$tPlantedScaled,""" +
+      s""""sec_planted_residual":$tPlantedR,""" +
       s""""n_planted_queries":${plantedQs.size},""" +
+      s""""n_planted_queries_residual":${plantedQsR.size},""" +
       s""""recall_iid_adc":${recall(adcSets)},""" +
-      s""""recall_iid_adc8":${recall(adc8Sets)},""" +
+      s""""recall_iid_adc8_prefix":${recall(adcPSets)},""" +
+      s""""recall_iid_adc8_strat":${recall(adcSSets)},""" +
       s""""recall_iid_rerank":${recall(rerankSets)},""" +
-      s""""recall_iid_rerank8":${recall(rerank8Sets)},""" +
+      s""""recall_iid_rerank8_prefix":${recall(rerankPSets)},""" +
+      s""""recall_iid_rerank8_strat":${recall(rerankSSets)},""" +
       s""""recall_iid_ivfpq":${recall(ivfPqSets)},""" +
       s""""planted_recall_ivfpq":$plRecall,""" +
-      s""""planted_recall_ivfpq_scaled":$plRecallScaled}""")
+      s""""planted_recall_ivfpq_scaled":$plRecallScaled,""" +
+      s""""planted_recall_residual":$plRecallR}""")
     spark.stop()
   }
 }

@@ -1237,25 +1237,32 @@ object SimOps extends OpModule {
         } else pending
       val probed = probeSet.fold(probedAll)(p =>
         probedAll.join(broadcast(p), Seq("q_id"), "left_semi"))
-      // ≤ 5 rows per pending query — tiny; persisted so the satisfied
-      // split + escalation decision don't re-run the band join
+      // ≤ 5 rows per pending query — tiny; localCheckpoint (NOT persist:
+      // a persisted frame pins cache-manager blocks for the session —
+      // the r17 ADVICE leak — while checkpoint blocks are context-
+      // cleaned once unreachable) so the satisfied split + escalation
+      // decisions + final union never re-run the band join
       val res = srpTopK(probed, table)
-        .withColumn("probe_radius", lit(radius)).persist()
+        .withColumn("probe_radius", lit(radius)).localCheckpoint(true)
       if (isCap) {
         result = Some(result.fold(res: DataFrame)(_.unionByName(res)))
         exhausted = true
       } else {
+        // ONE (q_id, nres, kth) evidence frame feeds BOTH the satisfied
+        // split and the skip-ahead ladder decision below (was a second
+        // aggregation over res per rung — the r17 ADVICE duplication)
+        val evid = res.groupBy(col("q_id"))
+          .agg(count(lit(1)).as("nres"),
+            max(when(col("rnk") === k, col("cosine"))).as("kth"))
+          .localCheckpoint(true)
         // satisfied ⇔ k verified members AND the kth clears the radius's
         // quality bar (max-of-when: the rnk=k row's cosine; absent when
         // nres < k, and a null kth never passes the ≥ filter)
         val bar = srpQualityBar(bits, bands, radius, recallFloor)
-        val sat = res.groupBy(col("q_id"))
-          .agg(count(lit(1)).as("nres"),
-            max(when(col("rnk") === k, col("cosine"))).as("kth"))
+        val sat = evid
           .filter(col("nres") >= k &&
             col("kth") >= (if (bar.isNegInfinity) lit(-2.0) else lit(bar)))
           .select(col("q_id"))
-          .localCheckpoint(true)
         val done = res.join(broadcast(sat), Seq("q_id"), "left_semi")
         result = Some(result.fold(done)(_.unionByName(done)))
         var rem = pending
@@ -1276,9 +1283,7 @@ object SimOps extends OpModule {
           // nothing parked and the decision jobs were pure overhead.
           val tauNext =
             srpQualityBar(bits, bands, radius + 1, recallFloor)
-          val onLadder = res.groupBy(col("q_id"))
-            .agg(count(lit(1)).as("nres"),
-              max(when(col("rnk") === k, col("cosine"))).as("kth"))
+          val onLadder = evid
             .filter(col("nres") >= k && col("kth") >=
               (if (tauNext.isNegInfinity) lit(-2.0) else lit(tauNext)))
             .select(col("q_id"))
@@ -1837,76 +1842,59 @@ object SimOps extends OpModule {
     * k* = 256 per sub-quantizer).
     */
   val pq8Codes = 256
-  /** Training sample bound: k-means runs on the first [[pq8TrainN]]
-    * embeddings only — the Faiss stance (PQ books train on a bounded
-    * sample, never the corpus), which keeps the training cost CONSTANT
-    * as the corpus grows and the sample deterministic for the oracle
-    * replay (`vec_id < 2048` on both engines). At the shipped fixtures
-    * (≤ 2000 vectors) the filter takes the whole table.
+  /** Training sample bound: k-means runs on [[pq8TrainN]] embeddings
+    * only — the Faiss stance (PQ books train on a bounded sample, never
+    * the corpus), which keeps the training cost CONSTANT as the corpus
+    * grows and the sample deterministic for the oracle replay. At the
+    * shipped fixtures (≤ 2000 vectors) the sample is the whole table.
     */
   val pq8TrainN = 2048L
   val pq8Iters = 2
 
-  /** Exact away-from-zero half rounding of `v` — the semantics BOTH
-    * replay engines use for signed micro-quantization (Spark's
-    * `round(x, 0)` = BigDecimal HALF_UP; DuckDB's `round` = half away
-    * from zero). `Math.round`'s floor(x+0.5) differs at negative exact
-    * halves AND at the largest-double-below-.5 edge, so the driver-side
-    * trainer must not use it for signed values (distances are
-    * non-negative, where the two agree — [[PqEncode]] keeps Math.round
-    * there).
+  /** Stratified training-sample stride: the sample is every
+    * `stride`-th vec_id (ids 0, stride, 2·stride, …, bounded to
+    * [[pq8TrainN]] members) with stride = max(1, ⌊n / pq8TrainN⌋) — a
+    * deterministic sample BOTH engines can name, spanning the whole
+    * corpus instead of its head. The r17 record measured why the head
+    * is wrong at scale: the 10M-tier book trained on the first 2048
+    * vec_ids was a 0.02 % corpus-PREFIX sample and its recall inverted
+    * vs the untrained book (PQSCALE_r17: rerank8 0.15 < 0.20). On every
+    * oracle fixture (n ≤ 2048) stride = 1 and the stratified sample IS
+    * the old prefix, so the frozen fixture semantics are unchanged; `n`
+    * comes from [[Tables.vectorCount]] (= count on the contiguous-id
+    * fixtures the oracle replays with `count(*)`).
     */
-  private def roundAway(v: Double): Long =
-    BigDecimal(v).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
-      .toLong
+  private[graft] def pqTrainStride(n: Long): Long =
+    math.max(1L, n / pq8TrainN)
 
-  /** The trained 8-bit codebooks: init = 8-dim slices of the first 256
-    * embeddings (the same data-derived-pivot stance as [[pqCodebook]]),
-    * then [[pq8Iters]] rounds of per-subspace k-means over the first
-    * [[pq8TrainN]] embeddings — assignment by the IDENTICAL
+  /** Shared per-subspace k-means trainer over a prepared sample (raw
+    * vectors for [[pq8Codebook]], coarse-cell residuals for
+    * [[pqrCodebook]]): init = 8-dim slices of the first [[pq8Codes]]
+    * sample rows, then `iters` rounds of assignment by the IDENTICAL
     * micro-quantized argmin the encode uses (strict `<`, smallest code
-    * on ties), update by the FIXED-POINT mean of the [[centroidsOf]]
-    * precedent (per-dim exact micro-unit long sums, one deterministic
-    * double division), empty cells keeping their previous code. Every
-    * step is exact-integer or single-IEEE-op arithmetic, so DuckDB
-    * replays the whole training loop value-for-value in the
-    * `llm_ann_pq8` oracle — the seeded-deterministic-k-means route the
-    * r16 ADVICE suggested.
-    *
-    * Driver-side over a 2048 × 64-float sample (a bounded model
-    * materialization, the [[driverSeeds]] class): ~0.5 MB collected,
-    * 2048 × 8 × 256 8-dim distances per round — milliseconds, and
-    * INDEPENDENT of corpus size by the sample bound.
+    * on ties) and update by the FIXED-POINT mean (per-dim exact
+    * micro-unit long sums via [[roundAway]] — residuals are SIGNED, so
+    * half-up-away-from-zero is the law both engines share — one
+    * deterministic double division), empty cells keeping their previous
+    * code. Every step is exact-integer or single-IEEE-op arithmetic, so
+    * DuckDB replays the whole loop value-for-value.
     */
-  private[graft] def pq8Codebook(s: SparkSession,
-      dir: String): Seq[Seq[Seq[Double]]] = {
-    import s.implicits._
-    val train = Tables.embeddings(s, dir)
-      .filter(col("vec_id") < pq8TrainN)
-      .select(col("vec_id"), col("embedding"))
-      .as[(Long, Seq[Float])].collect().sortBy(_._1)
-    require(train.length >= pq8Codes,
-      s"PQ8 codebook needs ≥ $pq8Codes embeddings, found ${train.length}")
-    require(train.forall(_._2.size == pqSubspaces * pqSubDim),
-      "PQ8 codebook requires 64-dim embeddings")
-    require(train.take(pq8Codes).zipWithIndex.forall {
-      case ((id, _), i) => id == i.toLong },
-      "PQ8 init needs the first 256 vec_ids contiguous from 0")
-    val sample = train.map(_._2.map(_.toDouble).toArray)
+  private def trainPqBook(sample: Array[Array[Double]],
+      kCodes: Int, iters: Int): Array[Array[Array[Double]]] = {
     var cb: Array[Array[Array[Double]]] = Array.tabulate(pqSubspaces)(m =>
-      Array.tabulate(pq8Codes)(k =>
+      Array.tabulate(kCodes)(k =>
         sample(k).slice(m * pqSubDim, (m + 1) * pqSubDim)))
     var iter = 0
-    while (iter < pq8Iters) {
-      val sums = Array.fill(pqSubspaces, pq8Codes, pqSubDim)(0L)
-      val cnts = Array.fill(pqSubspaces, pq8Codes)(0L)
+    while (iter < iters) {
+      val sums = Array.fill(pqSubspaces, kCodes, pqSubDim)(0L)
+      val cnts = Array.fill(pqSubspaces, kCodes)(0L)
       sample.foreach { v =>
         var m = 0
         while (m < pqSubspaces) {
           var bestD = Long.MaxValue
           var bestK = -1
           var k = 0
-          while (k < pq8Codes) {
+          while (k < kCodes) {
             val c = cb(m)(k)
             var acc = 0.0
             var i = 0
@@ -1930,12 +1918,78 @@ object SimOps extends OpModule {
           m += 1
         }
       }
-      cb = Array.tabulate(pqSubspaces)(m => Array.tabulate(pq8Codes)(k =>
+      cb = Array.tabulate(pqSubspaces)(m => Array.tabulate(kCodes)(k =>
         if (cnts(m)(k) == 0L) cb(m)(k)
         else Array.tabulate(pqSubDim)(i =>
           sums(m)(k)(i).toDouble / (1000000.0 * cnts(m)(k)))))
       iter += 1
     }
+    cb
+  }
+
+  /** Collect the stratified training sample (vec_id, float vector),
+    * sorted by id — the bounded driver materialization every trained
+    * codebook starts from (~0.5 MB, corpus-size-independent).
+    */
+  private def trainSample(s: SparkSession, dir: String,
+      stride: Long): Array[(Long, Seq[Float])] = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") % stride === 0 &&
+        col("vec_id") < pq8TrainN * stride)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+  }
+
+  /** Exact away-from-zero half rounding of `v` — the semantics BOTH
+    * replay engines use for signed micro-quantization (Spark's
+    * `round(x, 0)` = BigDecimal HALF_UP; DuckDB's `round` = half away
+    * from zero). `Math.round`'s floor(x+0.5) differs at negative exact
+    * halves AND at the largest-double-below-.5 edge, so the driver-side
+    * trainer must not use it for signed values (distances are
+    * non-negative, where the two agree — [[PqEncode]] keeps Math.round
+    * there).
+    */
+  private def roundAway(v: Double): Long =
+    BigDecimal(v).setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toLong
+
+  /** The trained 8-bit codebooks: init = 8-dim slices of the first 256
+    * STRATIFIED-sample members (the same data-derived-pivot stance as
+    * [[pqCodebook]]), then [[pq8Iters]] rounds of per-subspace k-means
+    * over the [[pqTrainStride]]-strided [[pq8TrainN]]-member sample —
+    * the [[trainPqBook]] fixed-point loop, replayed value-for-value by
+    * DuckDB in the `llm_ann_pq8` oracle (the seeded-deterministic-
+    * k-means route the r16 ADVICE suggested; stratified rather than
+    * corpus-prefix per the r17 verdict — on every oracle fixture the
+    * two coincide, stride = 1).
+    *
+    * Driver-side over a 2048 × 64-float sample (a bounded model
+    * materialization, the [[driverSeeds]] class): ~0.5 MB collected,
+    * 2048 × 8 × 256 8-dim distances per round — milliseconds, and
+    * INDEPENDENT of corpus size by the sample bound.
+    */
+  private[graft] def pq8Codebook(s: SparkSession,
+      dir: String): Seq[Seq[Seq[Double]]] =
+    pq8CodebookWith(s, dir, pqTrainStride(Tables.vectorCount(s, dir)))
+
+  /** [[pq8Codebook]] at an EXPLICIT sample stride — stride 1 is the old
+    * corpus-prefix sample, kept reachable so PqScaleBench can A/B
+    * prefix-vs-stratified recall at the stress tiers (r17 verdict
+    * item 2: measure the two effects separably).
+    */
+  private[graft] def pq8CodebookWith(s: SparkSession, dir: String,
+      stride: Long): Seq[Seq[Seq[Double]]] = {
+    val train = trainSample(s, dir, stride)
+    require(train.length >= pq8Codes,
+      s"PQ8 codebook needs ≥ $pq8Codes embeddings, found ${train.length}")
+    require(train.forall(_._2.size == pqSubspaces * pqSubDim),
+      "PQ8 codebook requires 64-dim embeddings")
+    require(train.take(pq8Codes).zipWithIndex.forall {
+      case ((id, _), i) => id == i.toLong * stride },
+      s"PQ8 init needs the first 256 stride-$stride sample ids present")
+    val cb = trainPqBook(train.map(_._2.map(_.toDouble).toArray),
+      pq8Codes, pq8Iters)
     cb.map(_.map(_.toSeq: Seq[Double]).toSeq: Seq[Seq[Double]]).toSeq
   }
 
@@ -1982,6 +2036,229 @@ object SimOps extends OpModule {
         .parquet(s"$out/encoded.parquet")
     }
     annPqOnCb(s, dir, s.read.parquet(s"$root/encoded.parquet"), cb)
+  }
+
+  // ------------------------------------------------------------------
+  // Residual IVFADC (Jégou, Douze & Schmid 2011 §IV-B): PQ over
+  // x − coarse_centroid(x) instead of raw vectors — the published
+  // composition whose recall holds at scale because the coarse
+  // structure no longer eats the codebook's dynamic range.
+  // ------------------------------------------------------------------
+
+  /** Fixture coarse-quantizer size for the ORACLED residual family —
+    * the frozen 32-seed configuration ([[driverSeeds]]); the scaled
+    * serving forms re-size to [[scaledCells]](n).
+    */
+  val pqrCells = 32
+
+  /** Flat argmax cell assignment against the broadcast seed literal —
+    * extracted from [[annIvfPq]] so the raw and residual families share
+    * one law: NaN-best via nanvl(−dot, −∞), smaller sid on ties.
+    */
+  private def cellArgMax(seedsLit: Column): Column =
+    array_min(transform(seedsLit, sd =>
+      struct(nanvl(-dot(col("embedding"), sd.getField("_2")),
+          lit(Double.NegativeInfinity)).as("neg"),
+        sd.getField("_1").as("sid")))).getField("sid")
+
+  /** The row's residual against its assigned cell's unit seed:
+    * r[i] = embedding[i]::double − seed_unit(cell)[i] — one IEEE
+    * subtraction per element, replayed verbatim by the oracle. Seed ids
+    * are contiguous from 0 ([[driverSeeds]] requires it), so the lookup
+    * is a plain element_at. Interpreted zip_with is fine HERE: the
+    * expression form is the fixture-sized oracle surface; stress tiers
+    * build residuals in the compiled [[annIvfPqrScaled]] pass,
+    * spec-pinned value-identical.
+    */
+  private def residualCol(seedVecsLit: Column): Column =
+    zip_with(col("embedding"),
+      element_at(seedVecsLit, (col("cell") + lit(1)).cast("int")),
+      (x, c) => x.cast("double") - c)
+
+  /** Driver-side flat argmax over the unit seeds — the [[cellArgMax]]
+    * law replayed in scalar code (NaN → −∞, strict <, ids ascending so
+    * ties keep the smallest sid), used for the training sample's
+    * residuals and the query-side LUT builds.
+    */
+  private def coarseCellOf(vd: Array[Double],
+      seeds: Array[(Long, Array[Double])]): Int = {
+    var bestNeg = Double.PositiveInfinity
+    var best = 0
+    var first = true
+    var i = 0
+    while (i < seeds.length) {
+      val d = ddotF(vd, seeds(i)._2)
+      val neg = if (d.isNaN) Double.NegativeInfinity else -d
+      if (first || neg < bestNeg) { bestNeg = neg; best = i; first = false }
+      i += 1
+    }
+    best
+  }
+
+  /** The query-side flat LUT of [[pqDistMicro]] entries over a PREPARED
+    * (already residual-ized where applicable) driver vector — shared by
+    * every driver-built LUT (raw scaled, residual fixture, residual
+    * scaled): lut[(m·K)+k] = round(Σ_i (v[m·D+i] − cb[m][k][i])²·10⁶),
+    * strict left-to-right, Math.round on the non-negative distance.
+    */
+  private def lutFlatOf(vd: Array[Double],
+      cbArr: Array[Array[Array[Double]]]): Array[Long] = {
+    val kCodes = cbArr.head.length
+    val dSub = cbArr.head.head.length
+    val lut = new Array[Long](pqSubspaces * kCodes)
+    var m = 0
+    while (m < pqSubspaces) {
+      var k = 0
+      while (k < kCodes) {
+        val c = cbArr(m)(k)
+        var acc = 0.0; var i = 0
+        while (i < dSub) {
+          val d = vd(m * dSub + i) - c(i)
+          acc += d * d
+          i += 1
+        }
+        lut(m * kCodes + k) = Math.round(acc * 1e6)
+        k += 1
+      }
+      m += 1
+    }
+    lut
+  }
+
+  /** The trained residual codebooks: coarse-assign the stratified
+    * [[trainSample]] to its flat-argmax cell (driver replay of
+    * [[cellArgMax]]), subtract the cell's unit seed, then the SAME
+    * [[trainPqBook]] fixed-point k-means as [[pq8Codebook]] — init =
+    * residuals of the first 256 sample members, [[pq8Iters]] rounds,
+    * 256 codes. Deterministic end-to-end, so the `llm_ann_ivfadc`
+    * oracle replays the whole pipeline value-for-value.
+    */
+  private[graft] def pqrCodebook(s: SparkSession, dir: String,
+      cells: Int = pqrCells,
+      strideOverride: Option[Long] = None): Seq[Seq[Seq[Double]]] = {
+    val stride = strideOverride.getOrElse(
+      pqTrainStride(Tables.vectorCount(s, dir)))
+    val seeds = driverSeeds(s, dir, cells)
+      .map { case (id, u) => (id, u.toArray) }.toArray
+    val train = trainSample(s, dir, stride)
+    require(train.length >= pq8Codes,
+      s"residual codebook needs ≥ $pq8Codes embeddings, " +
+        s"found ${train.length}")
+    require(train.forall(_._2.size == pqSubspaces * pqSubDim),
+      "residual codebook requires 64-dim embeddings")
+    require(train.take(pq8Codes).zipWithIndex.forall {
+      case ((id, _), i) => id == i.toLong * stride },
+      s"residual init needs the first 256 stride-$stride sample ids")
+    val sample = train.map { case (_, v) =>
+      val vd = v.map(_.toDouble).toArray
+      val u = seeds(coarseCellOf(vd, seeds))._2
+      Array.tabulate(vd.length)(i => vd(i) - u(i))
+    }
+    val cb = trainPqBook(sample, pq8Codes, pq8Iters)
+    cb.map(_.map(_.toSeq: Seq[Double]).toSeq: Seq[Seq[Double]]).toSeq
+  }
+
+  /** The residual-encoded corpus frame (vec_id, embedding, norm, cell,
+    * codes): flat-argmax cell, residual vs the cell's unit seed, codes
+    * via the codegen'd [[graft.functions.PqEncode]] over the residual —
+    * 8 bytes of PQ state + one long cell id per vector, exactly the
+    * IVFADC index layout.
+    */
+  private[graft] def pqrEncoded(s: SparkSession, dir: String,
+      cb: Seq[Seq[Seq[Double]]],
+      cells: Int = pqrCells): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val seeds = driverSeeds(s, dir, cells)
+    withNorm(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .withColumn("cell", cellArgMax(typedlit(seeds)))
+      .withColumn("codes", call_function("graft_pq_encode",
+        residualCol(typedlit(seeds.map(_._2))), typedlit(cb)))
+      .select(col("vec_id"), col("embedding"), col("norm"),
+        col("cell"), col("codes"))
+  }
+
+  /** Residual-ADC top-5 over a prepared (cell, vec_id, codes) store at
+    * EXHAUSTIVE probes — the oracled surface of the IVFADC family. The
+    * LUT is PER (query, cell): ADC(q, x) estimates
+    * ‖q − x‖² = ‖(q − c_cell) − r_x‖² with both sides residual-ized
+    * against x's cell, so each query carries one 8×256 table per cell
+    * (built driver-side — the query batch is request-sized, the
+    * [[annIvfPqScaledQuery]] stance). Candidates join on `cell` (equi,
+    * prunable against a cell-partitioned store), ADC is the codegen'd
+    * integer [[graft.functions.PqAdc]], ties on (adc_micro, vec_id).
+    */
+  private[graft] def annPqrOn(s: SparkSession, dir: String,
+      store: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      cells: Int = pqrCells,
+      queryPred: Column = col("vec_id") < 20): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopKByScore
+    graft.functions.GraftFunctions.register(s)
+    val seeds = driverSeeds(s, dir, cells)
+      .map { case (id, u) => (id, u.toArray) }.toArray
+    val kCodes = cb.head.size
+    val cbArr = cb.map(_.map(_.toArray).toArray).toArray
+    val qEmb = Tables.embeddings(s, dir).filter(queryPred)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // exhaustive: one residual LUT per (query, cell) — per-cell tables
+    // are intrinsic to IVFADC (the LUT depends on the probed cell), so
+    // unlike the raw path there is no ship-once factorization
+    val qRows: Seq[(Long, Long, Seq[Long])] = qEmb.toSeq.flatMap {
+      case (qId, v) =>
+        val vd = v.map(_.toDouble)
+        seeds.map { case (sid, u) =>
+          val qres = Array.tabulate(vd.length)(i => vd(i) - u(i))
+          (qId, sid, lutFlatOf(qres, cbArr).toSeq)
+        }.toSeq
+    }
+    val qs = qRows.toDF("q_id", "cell", "flat_lut")
+      .withColumn("lut", transform(
+        sequence(lit(0), lit(pqSubspaces - 1)), m =>
+          slice(col("flat_lut"), m * lit(kCodes) + lit(1), lit(kCodes))))
+      .select(col("q_id"), col("cell"), col("lut"))
+    val topk = udaf(TopKByScore.TopKAgg(5),
+      Encoders.product[TopKByScore.ScoredId])
+    broadcast(qs)
+      .join(store.select(col("cell"), col("vec_id"), col("codes")),
+        Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc_micro", pqAdcCol)
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), -col("adc_micro").cast("double")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("long").as("adc_micro"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Residual IVFADC (`llm_ann_ivfadc`): the [[annPq8]] pipeline with
+    * the §IV-B residual move — train on and encode x − c_cell(x) rather
+    * than raw geometry. On a clustered corpus this is where the 256-code
+    * book's dynamic range goes to NEIGHBORHOOD structure instead of
+    * coarse position (the r17 verdict's top item: raw-encoded trained
+    * books INVERTED at 10M, rerank8 0.15 < untrained 0.20).
+    */
+  def annPqr(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqrCodebook(s, dir)
+    annPqrOn(s, dir, pqrEncoded(s, dir, cb), cb)
+  }
+
+  /** [[annPqr]] serving from the persisted residual-code artifact (the
+    * [[annPq8Served]] shape: the (cell, codes) store lands once per
+    * fixture fingerprint; a query run pays its per-cell LUT builds +
+    * the probed-cell ADC scan). Same oracle — stored codes are exact
+    * longs and [[annPqrOn]] is the same scan.
+    */
+  def annPqrServed(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqrCodebook(s, dir)
+    val root = ArtifactStore.cached("pqr_codes", dir) { out =>
+      pqrEncoded(s, dir, cb).write.mode("overwrite")
+        .parquet(s"$out/encoded.parquet")
+    }
+    annPqrOn(s, dir, s.read.parquet(s"$root/encoded.parquet"), cb)
   }
 
   /** The production serving form of [[annPq]]: ADC proposes a SHORTLIST
@@ -2245,7 +2522,7 @@ object SimOps extends OpModule {
     val qEmb = Tables.embeddings(s, dir).filter(queryPred)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    val qRows: Seq[(Long, Long, Seq[Long])] = qEmb.toSeq.flatMap {
+    val qPrep: Seq[(Long, Seq[Long], Seq[Long])] = qEmb.toSeq.map {
       case (qId, v) =>
         val vd = v.map(_.toDouble)
         // top-w pivot groups (first-wins selection, the build's law)…
@@ -2294,18 +2571,28 @@ object SimOps extends OpModule {
           }
           m += 1
         }
-        val lutRows: Seq[Long] = lut.toSeq
-        ranked.toSeq.map(cell => (qId, cell, lutRows))
+        (qId, ranked.toSeq, lut.toSeq)
     }
-    val qs = qRows.toDF("q_id", "cell", "flat_lut")
+    // the LUT travels in its OWN one-row-per-query frame, joined on
+    // q_id AFTER the cell equi-join — flattening it into the probe rows
+    // would ship each (pqSubspaces × kCodes)-long table `probes` times
+    // per query (the r17 ADVICE payload inflation: ~5 MiB tasks on the
+    // 2500-query planted batch); this way each LUT crosses the wire once
+    // in the broadcast and probe rows stay two longs each
+    val qProbe = qPrep
+      .flatMap { case (q, cs, _) => cs.map(c => (q, c)) }
+      .toDF("q_id", "cell")
+    val qLut = qPrep.map { case (q, _, fl) => (q, fl) }
+      .toDF("q_id", "flat_lut")
       .withColumn("lut", transform(
         sequence(lit(0), lit(pqSubspaces - 1)), m =>
           slice(col("flat_lut"), m * lit(kCodes) + lit(1), lit(kCodes))))
-      .select(col("q_id"), col("cell"), col("lut"))
+      .select(col("q_id"), col("lut"))
     val topk = udaf(TopKByScore.TopKAgg(topK),
       Encoders.product[TopKByScore.ScoredId])
-    broadcast(qs).join(assigned, Seq("cell"))
+    broadcast(qProbe).join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(qLut), Seq("q_id"))
       .withColumn("adc_micro", pqAdcCol)
       .groupBy(col("q_id"))
       .agg(topk(col("vec_id"), -col("adc_micro").cast("double")).as("top"))
@@ -2345,6 +2632,247 @@ object SimOps extends OpModule {
     // the candidate frame is (queries × shortlist)-row small but sits
     // behind a groupBy whose size estimate is opaque — broadcast it
     // explicitly so the re-rank is one hash-join pass over the corpus
+    withNorm(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .join(broadcast(cands.join(broadcast(qs), Seq("q_id"))),
+        Seq("vec_id"))
+      .withColumn("cosine",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("norm")))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("cosine")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("neighbor_id"), col("col.score").as("cosine"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The √n-cell IVF-PQ serving path as a FIRST-CLASS registered query
+    * (`llm_ann_ivfpq_served` — the r17 verdict's item 3: the engine's
+    * flagship scale path should not live only in a bench harness): the
+    * cell-assigned 8-bit code store lands once per fixture fingerprint
+    * via [[ArtifactStore]] (built by [[annIvfPqScaled]]'s two-level
+    * compiled assignment), and [[annIvfPqScaledQuery]] serves the
+    * 20-query batch from it. Registered at EXHAUSTIVE probes — every
+    * cell probed, every vector in exactly one cell — which makes the
+    * result identical to `llm_ann_pq8` BY CONSTRUCTION regardless of
+    * how the store partitioned the corpus (spec-pinned,
+    * Round17OpsSpec), so it shares that oracle and the whole
+    * store-build → probe-walk → LUT-broadcast → cell-join → ADC
+    * machinery is correctness-gated. Bounded `probes` stays the scale
+    * knob (PqScaleBench gates planted recall ≥ 0.98 on it).
+    */
+  def annIvfPqServedQuery(s: SparkSession, dir: String): DataFrame = {
+    val cb = pq8Codebook(s, dir)
+    val cells = scaledCells(Tables.vectorCount(s, dir))
+    val root = ArtifactStore.cached("ivfpq_codes", dir) { out =>
+      annIvfPqScaled(s, dir, pq8Encoded(s, dir, cb), cb, cells)
+        .write.mode("overwrite").parquet(s"$out/assigned.parquet")
+    }
+    annIvfPqScaledQuery(s, dir,
+      s.read.parquet(s"$root/assigned.parquet"), cb, cells,
+      probes = cells, coarseProbes = cells)
+  }
+
+  /** [[annIvfPqScaled]]'s residual twin: ONE compiled pass assigns each
+    * vector to its two-level coarse cell AND emits the residual against
+    * that cell's unit seed; the codegen'd [[graft.functions.PqEncode]]
+    * then quantizes the residual — (cell, vec_id, codes), the IVFADC
+    * index layout at √n cells. At `coarseProbes` ≥ the pivot count the
+    * walk visits every seed and the assignment (hence the residual and
+    * the codes) is EXACTLY [[pqrEncoded]]'s flat argmax — the identity
+    * the fixture pin rides.
+    */
+  private[graft] def annIvfPqrScaled(s: SparkSession, dir: String,
+      cb: Seq[Seq[Seq[Double]]], cells: Int,
+      coarseProbes: Int = 4): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val seeds = driverSeeds(s, dir, cells)
+      .map { case (id, u) => (id, u.toArray) }.toArray
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val (pivots, groupsArr) = pivotGroups(seeds)
+    val bc = s.sparkContext.broadcast((pivots, groupsArr))
+    releaseQuantizerBroadcasts()
+    liveQuantizerBcs.add(bc)
+    val w = math.min(coarseProbes, pivots.length)
+    val assigned = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (pvs, grps) = bc.value
+        it.map { case (id, v) =>
+          val vd = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { vd(i) = v(i).toDouble; i += 1 }
+          val negs = new Array[Double](pvs.length)
+          var p = 0
+          while (p < pvs.length) {
+            val d = ddot(vd, pvs(p))
+            negs(p) = if (d.isNaN) Double.NegativeInfinity else -d
+            p += 1
+          }
+          val taken = new Array[Boolean](pvs.length)
+          var bestNeg = Double.PositiveInfinity
+          var bestSid = Long.MaxValue
+          var bestU: Array[Double] = null
+          var firstOverall = true
+          var probe = 0
+          while (probe < w) {
+            var selNeg = Double.PositiveInfinity; var sel = -1
+            var q = 0
+            while (q < pvs.length) {
+              if (!taken(q) && (sel < 0 || negs(q) < selNeg)) {
+                selNeg = negs(q); sel = q
+              }
+              q += 1
+            }
+            taken(sel) = true
+            val members = grps(sel)
+            var m = 0
+            while (m < members.length) {
+              val (sid, u) = members(m)
+              val d = ddot(vd, u)
+              val neg = if (d.isNaN) Double.NegativeInfinity else -d
+              if (firstOverall || neg < bestNeg ||
+                  (neg == bestNeg && sid < bestSid)) {
+                bestNeg = neg; bestSid = sid; bestU = u
+                firstOverall = false
+              }
+              m += 1
+            }
+            probe += 1
+          }
+          val res = new Array[Double](vd.length)
+          var j = 0
+          while (j < vd.length) { res(j) = vd(j) - bestU(j); j += 1 }
+          (bestSid, id, res)
+        }
+      }
+      .toDF("cell", "vec_id", "residual")
+    assigned
+      .withColumn("codes", call_function("graft_pq_encode",
+        col("residual"), typedlit(cb)))
+      .select(col("cell"), col("vec_id"), col("codes"))
+  }
+
+  /** Query a residual code store ([[annIvfPqrScaled]]'s output): the
+    * driver ranks each query's probe cells with the SAME two-level walk
+    * the build ran, then builds one residual LUT PER PROBED CELL
+    * (qres = q − unit(cell); per-cell tables are intrinsic to IVFADC —
+    * the raw path's ship-once factorization does not apply, which is
+    * exactly why bounded `probes` is the knob that caps the broadcast
+    * at queries × probes tables). One cell equi-join, codegen'd integer
+    * ADC, (adc_micro, vec_id) top-k.
+    */
+  private[graft] def annIvfPqrScaledQuery(s: SparkSession, dir: String,
+      assigned: DataFrame, cb: Seq[Seq[Seq[Double]]], cells: Int,
+      probes: Int, coarseProbes: Int = 4,
+      queryPred: Column = col("vec_id") < 20,
+      topK: Int = 5): DataFrame = {
+    import s.implicits._
+    import graft.functions.TopKByScore
+    graft.functions.GraftFunctions.register(s)
+    val seeds = driverSeeds(s, dir, cells)
+      .map { case (id, u) => (id, u.toArray) }.toArray
+    val (pivots, groupsArr) = pivotGroups(seeds)
+    val w = math.min(coarseProbes, pivots.length)
+    val kCodes = cb.head.size
+    val cbArr = cb.map(_.map(_.toArray).toArray).toArray
+    val unitBySid: Map[Long, Array[Double]] =
+      seeds.map { case (sid, u) => (sid, u) }.toMap
+    val qEmb = Tables.embeddings(s, dir).filter(queryPred)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val qRows: Seq[(Long, Long, Seq[Long])] = qEmb.toSeq.flatMap {
+      case (qId, v) =>
+        val vd = v.map(_.toDouble)
+        val negsP = pivots.map { u =>
+          val d = ddotF(vd, u)
+          if (d.isNaN) Double.NegativeInfinity else -d
+        }
+        val taken = new Array[Boolean](pivots.length)
+        val cand = scala.collection.mutable
+          .ArrayBuffer.empty[(Long, Array[Double])]
+        var probe = 0
+        while (probe < w) {
+          var selNeg = Double.PositiveInfinity; var sel = -1
+          var q = 0
+          while (q < pivots.length) {
+            if (!taken(q) && (sel < 0 || negsP(q) < selNeg)) {
+              selNeg = negsP(q); sel = q
+            }
+            q += 1
+          }
+          taken(sel) = true
+          cand ++= groupsArr(sel)
+          probe += 1
+        }
+        val ranked = cand.map { case (sid, u) =>
+          val d = ddotF(vd, u)
+          (if (d.isNaN) Double.NegativeInfinity else -d, sid)
+        }.sortBy(identity).take(probes).map(_._2)
+        ranked.toSeq.map { cell =>
+          val u = unitBySid(cell)
+          val qres = Array.tabulate(vd.length)(i => vd(i) - u(i))
+          (qId, cell, lutFlatOf(qres, cbArr).toSeq)
+        }
+    }
+    val qs = qRows.toDF("q_id", "cell", "flat_lut")
+      .withColumn("lut", transform(
+        sequence(lit(0), lit(pqSubspaces - 1)), m =>
+          slice(col("flat_lut"), m * lit(kCodes) + lit(1), lit(kCodes))))
+      .select(col("q_id"), col("cell"), col("lut"))
+    val topk = udaf(TopKByScore.TopKAgg(topK),
+      Encoders.product[TopKByScore.ScoredId])
+    broadcast(qs).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("adc_micro", pqAdcCol)
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), -col("adc_micro").cast("double")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.id").as("neighbor_id"),
+        (-col("col.score")).cast("long").as("adc_micro"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Two-stage residual serving: [[annIvfPqrScaledQuery]] proposes a
+    * `shortlist`-deep ADC candidate list from the probed cells, one
+    * exact-cosine pass re-ranks to top-5 — [[annIvfPqScaledRerank]]'s
+    * shape over the residual index. `shortlist` is THE recall knob at
+    * depth: the re-rank is exact, so recall@5 = P(true neighbors ∈ ADC
+    * top-`shortlist`), and holding the shortlist QUANTILE (not count)
+    * roughly constant as n grows is what keeps recall flat — at 10M a
+    * 50-deep list is the top 5·10⁻⁶ of the corpus, 10× thinner than the
+    * same list at 1M (PqScaleBench records the ladder).
+    */
+  private[graft] def annIvfPqrScaledRerank(s: SparkSession, dir: String,
+      assigned: DataFrame, cb: Seq[Seq[Seq[Double]]], cells: Int,
+      probes: Int, shortlist: Int = 50, coarseProbes: Int = 4,
+      queryPred: Column = col("vec_id") < 20): DataFrame = {
+    val cands = annIvfPqrScaledQuery(s, dir, assigned, cb, cells, probes,
+      coarseProbes, queryPred, topK = shortlist)
+      .select(col("q_id"), col("neighbor_id").as("vec_id"))
+    exactCosineRerank(s, dir, cands, queryPred)
+  }
+
+  /** The shared exact-cosine re-rank tail: join the broadcast-sized
+    * (q_id, vec_id) candidate frame against the embedding table once,
+    * bounded-heap top-5 on (cosine desc, id asc).
+    */
+  private def exactCosineRerank(s: SparkSession, dir: String,
+      cands: DataFrame, queryPred: Column): DataFrame = {
+    import graft.functions.TopKByScore
+    val qs = withNorm(Tables.embeddings(s, dir).filter(queryPred))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("norm").as("q_norm"))
+    val topk = udaf(TopKByScore.TopKAgg(5),
+      Encoders.product[TopKByScore.ScoredId])
     withNorm(Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding"), col("norm"))
       .join(broadcast(cands.join(broadcast(qs), Seq("q_id"))),
@@ -2435,6 +2963,9 @@ object SimOps extends OpModule {
     "llm_ann_pq_served" -> annPqServed,
     "llm_ann_pq8" -> annPq8,
     "llm_ann_pq8_served" -> annPq8Served,
+    "llm_ann_ivfadc" -> annPqr,
+    "llm_ann_ivfadc_served" -> annPqrServed,
+    "llm_ann_ivfpq_served" -> annIvfPqServedQuery,
     "llm_embed_quantize" -> embedQuantize,
     "llm_doc_outlier" -> docOutlier,
     "llm_sim_topk" -> simTopk,
@@ -2466,6 +2997,13 @@ object SimOps extends OpModule {
       // the served twin's stored codes ARE the recompute's — same oracle
       ("llm_ann_pq_served" -> oracleBase("llm_ann_pq")) +
       ("llm_ann_pq8_served" -> oracleBase("llm_ann_pq8")) +
+      // residual served twin: stored codes ARE the recompute's
+      ("llm_ann_ivfadc_served" -> oracleBase("llm_ann_ivfadc")) +
+      // the scaled IVF-PQ store served at EXHAUSTIVE probes ≡ the
+      // exhaustive 8-bit ADC scan by construction (every cell probed,
+      // every vector in exactly one cell — Round17OpsSpec pins the
+      // identity), so the registered serving query shares that oracle
+      ("llm_ann_ivfpq_served" -> oracleBase("llm_ann_pq8")) +
       // RRF fusion twin COMPOSED from the two arms' own oracles (each
       // embedded as a WITH-bearing subquery), so the arm definitions
       // cannot drift from the rankings the fusion consumes.
@@ -2560,21 +3098,28 @@ object SimOps extends OpModule {
         |       adc_micro
         |FROM top WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // Trained 8-bit PQ twin: the WHOLE training loop replayed — init
-    // codebook = slices of the first 256 embeddings, two k-means rounds
-    // over the first 2048 (assignment = micro-quantized argmin with the
-    // (d, k) tie window; update = exact per-dim micro-unit BIGINT sums,
-    // one double division, COALESCE keeping empty cells' previous
-    // code), then the same encode / LUT / integer-ADC / (adc_micro,
-    // vec_id) pipeline as llm_ann_pq against the trained book.
+    // codebook = slices of the first 256 STRATIFIED-sample members
+    // (every stride-th vec_id, stride = max(1, n // 2048) — on the
+    // oracle fixtures stride = 1 and the sample is the head), two
+    // k-means rounds over the 2048-member sample (assignment =
+    // micro-quantized argmin with the (d, k) tie window; update = exact
+    // per-dim micro-unit BIGINT sums, one double division, COALESCE
+    // keeping empty cells' previous code), then the same encode / LUT /
+    // integer-ADC / (adc_micro, vec_id) pipeline as llm_ann_pq against
+    // the trained book.
     "llm_ann_pq8" ->
-      """WITH tr AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2048),
+      """WITH nst AS (
+        |  SELECT greatest(1, count(*) // 2048) AS stride
+        |  FROM embeddings),
+        |tr AS (
+        |  SELECT vec_id, embedding FROM embeddings, nst
+        |  WHERE vec_id % stride = 0 AND vec_id < 2048 * stride),
         |cb0 AS (
-        |  SELECT t.m, e.vec_id AS k,
+        |  SELECT t.m, e.vec_id // stride AS k,
         |         [e.embedding[t.m * 8 + i]::DOUBLE
         |          for i in range(1, 9)] AS c
-        |  FROM embeddings e, range(0, 8) t(m)
-        |  WHERE e.vec_id < 256),
+        |  FROM embeddings e, range(0, 8) t(m), nst
+        |  WHERE e.vec_id % stride = 0 AND e.vec_id < 256 * stride),
         |a1 AS (
         |  SELECT vec_id, m, k AS code FROM (
         |    SELECT tr.vec_id, c.m, c.k,
@@ -2646,6 +3191,135 @@ object SimOps extends OpModule {
         |  SELECT q.q_id, c.vec_id, CAST(sum(q.d) AS BIGINT) AS adc_micro
         |  FROM codes c JOIN qlut q ON q.m = c.m AND q.k = c.code
         |  WHERE q.q_id <> c.vec_id
+        |  GROUP BY 1, 2),
+        |top AS (
+        |  SELECT q_id, vec_id, adc_micro,
+        |         row_number() OVER (PARTITION BY q_id
+        |                            ORDER BY adc_micro, vec_id) AS rnk
+        |  FROM adc)
+        |SELECT q_id, CAST(rnk AS INT) AS rnk, vec_id AS neighbor_id,
+        |       adc_micro
+        |FROM top WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    // Residual IVFADC twin (Jégou 2011 §IV-B): the ENTIRE pipeline
+    // replayed — 32 unit seeds, flat argmax cells, residual r = x −
+    // seed_unit(cell), stratified training sample, two k-means rounds
+    // over the RESIDUALS (same fixed-point law as llm_ann_pq8), residual
+    // encode, then a PER-(query, cell) LUT of (q − seed_unit(cell))
+    // distances and the integer ADC confined by each corpus vector's own
+    // cell table — ranking on (adc_micro, vec_id).
+    "llm_ann_ivfadc" ->
+      """WITH nst AS (
+        |  SELECT greatest(1, count(*) // 2048) AS stride
+        |  FROM embeddings),
+        |en AS (
+        |  SELECT vec_id, embedding,
+        |         sqrt(list_sum([embedding[i]::DOUBLE * embedding[i]::DOUBLE
+        |                        for i in range(1, 65)])) AS norm
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT vec_id AS seed_id,
+        |         [embedding[i]::DOUBLE / norm for i in range(1, 65)] AS u
+        |  FROM en WHERE vec_id < 32),
+        |assign AS (
+        |  SELECT e.vec_id, s.seed_id AS cell,
+        |         row_number() OVER (PARTITION BY e.vec_id
+        |                            ORDER BY list_sum([e.embedding[i]::DOUBLE
+        |                              * s.u[i] for i in range(1, 65)])
+        |                              DESC, s.seed_id) AS rn
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+        |res AS (
+        |  SELECT e.vec_id, c.cell,
+        |         [e.embedding[i]::DOUBLE - s.u[i]
+        |          for i in range(1, 65)] AS r
+        |  FROM embeddings e
+        |  JOIN cells c ON c.vec_id = e.vec_id
+        |  JOIN seeds s ON s.seed_id = c.cell),
+        |cb0 AS (
+        |  SELECT t.m, r.vec_id // stride AS k,
+        |         [r.r[t.m * 8 + i] for i in range(1, 9)] AS c
+        |  FROM res r, range(0, 8) t(m), nst
+        |  WHERE r.vec_id % stride = 0 AND r.vec_id < 256 * stride),
+        |tr AS (
+        |  SELECT r.vec_id, r.r FROM res r, nst
+        |  WHERE r.vec_id % stride = 0 AND r.vec_id < 2048 * stride),
+        |a1 AS (
+        |  SELECT vec_id, m, k AS code FROM (
+        |    SELECT tr.vec_id, c.m, c.k,
+        |           row_number() OVER (PARTITION BY tr.vec_id, c.m
+        |             ORDER BY CAST(round(list_sum([
+        |               (tr.r[c.m * 8 + i] - c.c[i]) *
+        |               (tr.r[c.m * 8 + i] - c.c[i])
+        |               for i in range(1, 9)]) * 1000000.0) AS BIGINT),
+        |               c.k) AS rn
+        |    FROM tr, cb0 c) WHERE rn = 1),
+        |s1 AS (
+        |  SELECT a.m, a.code, t.i,
+        |         CAST(sum(CAST(round(tr.r[a.m * 8 + t.i]
+        |           * 1000000.0) AS BIGINT)) AS BIGINT) AS ms,
+        |         count(*) AS cnt
+        |  FROM a1 a JOIN tr ON tr.vec_id = a.vec_id, range(1, 9) t(i)
+        |  GROUP BY 1, 2, 3),
+        |m1 AS (
+        |  SELECT m, code AS k,
+        |         list(CAST(ms AS DOUBLE) / (1000000.0 * cnt)
+        |              ORDER BY i) AS c
+        |  FROM s1 GROUP BY 1, 2),
+        |cb1 AS (
+        |  SELECT c0.m, c0.k, coalesce(m1.c, c0.c) AS c
+        |  FROM cb0 c0 LEFT JOIN m1 ON m1.m = c0.m AND m1.k = c0.k),
+        |a2 AS (
+        |  SELECT vec_id, m, k AS code FROM (
+        |    SELECT tr.vec_id, c.m, c.k,
+        |           row_number() OVER (PARTITION BY tr.vec_id, c.m
+        |             ORDER BY CAST(round(list_sum([
+        |               (tr.r[c.m * 8 + i] - c.c[i]) *
+        |               (tr.r[c.m * 8 + i] - c.c[i])
+        |               for i in range(1, 9)]) * 1000000.0) AS BIGINT),
+        |               c.k) AS rn
+        |    FROM tr, cb1 c) WHERE rn = 1),
+        |s2 AS (
+        |  SELECT a.m, a.code, t.i,
+        |         CAST(sum(CAST(round(tr.r[a.m * 8 + t.i]
+        |           * 1000000.0) AS BIGINT)) AS BIGINT) AS ms,
+        |         count(*) AS cnt
+        |  FROM a2 a JOIN tr ON tr.vec_id = a.vec_id, range(1, 9) t(i)
+        |  GROUP BY 1, 2, 3),
+        |m2 AS (
+        |  SELECT m, code AS k,
+        |         list(CAST(ms AS DOUBLE) / (1000000.0 * cnt)
+        |              ORDER BY i) AS c
+        |  FROM s2 GROUP BY 1, 2),
+        |cb2 AS (
+        |  SELECT c1.m, c1.k, coalesce(m2.c, c1.c) AS c
+        |  FROM cb1 c1 LEFT JOIN m2 ON m2.m = c1.m AND m2.k = c1.k),
+        |codes AS (
+        |  SELECT vec_id, m, k AS code FROM (
+        |    SELECT r.vec_id, c.m, c.k,
+        |           row_number() OVER (PARTITION BY r.vec_id, c.m
+        |             ORDER BY CAST(round(list_sum([
+        |               (r.r[c.m * 8 + i] - c.c[i]) *
+        |               (r.r[c.m * 8 + i] - c.c[i])
+        |               for i in range(1, 9)]) * 1000000.0) AS BIGINT),
+        |               c.k) AS rn
+        |    FROM res r, cb2 c) WHERE rn = 1),
+        |qlut AS (
+        |  SELECT q.vec_id AS q_id, sd.seed_id AS cell, c.m, c.k,
+        |         CAST(round(list_sum([
+        |           ((q.embedding[c.m * 8 + i]::DOUBLE
+        |               - sd.u[c.m * 8 + i]) - c.c[i]) *
+        |           ((q.embedding[c.m * 8 + i]::DOUBLE
+        |               - sd.u[c.m * 8 + i]) - c.c[i])
+        |           for i in range(1, 9)]) * 1000000.0) AS BIGINT) AS d
+        |  FROM embeddings q, seeds sd, cb2 c
+        |  WHERE q.vec_id < 20),
+        |adc AS (
+        |  SELECT q.q_id, co.vec_id, CAST(sum(q.d) AS BIGINT) AS adc_micro
+        |  FROM codes co
+        |  JOIN cells cl ON cl.vec_id = co.vec_id
+        |  JOIN qlut q ON q.cell = cl.cell AND q.m = co.m
+        |             AND q.k = co.code
+        |  WHERE q.q_id <> co.vec_id
         |  GROUP BY 1, 2),
         |top AS (
         |  SELECT q_id, vec_id, adc_micro,
