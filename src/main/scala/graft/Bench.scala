@@ -100,6 +100,16 @@ object Bench {
     else singleJvmMain()
   }
 
+  /** `/proc/loadavg` snapshot (or "" off-Linux) — recorded before and
+    * after a full family record so a contended-box run is visible IN
+    * the artifact (r17 verdict item 4: the sentinel drifted 1.26× with
+    * zero code changes and nothing in the record could adjudicate
+    * machine state).
+    */
+  private def loadavg(): String =
+    scala.util.Try(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).trim).getOrElse("")
+
   // ---------------------------------------------------------------- parent
   private def familyParentMain(): Unit = {
     val names = selectedQueries().keys.toSeq.sorted
@@ -111,6 +121,35 @@ object Bench {
       .filter(a => a.startsWith("--add-opens") || a.startsWith("-X") ||
         a.startsWith("-D"))
     val tmpRoot = java.nio.file.Files.createTempDirectory("graft_famjvm")
+    val loadPre = loadavg()
+    // one fresh child running the frozen 10-query sentinel at RUNS=5
+    def runSentinelChild(tag: String): Option[String] = {
+      val out = tmpRoot.resolve(s"sentinel_$tag.json").toString
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench"))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().remove("SPARK_GRAFT_FAMILY_JVMS")
+      pb.environment().remove("SPARK_GRAFT_ONLY_PREFIX")
+      pb.environment().put("SPARK_GRAFT_ONLY_LIST",
+        sentinelQueries.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "5")
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      pb.redirectOutput(tmpRoot.resolve(s"sentinel_$tag.stdout").toFile)
+      System.err.println(s"[bench] sentinel JVM ($tag): " +
+        s"${sentinelQueries.size} queries x 5 runs")
+      val exit = pb.start().waitFor()
+      if (exit != 0)
+        System.err.println(s"[bench] sentinel ($tag) child exited $exit")
+      Some(out).filter(o => new java.io.File(o).exists())
+    }
+    val isFullRun = !sys.env.contains("SPARK_GRAFT_ONLY_PREFIX") &&
+      !sys.env.contains("SPARK_GRAFT_ONLY_LIST")
+    // PRE-suite sentinel (r17 verdict item 4): a pre+post pair agreeing
+    // within ~1.1× pins the record as steady-state; a disagreeing pair
+    // timestamps exactly when the box's weather moved
+    val sentinelPreOut: Option[String] =
+      if (isFullRun) runSentinelChild("pre") else None
     val perFamily = families.map { case (fam, qs) =>
       val out = tmpRoot.resolve(s"$fam.json").toString
       val cmd = (Seq(javaBin) ++ jvmArgs ++
@@ -131,31 +170,10 @@ object Bench {
         System.err.println(s"[bench] family $fam child exited $exit")
       (fam, qs, out)
     }
-    // weather sentinel: one more fresh child, the frozen 10-query set at
-    // RUNS=5 — only on FULL records (a filtered tier isn't a round
-    // record and shouldn't pay it)
-    val isFullRun = !sys.env.contains("SPARK_GRAFT_ONLY_PREFIX") &&
-      !sys.env.contains("SPARK_GRAFT_ONLY_LIST")
-    val sentinelOut: Option[String] = if (!isFullRun) None else {
-      val out = tmpRoot.resolve("sentinel.json").toString
-      val cmd = (Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench"))
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().remove("SPARK_GRAFT_FAMILY_JVMS")
-      pb.environment().remove("SPARK_GRAFT_ONLY_PREFIX")
-      pb.environment().put("SPARK_GRAFT_ONLY_LIST",
-        sentinelQueries.mkString(","))
-      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "5")
-      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out)
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      pb.redirectOutput(tmpRoot.resolve("sentinel.stdout").toFile)
-      System.err.println(
-        s"[bench] sentinel JVM: ${sentinelQueries.size} queries x 5 runs")
-      val exit = pb.start().waitFor()
-      if (exit != 0)
-        System.err.println(s"[bench] sentinel child exited $exit")
-      Some(out).filter(o => new java.io.File(o).exists())
-    }
+    // POST-suite weather sentinel — only on FULL records (a filtered
+    // tier isn't a round record and shouldn't pay it)
+    val sentinelOut: Option[String] =
+      if (isFullRun) runSentinelChild("post") else None
     // merge the children's artifacts (same schema each) into one line
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -215,20 +233,26 @@ object Bench {
     // truncated sentinel.json, and splicing that in verbatim would
     // corrupt the ENTIRE record line into invalid JSON. A bad sentinel
     // is dropped with a stderr breadcrumb; the record stays parseable.
-    val sentinelJson = sentinelOut.flatMap { o =>
-      val s = java.nio.file.Files.readString(java.nio.file.Paths.get(o))
-        .trim
-      scala.util.Try(JsonMethods.parse(s)) match {
-        case scala.util.Success(_) => Some(s""","sentinel":$s""")
-        case scala.util.Failure(e) =>
-          System.err.println(
-            s"[bench] sentinel.json unparseable (${e.getMessage}); " +
-              "dropping sentinel block from the record")
-          None
-      }
-    }.getOrElse("")
+    def sentinelBlock(out: Option[String], key: String): String =
+      out.flatMap { o =>
+        val s = java.nio.file.Files.readString(java.nio.file.Paths.get(o))
+          .trim
+        scala.util.Try(JsonMethods.parse(s)) match {
+          case scala.util.Success(_) => Some(s""","$key":$s""")
+          case scala.util.Failure(e) =>
+            System.err.println(
+              s"[bench] $key.json unparseable (${e.getMessage}); " +
+                "dropping the block from the record")
+            None
+        }
+      }.getOrElse("")
+    val sentinelJson = sentinelBlock(sentinelOut, "sentinel") +
+      sentinelBlock(sentinelPreOut, "sentinel_pre")
+    val loadPost = loadavg()
+    val loadJson =
+      s""","loadavg_pre":"$loadPre","loadavg_post":"$loadPost""""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","protocol":"family_jvms","families":$famJson$sentinelJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failedJson,"sf":"$sfDir","protocol":"family_jvms","families":$famJson$sentinelJson$loadJson}"""
     println(line)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath()), line + "\n")
