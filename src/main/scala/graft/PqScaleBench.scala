@@ -15,8 +15,10 @@ import graft.operators.SimOps
   *     on the [[SimOps.pqTrainStride]] stratified sample, each measured
   *     as exhaustive ADC + shortlist-50 re-rank recall;
   *   - RESIDUAL encoding (IVFADC proper, verdict item 1): the
-  *     [[SimOps.annIvfPqrScaled]] store (PQ over x − coarse_cell_unit)
-  *     at √n cells, probe sweep + re-rank ladder;
+  *     [[SimOps.annIvfPqrBuild]] store (PQ over x − coarse_cell
+  *     CENTROID — Jégou §IV-B's subtraction, the fixed-point cell mean
+  *     of the two-level assignment) at √n cells, probe sweep + re-rank
+  *     ladder;
   *   - SHORTLIST ladder (50/200/500 at probes 4/8, raw + residual):
   *     the re-rank is exact, so recall@5 = P(true top-5 ∈ ADC
   *     shortlist); holding the shortlist QUANTILE rather than count is
@@ -69,8 +71,17 @@ object PqScaleBench {
     // fixtures ≤ 2048 vectors)
     val (tTrainP, cbP) = timed(SimOps.pq8CodebookWith(spark, dir, 1L))
     val (tTrainS, cbS) = timed(SimOps.pq8Codebook(spark, dir))
-    val (tTrainR, cbR) =
-      timed(SimOps.pqrCodebook(spark, dir, cells = cells))
+    // residual model, pass A: two-level coarse assignment (kept across
+    // the centroid census and the encode — one walk, three consumers)
+    val (tAssignR, assignedRawR) = timed {
+      val a = SimOps.annIvfPqrAssigned(spark, dir, cells)
+        .transform(Checkpoints.truncate)
+      a.count()
+      a
+    }
+    val (tCentsR, centsR) = timed(SimOps.scaledCents(assignedRawR))
+    val (tTrainR, cbR) = timed(SimOps.pqrCodebook(spark, dir,
+      cells = cells, centsOverride = Some(centsR)))
     val (tEncodeP, encodedP) = timed {
       val e = SimOps.pq8Encoded(spark, dir, cbP)
         .transform(Checkpoints.truncate)
@@ -89,10 +100,10 @@ object PqScaleBench {
       a.count()
       a
     }
-    // residual store: one compiled pass (two-level assign + residual)
-    // + codegen'd 256-code encode
+    // residual store, pass B: compiled centroid subtraction over the
+    // kept assignment + codegen'd 256-code encode
     val (tBuildR, assignedR) = timed {
-      val a = SimOps.annIvfPqrScaled(spark, dir, cbR, cells)
+      val a = SimOps.annIvfPqrBuild(spark, assignedRawR, cbR, centsR)
         .transform(Checkpoints.truncate)
       a.count()
       a
@@ -143,7 +154,7 @@ object PqScaleBench {
     val sweepS = sweepOf(p => SimOps.annIvfPqScaledQuery(
       spark, dir, assignedS, cbS, cells, probes = p))
     val sweepR = sweepOf(p => SimOps.annIvfPqrScaledQuery(
-      spark, dir, assignedR, cbR, cells, probes = p))
+      spark, dir, assignedR, cbR, centsR, cells, probes = p))
 
     // the two-stage serving ladder: probes × shortlist, raw + residual
     def ladderOf(q: (Int, Int) => org.apache.spark.sql.DataFrame)
@@ -155,7 +166,8 @@ object PqScaleBench {
     val ladderS = ladderOf((p, sl) => SimOps.annIvfPqScaledRerank(
       spark, dir, assignedS, cbS, cells, probes = p, shortlist = sl))
     val ladderR = ladderOf((p, sl) => SimOps.annIvfPqrScaledRerank(
-      spark, dir, assignedR, cbR, cells, probes = p, shortlist = sl))
+      spark, dir, assignedR, cbR, centsR, cells, probes = p,
+      shortlist = sl))
 
     // planted near-dups: legacy 32-cell gate + both scaled-path gates.
     // The residual batch is thinned 4× (per-cell LUTs broadcast
@@ -177,7 +189,7 @@ object PqScaleBench {
         cells, probes = 4, queryPred = plantedPred))))
     val (tPlantedR, plRecallR) = timed(plantedRecall(plantedQsR,
       topSets(SimOps.annIvfPqrScaledQuery(spark, dir, assignedR, cbR,
-        cells, probes = 4, queryPred = plantedPredR))))
+        centsR, cells, probes = 4, queryPred = plantedPredR))))
     require(plRecall >= 0.9,
       s"planted IVF-PQ recall $plRecall < 0.9 — the code/cell path " +
         "lost near-identical partners")
@@ -205,6 +217,8 @@ object PqScaleBench {
       s""""bytes_per_vector":8,"raw_bytes_per_vector":256,""" +
       s""""sec_encode_fast":$tEncode,""" +
       s""""sec_train8_prefix":$tTrainP,"sec_train8_strat":$tTrainS,""" +
+      s""""sec_assign_residual":$tAssignR,""" +
+      s""""sec_cents_residual":$tCentsR,""" +
       s""""sec_train_residual":$tTrainR,""" +
       s""""sec_encode8_prefix":$tEncodeP,""" +
       s""""sec_encode8_strat":$tEncodeS,""" +

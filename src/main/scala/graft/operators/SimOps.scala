@@ -2061,19 +2061,61 @@ object SimOps extends OpModule {
           lit(Double.NegativeInfinity)).as("neg"),
         sd.getField("_1").as("sid")))).getField("sid")
 
-  /** The row's residual against its assigned cell's unit seed:
-    * r[i] = embedding[i]::double − seed_unit(cell)[i] — one IEEE
-    * subtraction per element, replayed verbatim by the oracle. Seed ids
-    * are contiguous from 0 ([[driverSeeds]] requires it), so the lookup
-    * is a plain element_at. Interpreted zip_with is fine HERE: the
-    * expression form is the fixture-sized oracle surface; stress tiers
-    * build residuals in the compiled [[annIvfPqrScaled]] pass,
-    * spec-pinned value-identical.
+  /** The row's residual against its assigned cell's CENTROID:
+    * r[i] = embedding[i]::double − centroid(cell)[i] — one IEEE
+    * subtraction per element, replayed verbatim by the oracle. The
+    * subtracted vector is the fixed-point cell MEAN ([[centroidsOf]]'s
+    * exact micro-sum law), NOT the unit seed: Jégou §IV-B's residual is
+    * against the coarse centroid, and the centroid lives at DATA scale
+    * (‖mean‖ grows with the coarse structure) where a unit seed removes
+    * at most a norm-1 component — on clustered corpora the difference
+    * is the whole point of IVFADC. Cell ids are contiguous from 0
+    * ([[driverSeeds]]), so the lookup is a plain element_at into the
+    * dense centroid literal (empty cells hold an all-zero placeholder
+    * no row ever reads — a cell with no members contributes no rows).
+    * Interpreted zip_with is fine HERE: the expression form is the
+    * fixture-sized oracle surface; stress tiers build residuals in the
+    * compiled [[annIvfPqrBuild]] pass, spec-pinned value-identical.
     */
-  private def residualCol(seedVecsLit: Column): Column =
+  private def residualCol(centsLit: Column): Column =
     zip_with(col("embedding"),
-      element_at(seedVecsLit, (col("cell") + lit(1)).cast("int")),
+      element_at(centsLit, (col("cell") + lit(1)).cast("int")),
       (x, c) => x.cast("double") - c)
+
+  /** The coarse-cell centroids as a driver map (cell → 64 doubles):
+    * flat-argmax assignment, then [[centroidsOf]]'s fixed-point mean
+    * (per-dim exact micro-unit long sums, one double division) — the
+    * deterministic law the oracle replays with the same
+    * round/sum/divide. A √n-cell centroid table is ~cells × 512 B —
+    * a model artifact, not data ([[driverSeeds]]' class).
+    */
+  private[graft] def pqrCentroids(s: SparkSession, dir: String,
+      cells: Int = pqrCells): Map[Long, Array[Double]] = {
+    val seeds = driverSeeds(s, dir, cells)
+    val assigned = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", cellArgMax(typedlit(seeds)))
+    collectCentroids(centroidsOf(assigned))
+  }
+
+  /** Collect a (cell, centroid) frame into the driver map every
+    * residual build and query shares.
+    */
+  private[graft] def collectCentroids(cents: DataFrame)
+      : Map[Long, Array[Double]] =
+    cents.collect().map { r =>
+      (r.getLong(0),
+        r.getSeq[Double](1).toArray)
+    }.toMap
+
+  /** Dense centroid literal for [[residualCol]]: index = cell id,
+    * empty cells zero-filled (never read — no member rows).
+    */
+  private def centsLiteral(cents: Map[Long, Array[Double]],
+      cells: Int): Seq[Seq[Double]] =
+    (0 until cells).map(c =>
+      cents.get(c.toLong).fold(Seq.fill(pqSubspaces * pqSubDim)(0.0))(
+        _.toSeq))
 
   /** Driver-side flat argmax over the unit seeds — the [[cellArgMax]]
     * law replayed in scalar code (NaN → −∞, strict <, ids ascending so
@@ -2127,19 +2169,24 @@ object SimOps extends OpModule {
 
   /** The trained residual codebooks: coarse-assign the stratified
     * [[trainSample]] to its flat-argmax cell (driver replay of
-    * [[cellArgMax]]), subtract the cell's unit seed, then the SAME
+    * [[cellArgMax]]), subtract the cell's CENTROID, then the SAME
     * [[trainPqBook]] fixed-point k-means as [[pq8Codebook]] — init =
     * residuals of the first 256 sample members, [[pq8Iters]] rounds,
     * 256 codes. Deterministic end-to-end, so the `llm_ann_ivfadc`
-    * oracle replays the whole pipeline value-for-value.
+    * oracle replays the whole pipeline value-for-value. Callers who
+    * already built the store pass ITS centroids (`centsOverride`) so
+    * book and index quantize against the identical coarse model.
     */
   private[graft] def pqrCodebook(s: SparkSession, dir: String,
       cells: Int = pqrCells,
-      strideOverride: Option[Long] = None): Seq[Seq[Seq[Double]]] = {
+      strideOverride: Option[Long] = None,
+      centsOverride: Option[Map[Long, Array[Double]]] = None)
+      : Seq[Seq[Seq[Double]]] = {
     val stride = strideOverride.getOrElse(
       pqTrainStride(Tables.vectorCount(s, dir)))
     val seeds = driverSeeds(s, dir, cells)
       .map { case (id, u) => (id, u.toArray) }.toArray
+    val cents = centsOverride.getOrElse(pqrCentroids(s, dir, cells))
     val train = trainSample(s, dir, stride)
     require(train.length >= pq8Codes,
       s"residual codebook needs ≥ $pq8Codes embeddings, " +
@@ -2151,21 +2198,28 @@ object SimOps extends OpModule {
       s"residual init needs the first 256 stride-$stride sample ids")
     val sample = train.map { case (_, v) =>
       val vd = v.map(_.toDouble).toArray
-      val u = seeds(coarseCellOf(vd, seeds))._2
-      Array.tabulate(vd.length)(i => vd(i) - u(i))
+      // Under a bounded-probe centsOverride a sample's FLAT cell can be
+      // empty in the store's two-level assignment — fall back to the
+      // raw vector (zero centroid), a benign training-set perturbation.
+      // Never hit on the oracle path: there cents comes from the same
+      // flat argmax that assigned this very sample member.
+      val c = cents.getOrElse(seeds(coarseCellOf(vd, seeds))._1,
+        new Array[Double](vd.length))
+      Array.tabulate(vd.length)(i => vd(i) - c(i))
     }
     val cb = trainPqBook(sample, pq8Codes, pq8Iters)
     cb.map(_.map(_.toSeq: Seq[Double]).toSeq: Seq[Seq[Double]]).toSeq
   }
 
   /** The residual-encoded corpus frame (vec_id, embedding, norm, cell,
-    * codes): flat-argmax cell, residual vs the cell's unit seed, codes
+    * codes): flat-argmax cell, residual vs the cell's centroid, codes
     * via the codegen'd [[graft.functions.PqEncode]] over the residual —
     * 8 bytes of PQ state + one long cell id per vector, exactly the
     * IVFADC index layout.
     */
   private[graft] def pqrEncoded(s: SparkSession, dir: String,
       cb: Seq[Seq[Seq[Double]]],
+      cents: Map[Long, Array[Double]],
       cells: Int = pqrCells): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val seeds = driverSeeds(s, dir, cells)
@@ -2173,7 +2227,7 @@ object SimOps extends OpModule {
       .select(col("vec_id"), col("embedding"), col("norm"))
       .withColumn("cell", cellArgMax(typedlit(seeds)))
       .withColumn("codes", call_function("graft_pq_encode",
-        residualCol(typedlit(seeds.map(_._2))), typedlit(cb)))
+        residualCol(typedlit(centsLiteral(cents, cells))), typedlit(cb)))
       .select(col("vec_id"), col("embedding"), col("norm"),
         col("cell"), col("codes"))
   }
@@ -2190,35 +2244,38 @@ object SimOps extends OpModule {
     */
   private[graft] def annPqrOn(s: SparkSession, dir: String,
       store: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      cents: Map[Long, Array[Double]],
       cells: Int = pqrCells,
-      queryPred: Column = col("vec_id") < 20): DataFrame = {
+      queryPred: Column = col("vec_id") < 20,
+      topK: Int = 5): DataFrame = {
     import s.implicits._
     import graft.functions.TopKByScore
     graft.functions.GraftFunctions.register(s)
-    val seeds = driverSeeds(s, dir, cells)
-      .map { case (id, u) => (id, u.toArray) }.toArray
     val kCodes = cb.head.size
     val cbArr = cb.map(_.map(_.toArray).toArray).toArray
+    val occupied = cents.keys.toSeq.sorted
     val qEmb = Tables.embeddings(s, dir).filter(queryPred)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-    // exhaustive: one residual LUT per (query, cell) — per-cell tables
-    // are intrinsic to IVFADC (the LUT depends on the probed cell), so
-    // unlike the raw path there is no ship-once factorization
+    // exhaustive: one residual LUT per (query, OCCUPIED cell) — the
+    // LUT depends on the probed cell's centroid, so per-cell tables are
+    // intrinsic to IVFADC (no ship-once factorization like the raw
+    // path); empty cells have no centroid and no members, so no table
     val qRows: Seq[(Long, Long, Seq[Long])] = qEmb.toSeq.flatMap {
       case (qId, v) =>
         val vd = v.map(_.toDouble)
-        seeds.map { case (sid, u) =>
-          val qres = Array.tabulate(vd.length)(i => vd(i) - u(i))
-          (qId, sid, lutFlatOf(qres, cbArr).toSeq)
-        }.toSeq
+        occupied.map { cell =>
+          val c = cents(cell)
+          val qres = Array.tabulate(vd.length)(i => vd(i) - c(i))
+          (qId, cell, lutFlatOf(qres, cbArr).toSeq)
+        }
     }
     val qs = qRows.toDF("q_id", "cell", "flat_lut")
       .withColumn("lut", transform(
         sequence(lit(0), lit(pqSubspaces - 1)), m =>
           slice(col("flat_lut"), m * lit(kCodes) + lit(1), lit(kCodes))))
       .select(col("q_id"), col("cell"), col("lut"))
-    val topk = udaf(TopKByScore.TopKAgg(5),
+    val topk = udaf(TopKByScore.TopKAgg(topK),
       Encoders.product[TopKByScore.ScoredId])
     broadcast(qs)
       .join(store.select(col("cell"), col("vec_id"), col("codes")),
@@ -2242,23 +2299,43 @@ object SimOps extends OpModule {
     * books INVERTED at 10M, rerank8 0.15 < untrained 0.20).
     */
   def annPqr(s: SparkSession, dir: String): DataFrame = {
-    val cb = pqrCodebook(s, dir)
-    annPqrOn(s, dir, pqrEncoded(s, dir, cb), cb)
+    val cents = pqrCentroids(s, dir)
+    val cb = pqrCodebook(s, dir, centsOverride = Some(cents))
+    annPqrOn(s, dir, pqrEncoded(s, dir, cb, cents), cb, cents)
   }
 
-  /** [[annPqr]] serving from the persisted residual-code artifact (the
-    * [[annPq8Served]] shape: the (cell, codes) store lands once per
-    * fixture fingerprint; a query run pays its per-cell LUT builds +
-    * the probed-cell ADC scan). Same oracle — stored codes are exact
-    * longs and [[annPqrOn]] is the same scan.
+  /** [[annPqr]] serving from the persisted residual-index artifact (the
+    * [[annPq8Served]] shape, widened to the FULL IVFADC model: codes,
+    * the coarse-centroid table, and the trained residual codebook all
+    * land once per fixture fingerprint — a serve run pays only its
+    * per-cell LUT builds + the probed-cell ADC scan, never the corpus
+    * centroid census or the k-means). Doubles round-trip parquet
+    * exactly, so the oracle is unchanged — stored model values are the
+    * build's own IEEE bits and [[annPqrOn]] is the same scan.
     */
   def annPqrServed(s: SparkSession, dir: String): DataFrame = {
-    val cb = pqrCodebook(s, dir)
+    import s.implicits._
     val root = ArtifactStore.cached("pqr_codes", dir) { out =>
-      pqrEncoded(s, dir, cb).write.mode("overwrite")
+      val cents = pqrCentroids(s, dir)
+      val cb = pqrCodebook(s, dir, centsOverride = Some(cents))
+      pqrEncoded(s, dir, cb, cents).write.mode("overwrite")
         .parquet(s"$out/encoded.parquet")
+      cents.toSeq.map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/cents.parquet")
+      cb.zipWithIndex.flatMap { case (ks, m) =>
+        ks.zipWithIndex.map { case (c, k) => (m, k, c) } }
+        .toDF("m", "k", "c").coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/codebook.parquet")
     }
-    annPqrOn(s, dir, s.read.parquet(s"$root/encoded.parquet"), cb)
+    val cents = s.read.parquet(s"$root/cents.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val cb: Seq[Seq[Seq[Double]]] =
+      s.read.parquet(s"$root/codebook.parquet").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+        .sortBy(_._1).groupBy(_._1._1).toSeq.sortBy(_._1)
+        .map { case (_, ks) => ks.sortBy(_._1._2).map(_._2).toSeq }
+    annPqrOn(s, dir, s.read.parquet(s"$root/encoded.parquet"), cb, cents)
   }
 
   /** The production serving form of [[annPq]]: ADC proposes a SHORTLIST
@@ -2673,18 +2750,19 @@ object SimOps extends OpModule {
       probes = cells, coarseProbes = cells)
   }
 
-  /** [[annIvfPqScaled]]'s residual twin: ONE compiled pass assigns each
-    * vector to its two-level coarse cell AND emits the residual against
-    * that cell's unit seed; the codegen'd [[graft.functions.PqEncode]]
-    * then quantizes the residual — (cell, vec_id, codes), the IVFADC
-    * index layout at √n cells. At `coarseProbes` ≥ the pivot count the
-    * walk visits every seed and the assignment (hence the residual and
-    * the codes) is EXACTLY [[pqrEncoded]]'s flat argmax — the identity
-    * the fixture pin rides.
+  /** [[annIvfPqScaled]]'s residual twin, pass A — the compiled
+    * two-level coarse ASSIGNMENT: (cell, vec_id, embedding), the walk
+    * probing only its top-`coarseProbes` pivot groups (O(n^1.25) dots
+    * total at √n cells). The embedding rides along because the centroid
+    * census ([[scaledCents]]) and the residual encode
+    * ([[annIvfPqrBuild]]) both read this frame — callers persist it
+    * across the two consumers instead of paying the walk twice. At
+    * `coarseProbes` ≥ the pivot count the walk visits every seed and
+    * the assignment is EXACTLY [[pqrEncoded]]'s flat argmax — the
+    * identity the fixture pin rides.
     */
-  private[graft] def annIvfPqrScaled(s: SparkSession, dir: String,
-      cb: Seq[Seq[Seq[Double]]], cells: Int,
-      coarseProbes: Int = 4): DataFrame = {
+  private[graft] def annIvfPqrAssigned(s: SparkSession, dir: String,
+      cells: Int, coarseProbes: Int = 4): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val seeds = driverSeeds(s, dir, cells)
@@ -2700,7 +2778,7 @@ object SimOps extends OpModule {
     releaseQuantizerBroadcasts()
     liveQuantizerBcs.add(bc)
     val w = math.min(coarseProbes, pivots.length)
-    val assigned = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
@@ -2719,7 +2797,6 @@ object SimOps extends OpModule {
           val taken = new Array[Boolean](pvs.length)
           var bestNeg = Double.PositiveInfinity
           var bestSid = Long.MaxValue
-          var bestU: Array[Double] = null
           var firstOverall = true
           var probe = 0
           while (probe < w) {
@@ -2740,37 +2817,74 @@ object SimOps extends OpModule {
               val neg = if (d.isNaN) Double.NegativeInfinity else -d
               if (firstOverall || neg < bestNeg ||
                   (neg == bestNeg && sid < bestSid)) {
-                bestNeg = neg; bestSid = sid; bestU = u
+                bestNeg = neg; bestSid = sid
                 firstOverall = false
               }
               m += 1
             }
             probe += 1
           }
-          val res = new Array[Double](vd.length)
-          var j = 0
-          while (j < vd.length) { res(j) = vd(j) - bestU(j); j += 1 }
-          (bestSid, id, res)
+          (bestSid, id, v)
+        }
+      }
+      .toDF("cell", "vec_id", "embedding")
+  }
+
+  /** Cell centroids of a compiled assignment — the scale-tier twin of
+    * [[pqrCentroids]]: the same fixed-point census ([[centroidsOf]]),
+    * fed by the two-level walk's cells instead of the flat argmax. The
+    * collected map is ~cells × 512 B — a model artifact.
+    */
+  private[graft] def scaledCents(assigned: DataFrame)
+      : Map[Long, Array[Double]] =
+    collectCentroids(centroidsOf(assigned))
+
+  /** Pass B — the residual ENCODE over a (cell, vec_id, embedding)
+    * assignment: r = x − centroid(cell) in a compiled per-partition
+    * loop against the broadcast centroid map (every assigned cell is
+    * occupied by construction — the row itself is a member — so the
+    * lookup is total), then the codegen'd
+    * [[graft.functions.PqEncode]] — (cell, vec_id, codes), the IVFADC
+    * index layout at √n cells.
+    */
+  private[graft] def annIvfPqrBuild(s: SparkSession, assigned: DataFrame,
+      cb: Seq[Seq[Seq[Double]]],
+      cents: Map[Long, Array[Double]]): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val bc = s.sparkContext.broadcast(cents)
+    assigned.select(col("cell"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (cell, id, v) =>
+          val c = cs(cell)
+          val r = new Array[Double](v.length)
+          var i = 0
+          while (i < v.length) { r(i) = v(i).toDouble - c(i); i += 1 }
+          (cell, id, r)
         }
       }
       .toDF("cell", "vec_id", "residual")
-    assigned
       .withColumn("codes", call_function("graft_pq_encode",
         col("residual"), typedlit(cb)))
       .select(col("cell"), col("vec_id"), col("codes"))
   }
 
-  /** Query a residual code store ([[annIvfPqrScaled]]'s output): the
+  /** Query a residual code store ([[annIvfPqrBuild]]'s output): the
     * driver ranks each query's probe cells with the SAME two-level walk
     * the build ran, then builds one residual LUT PER PROBED CELL
-    * (qres = q − unit(cell); per-cell tables are intrinsic to IVFADC —
-    * the raw path's ship-once factorization does not apply, which is
-    * exactly why bounded `probes` is the knob that caps the broadcast
-    * at queries × probes tables). One cell equi-join, codegen'd integer
-    * ADC, (adc_micro, vec_id) top-k.
+    * (qres = q − centroid(cell); per-cell tables are intrinsic to
+    * IVFADC — the raw path's ship-once factorization does not apply,
+    * which is exactly why bounded `probes` is the knob that caps the
+    * broadcast at queries × probes tables). Probe slots are spent on
+    * OCCUPIED cells only (an empty cell has no centroid and no members
+    * — probing it would scan nothing). One cell equi-join, codegen'd
+    * integer ADC, (adc_micro, vec_id) top-k.
     */
   private[graft] def annIvfPqrScaledQuery(s: SparkSession, dir: String,
-      assigned: DataFrame, cb: Seq[Seq[Seq[Double]]], cells: Int,
+      assigned: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      cents: Map[Long, Array[Double]], cells: Int,
       probes: Int, coarseProbes: Int = 4,
       queryPred: Column = col("vec_id") < 20,
       topK: Int = 5): DataFrame = {
@@ -2783,8 +2897,6 @@ object SimOps extends OpModule {
     val w = math.min(coarseProbes, pivots.length)
     val kCodes = cb.head.size
     val cbArr = cb.map(_.map(_.toArray).toArray).toArray
-    val unitBySid: Map[Long, Array[Double]] =
-      seeds.map { case (sid, u) => (sid, u) }.toMap
     val qEmb = Tables.embeddings(s, dir).filter(queryPred)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
@@ -2815,10 +2927,11 @@ object SimOps extends OpModule {
         val ranked = cand.map { case (sid, u) =>
           val d = ddotF(vd, u)
           (if (d.isNaN) Double.NegativeInfinity else -d, sid)
-        }.sortBy(identity).take(probes).map(_._2)
-        ranked.toSeq.map { cell =>
-          val u = unitBySid(cell)
-          val qres = Array.tabulate(vd.length)(i => vd(i) - u(i))
+        }.sortBy(identity).iterator.map(_._2)
+          .filter(cents.contains).take(probes).toSeq
+        ranked.map { cell =>
+          val c = cents(cell)
+          val qres = Array.tabulate(vd.length)(i => vd(i) - c(i))
           (qId, cell, lutFlatOf(qres, cbArr).toSeq)
         }
     }
@@ -2852,11 +2965,12 @@ object SimOps extends OpModule {
     * same list at 1M (PqScaleBench records the ladder).
     */
   private[graft] def annIvfPqrScaledRerank(s: SparkSession, dir: String,
-      assigned: DataFrame, cb: Seq[Seq[Seq[Double]]], cells: Int,
+      assigned: DataFrame, cb: Seq[Seq[Seq[Double]]],
+      cents: Map[Long, Array[Double]], cells: Int,
       probes: Int, shortlist: Int = 50, coarseProbes: Int = 4,
       queryPred: Column = col("vec_id") < 20): DataFrame = {
-    val cands = annIvfPqrScaledQuery(s, dir, assigned, cb, cells, probes,
-      coarseProbes, queryPred, topK = shortlist)
+    val cands = annIvfPqrScaledQuery(s, dir, assigned, cb, cents, cells,
+      probes, coarseProbes, queryPred, topK = shortlist)
       .select(col("q_id"), col("neighbor_id").as("vec_id"))
     exactCosineRerank(s, dir, cands, queryPred)
   }
@@ -3201,12 +3315,14 @@ object SimOps extends OpModule {
         |       adc_micro
         |FROM top WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     // Residual IVFADC twin (Jégou 2011 §IV-B): the ENTIRE pipeline
-    // replayed — 32 unit seeds, flat argmax cells, residual r = x −
-    // seed_unit(cell), stratified training sample, two k-means rounds
-    // over the RESIDUALS (same fixed-point law as llm_ann_pq8), residual
-    // encode, then a PER-(query, cell) LUT of (q − seed_unit(cell))
-    // distances and the integer ADC confined by each corpus vector's own
-    // cell table — ranking on (adc_micro, vec_id).
+    // replayed — 32 unit seeds, flat argmax cells, the per-cell
+    // fixed-point CENTROID census (micro-unit long sums, one division —
+    // the llm_ann_ivf precedent), residual r = x − centroid(cell),
+    // stratified training sample, two k-means rounds over the RESIDUALS
+    // (same fixed-point law as llm_ann_pq8), residual encode, then a
+    // PER-(query, occupied-cell) LUT of (q − centroid(cell)) distances
+    // and the integer ADC confined by each corpus vector's own cell
+    // table — ranking on (adc_micro, vec_id).
     "llm_ann_ivfadc" ->
       """WITH nst AS (
         |  SELECT greatest(1, count(*) // 2048) AS stride
@@ -3228,13 +3344,26 @@ object SimOps extends OpModule {
         |                              DESC, s.seed_id) AS rn
         |  FROM embeddings e CROSS JOIN seeds s),
         |cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+        |csum AS (
+        |  SELECT c.cell, i AS pos,
+        |         sum(CAST(round(e.embedding[i]::DOUBLE * 1000000)
+        |               AS BIGINT)) AS ms,
+        |         count(*) AS cnt
+        |  FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id,
+        |       range(1, 65) t(i)
+        |  GROUP BY 1, 2),
+        |cent AS (
+        |  SELECT cell,
+        |         list(CAST(ms AS DOUBLE) / (1000000.0 * cnt)
+        |              ORDER BY pos) AS ctr
+        |  FROM csum GROUP BY cell),
         |res AS (
         |  SELECT e.vec_id, c.cell,
-        |         [e.embedding[i]::DOUBLE - s.u[i]
+        |         [e.embedding[i]::DOUBLE - ct.ctr[i]
         |          for i in range(1, 65)] AS r
         |  FROM embeddings e
         |  JOIN cells c ON c.vec_id = e.vec_id
-        |  JOIN seeds s ON s.seed_id = c.cell),
+        |  JOIN cent ct ON ct.cell = c.cell),
         |cb0 AS (
         |  SELECT t.m, r.vec_id // stride AS k,
         |         [r.r[t.m * 8 + i] for i in range(1, 9)] AS c
@@ -3304,14 +3433,14 @@ object SimOps extends OpModule {
         |               c.k) AS rn
         |    FROM res r, cb2 c) WHERE rn = 1),
         |qlut AS (
-        |  SELECT q.vec_id AS q_id, sd.seed_id AS cell, c.m, c.k,
+        |  SELECT q.vec_id AS q_id, ct.cell, c.m, c.k,
         |         CAST(round(list_sum([
         |           ((q.embedding[c.m * 8 + i]::DOUBLE
-        |               - sd.u[c.m * 8 + i]) - c.c[i]) *
+        |               - ct.ctr[c.m * 8 + i]) - c.c[i]) *
         |           ((q.embedding[c.m * 8 + i]::DOUBLE
-        |               - sd.u[c.m * 8 + i]) - c.c[i])
+        |               - ct.ctr[c.m * 8 + i]) - c.c[i])
         |           for i in range(1, 9)]) * 1000000.0) AS BIGINT) AS d
-        |  FROM embeddings q, seeds sd, cb2 c
+        |  FROM embeddings q, cent ct, cb2 c
         |  WHERE q.vec_id < 20),
         |adc AS (
         |  SELECT q.q_id, co.vec_id, CAST(sum(q.d) AS BIGINT) AS adc_micro

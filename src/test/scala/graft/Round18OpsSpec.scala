@@ -112,26 +112,34 @@ class Round18OpsSpec extends SparkSpec {
   }
 
   test("residual IVFADC: the compiled scaled build (two-level walk at " +
-    "exhaustive coarse probes + codegen'd encode over mapPartitions " +
-    "residuals) emits EXACTLY the expression form's (cell, vec_id, " +
-    "codes) — flat argmax, zip_with residual, PqEncode") {
-    val cb = SimOps.pqrCodebook(spark, sf0001)
-    val expr = SimOps.pqrEncoded(spark, sf0001, cb)
+    "exhaustive coarse probes, centroid census over ITS assignment, " +
+    "compiled centroid subtraction + codegen'd encode) emits EXACTLY " +
+    "the expression form's (cell, vec_id, codes) — flat argmax, " +
+    "zip_with centroid residual, PqEncode") {
+    val centsFlat = SimOps.pqrCentroids(spark, sf0001)
+    val cb = SimOps.pqrCodebook(spark, sf0001,
+      centsOverride = Some(centsFlat))
+    val expr = SimOps.pqrEncoded(spark, sf0001, cb, centsFlat)
       .select(col("cell"), col("vec_id"), col("codes"))
       .orderBy(col("vec_id"))
-    val compiled = SimOps.annIvfPqrScaled(spark, sf0001, cb,
+    val assigned = SimOps.annIvfPqrAssigned(spark, sf0001,
       SimOps.pqrCells, coarseProbes = SimOps.pqrCells)
+    val compiled = SimOps.annIvfPqrBuild(spark, assigned, cb,
+      SimOps.scaledCents(assigned))
       .orderBy(col("vec_id"))
     assert(rows(compiled) === rows(expr))
   }
 
   test("residual IVFADC: the scaled store queried at exhaustive probes " +
     "reproduces the registered llm_ann_ivfadc query exactly") {
-    val cb = SimOps.pqrCodebook(spark, sf0001)
-    val assigned = SimOps.annIvfPqrScaled(spark, sf0001, cb,
+    val assigned = SimOps.annIvfPqrAssigned(spark, sf0001,
       SimOps.pqrCells, coarseProbes = SimOps.pqrCells)
-    val got = rows(SimOps.annIvfPqrScaledQuery(spark, sf0001, assigned,
-      cb, SimOps.pqrCells, probes = SimOps.pqrCells,
+    val cents = SimOps.scaledCents(assigned)
+    val cb = SimOps.pqrCodebook(spark, sf0001,
+      centsOverride = Some(cents))
+    val store = SimOps.annIvfPqrBuild(spark, assigned, cb, cents)
+    val got = rows(SimOps.annIvfPqrScaledQuery(spark, sf0001, store,
+      cb, cents, SimOps.pqrCells, probes = SimOps.pqrCells,
       coarseProbes = SimOps.pqrCells))
     assert(got === rows(SimOps.annPqr(spark, sf0001)))
   }
@@ -139,9 +147,12 @@ class Round18OpsSpec extends SparkSpec {
   test("residual IVFADC rerank: exact-cosine re-rank of the exhaustive " +
     "residual-ADC shortlist — dense ranks, recall@5 vs brute at least " +
     "the pure residual-ADC scan's") {
-    val cb = SimOps.pqrCodebook(spark, sf0001)
-    val assigned = SimOps.annIvfPqrScaled(spark, sf0001, cb,
+    val assignedRaw = SimOps.annIvfPqrAssigned(spark, sf0001,
       SimOps.pqrCells, coarseProbes = SimOps.pqrCells)
+    val cents = SimOps.scaledCents(assignedRaw)
+    val cb = SimOps.pqrCodebook(spark, sf0001,
+      centsOverride = Some(cents))
+    val assigned = SimOps.annIvfPqrBuild(spark, assignedRaw, cb, cents)
     def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().map(r => (r.getLong(0), r.getLong(2)))
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -151,8 +162,8 @@ class Round18OpsSpec extends SparkSpec {
         brute(q).size
     }.sum / brute.size
     val reranked = SimOps.annIvfPqrScaledRerank(spark, sf0001, assigned,
-      cb, SimOps.pqrCells, probes = SimOps.pqrCells, shortlist = 50,
-      coarseProbes = SimOps.pqrCells)
+      cb, cents, SimOps.pqrCells, probes = SimOps.pqrCells,
+      shortlist = 50, coarseProbes = SimOps.pqrCells)
     val rr = reranked.collect()
     val byQ = rr.groupBy(_.getLong(0))
     assert(byQ.keySet === (0L until 20L).toSet)
