@@ -79,7 +79,7 @@ object PqScaleBench {
       a.count()
       a
     }
-    val (tCentsR, centsR) = timed(SimOps.scaledCents(assignedRawR))
+    val (tCentsR, centsR) = timed(SimOps.scaledCents(spark, assignedRawR))
     val (tTrainR, cbR) = timed(SimOps.pqrCodebook(spark, dir,
       cells = cells, centsOverride = Some(centsR)))
     val (tEncodeP, encodedP) = timed {

@@ -2831,13 +2831,72 @@ object SimOps extends OpModule {
   }
 
   /** Cell centroids of a compiled assignment — the scale-tier twin of
-    * [[pqrCentroids]]: the same fixed-point census ([[centroidsOf]]),
-    * fed by the two-level walk's cells instead of the flat argmax. The
-    * collected map is ~cells × 512 B — a model artifact.
+    * [[pqrCentroids]]: the same fixed-point census law, fed by the
+    * two-level walk's cells instead of the flat argmax and computed by
+    * [[centroidsCompiled]] (the expression census explodes n × dim
+    * rows through the aggregate — 640M at 10M, the build's second-
+    * largest stage; the compiled pass accumulates the SAME exact
+    * integer sums per partition first). The collected map is
+    * ~cells × 512 B — a model artifact.
     */
-  private[graft] def scaledCents(assigned: DataFrame)
+  private[graft] def scaledCents(s: SparkSession, assigned: DataFrame)
       : Map[Long, Array[Double]] =
-    collectCentroids(centroidsOf(assigned))
+    collectCentroids(centroidsCompiled(s, assigned))
+
+  /** Compiled twin of [[centroidsOf]] for the stress tiers: one
+    * mapPartitions pass accumulates per-(cell, dim) micro-unit LONG
+    * sums and member counts into a per-partition table, then the same
+    * finishing aggregate runs over partitions × cells × dim partial
+    * rows instead of n × dim exploded elements. Value-identical by the
+    * integer-sum law (spec-pinned vs [[centroidsOf]]): the per-element
+    * quantum is round-half-away(x::double · 10⁶) as a long — Spark's
+    * `round(x, 0)` ≡ BigDecimal HALF_UP, replicated locally (the
+    * [[roundAway]] semantics; Math.round differs at negative halves) —
+    * and exact long addition is order-independent, so partition
+    * boundaries cannot perturb the census. The division tail is the
+    * IDENTICAL Spark expression.
+    */
+  private[graft] def centroidsCompiled(s: SparkSession,
+      assigned: DataFrame): DataFrame = {
+    import s.implicits._
+    val partials = assigned.select(col("cell"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        // local defs only — capturing object methods drags the module
+        // into the closure
+        def rnd(d: Double): Long =
+          if (d.isNaN) 0L // Spark: round passes NaN through, cast → 0
+          else if (d == Double.PositiveInfinity) Long.MaxValue
+          else if (d == Double.NegativeInfinity) Long.MinValue
+          else BigDecimal(d).setScale(0,
+            scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+        val sums = scala.collection.mutable.HashMap
+          .empty[Long, Array[Long]]
+        val cnts = scala.collection.mutable.HashMap.empty[Long, Long]
+        it.foreach { case (cell, v) =>
+          val acc = sums.getOrElseUpdate(cell, new Array[Long](v.length))
+          var i = 0
+          while (i < v.length) {
+            acc(i) += rnd(v(i).toDouble * 1000000.0)
+            i += 1
+          }
+          cnts.update(cell, cnts.getOrElse(cell, 0L) + 1L)
+        }
+        sums.iterator.map { case (cell, ms) =>
+          (cell, ms.toSeq, cnts(cell))
+        }
+      }
+      .toDF("cell", "ms", "cnt")
+    partials
+      .select(col("cell"), col("cnt"), posexplode(col("ms")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("col")).as("ms"), sum(col("cnt")).as("cnt"))
+      .withColumn("v", col("ms").cast("double") /
+        (lit(1000000.0) * col("cnt").cast("double")))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v"))))
+        .getField("v").as("centroid"))
+  }
 
   /** Pass B — the residual ENCODE over a (cell, vec_id, embedding)
     * assignment: r = x − centroid(cell) in a compiled per-partition

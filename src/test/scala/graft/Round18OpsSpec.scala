@@ -111,6 +111,20 @@ class Round18OpsSpec extends SparkSpec {
       SimOps.pq8Codebook(spark, sf0001))
   }
 
+  test("compiled centroid census: per-partition long micro-sums + the " +
+    "tiny finishing aggregate reproduce the expression census " +
+    "BIT-EXACTLY (same HALF_UP quantum, same integer sums, same " +
+    "division) over the flat-argmax assignment") {
+    val assigned = SimOps.annIvfPqrAssigned(spark, sf0001,
+      SimOps.pqrCells, coarseProbes = SimOps.pqrCells)
+    val compiled = SimOps.scaledCents(spark, assigned)
+    val expr = SimOps.pqrCentroids(spark, sf0001)
+    assert(compiled.keySet === expr.keySet)
+    compiled.foreach { case (c, v) =>
+      assert(v.toSeq === expr(c).toSeq, s"cell $c centroid diverged")
+    }
+  }
+
   test("residual IVFADC: the compiled scaled build (two-level walk at " +
     "exhaustive coarse probes, centroid census over ITS assignment, " +
     "compiled centroid subtraction + codegen'd encode) emits EXACTLY " +
@@ -125,7 +139,7 @@ class Round18OpsSpec extends SparkSpec {
     val assigned = SimOps.annIvfPqrAssigned(spark, sf0001,
       SimOps.pqrCells, coarseProbes = SimOps.pqrCells)
     val compiled = SimOps.annIvfPqrBuild(spark, assigned, cb,
-      SimOps.scaledCents(assigned))
+      SimOps.scaledCents(spark, assigned))
       .orderBy(col("vec_id"))
     assert(rows(compiled) === rows(expr))
   }
@@ -134,7 +148,7 @@ class Round18OpsSpec extends SparkSpec {
     "reproduces the registered llm_ann_ivfadc query exactly") {
     val assigned = SimOps.annIvfPqrAssigned(spark, sf0001,
       SimOps.pqrCells, coarseProbes = SimOps.pqrCells)
-    val cents = SimOps.scaledCents(assigned)
+    val cents = SimOps.scaledCents(spark, assigned)
     val cb = SimOps.pqrCodebook(spark, sf0001,
       centsOverride = Some(cents))
     val store = SimOps.annIvfPqrBuild(spark, assigned, cb, cents)
@@ -149,7 +163,7 @@ class Round18OpsSpec extends SparkSpec {
     "the pure residual-ADC scan's") {
     val assignedRaw = SimOps.annIvfPqrAssigned(spark, sf0001,
       SimOps.pqrCells, coarseProbes = SimOps.pqrCells)
-    val cents = SimOps.scaledCents(assignedRaw)
+    val cents = SimOps.scaledCents(spark, assignedRaw)
     val cb = SimOps.pqrCodebook(spark, sf0001,
       centsOverride = Some(cents))
     val assigned = SimOps.annIvfPqrBuild(spark, assignedRaw, cb, cents)
