@@ -635,9 +635,14 @@ object AggOps extends OpModule {
       .withColumn("rho",
         when(col("w") === 0, lit(28))
           .otherwise(lit(28) - length(expr("bin(w)"))))
+    // pinned (≤ |flags|·m rows): the register grid's flag set is exactly
+    // regs' flag set (a flag in `hashed` always lands ≥ 1 register row),
+    // so deriving the grid from the pinned register table saves the
+    // second corpus md5 pass the old `hashed.distinct` reference paid
     val regs = hashed.groupBy(col("l_returnflag"), col("bucket"))
       .agg(max(col("rho")).as("mj"))
-    val grid = hashed.select(col("l_returnflag")).distinct()
+      .transform(graft.Checkpoints.truncate)
+    val grid = regs.select(col("l_returnflag")).distinct()
       .select(col("l_returnflag"),
         explode(expr(s"sequence(0, ${m - 1})")).as("bucket"))
     val agg = grid.join(regs, Seq("l_returnflag", "bucket"), "left")

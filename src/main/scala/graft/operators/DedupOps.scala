@@ -96,17 +96,6 @@ object DedupOps extends OpModule {
       .withColumn("band", bandRows)
       .select(col("doc_id"), col("band.band_idx"), col("band.band_key"))
 
-  /** Per-doc LSH banding from raw text: one corpus pass computing only
-    * the fused 60-long minhash sketch, exploded to
-    * (doc_id, band_idx, band_key).
-    */
-  private def banded(docs: DataFrame): DataFrame =
-    bandedFromSketch(
-      docs
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("mh", expr("graft_minhash_tokens(toks)")))
-
   /** Normalized-text digest — the exact-dedup identity ([[dedupExact]]),
     * shared with the streaming form (graft.streaming.StreamingDedup).
     */
@@ -118,7 +107,18 @@ object DedupOps extends OpModule {
     */
   private def pairStats(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val bandedDocs = banded(Tables.documents(s, dir))
+    // pin the corpus-pass SKETCH frame (doc_id + 60 longs — exactly what
+    // a production run persists as its dedup store) so the band
+    // self-join's two sides read one materialization instead of each
+    // re-running the minhash pass over the text
+    val sketch = Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("mh", expr("graft_minhash_tokens(toks)"))
+      .select(col("doc_id"), col("mh"))
+      .transform(graft.Checkpoints.truncate)
+    val bandedDocs = bandedFromSketch(sketch)
+    // pinned: referenced by the candidate-id pass and the final join
     val cands = bandedDocs.as("x")
       .join(bandedDocs.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -126,11 +126,17 @@ object DedupOps extends OpModule {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // Exact shingle sets only for docs that appear in some candidate pair.
-    val candIds = cands.select(col("doc_a").as("doc_id"))
-      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+      .transform(graft.Checkpoints.truncate)
+    // Exact shingle sets only for docs that appear in some candidate
+    // pair — candidate ids in ONE pass over the pinned pair list
+    val candIds = cands
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    // pinned: setsA and setsB below both read it, so the shingle pass
+    // over the candidate sliver runs once, not twice
     val sets = withShingles(s, dir)
       .join(candIds, "doc_id")
+      .transform(graft.Checkpoints.truncate)
     val setsA = sets.select(col("doc_id").as("doc_a"),
       col("shingles").as("sh_a"))
     val setsB = sets.select(col("doc_id").as("doc_b"),
@@ -164,6 +170,8 @@ object DedupOps extends OpModule {
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
     val spanLen = 16
     val docs = Tables.documents(s, dir)
+    // pinned: the span census and the per-doc rollup both read the
+    // span-hash stream — unpinned, each re-ran the window explode + md5
     val spans = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")))
@@ -172,6 +180,7 @@ object DedupOps extends OpModule {
       .select(col("doc_id"),
         md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(spanLen))))
           .as("h"))
+      .transform(graft.Checkpoints.truncate)
     val census = spans.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val perDoc = spans.join(census, "h")
@@ -229,7 +238,12 @@ object DedupOps extends OpModule {
       legacyProbe: Boolean = false): DataFrame = {
     val docs = docsIn
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // pinned (3 longs per token position — the same rows the census
+    // shuffle carries anyway): the shared-hash census and the
+    // shared-start bring-back both read the span stream — unpinned,
+    // each re-ran the window explode + md5 pass over the corpus
     val spans = scrubSpanKeys(docs)
+      .transform(graft.Checkpoints.truncate)
     // shared ⇔ seen in ≥2 DISTINCT docs ⇔ min(doc) ≠ max(doc): exact,
     // and a plain partial-aggregable min/max instead of countDistinct's
     // per-key dedup expansion
@@ -366,7 +380,10 @@ object DedupOps extends OpModule {
     val k = Tables.snapshotBoundary(s, dir, "documents")
     val batch = Tables.documents(s, dir).filter(col("doc_id") >= k)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // pinned: the within-batch census and the bring-back both read the
+    // batch span stream (the spanScrubFrame stance)
     val bSpans = scrubSpanKeys(batch)
+      .transform(graft.Checkpoints.truncate)
     val bShared = bSpans.groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
@@ -397,7 +414,10 @@ object DedupOps extends OpModule {
     val batchDocs = Tables.documents(s, dir).filter(col("doc_id") >= k)
     val batch = batchDocs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // pinned: three consumers (within-batch census, semi-join census,
+    // per-doc span counts) read the batch span stream
     val bSpans = scrubSpanKeys(batch)
+      .transform(graft.Checkpoints.truncate)
     val bShared = bSpans.groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
@@ -537,8 +557,12 @@ object DedupOps extends OpModule {
   def dupClustersIncrementalQuery(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val k = Tables.snapshotBoundary(s, dir, "documents")
-    val artStore = snapshotArtifacts(s, docs.filter(col("doc_id") < k))
-    val artBatch = snapshotArtifacts(s, docs.filter(col("doc_id") >= k))
+    // pinned: the store artifacts feed the prior-label rebuild (4
+    // references) AND the incremental pair hunt (2 more); the batch
+    // artifacts feed the band + shingle joins (3). Unpinned, every
+    // reference re-ran the digest/minhash/shingle text pass.
+    val artStore = snapshotArtifactsT(s, docs.filter(col("doc_id") < k))
+    val artBatch = snapshotArtifactsT(s, docs.filter(col("doc_id") >= k))
     val priorLabels = clustersFromEdges(nearPairsFromArtifacts(artStore)
       .select(col("doc_a"), col("doc_b")))
       .select(col("doc_id"), col("cluster_id"))
@@ -562,7 +586,7 @@ object DedupOps extends OpModule {
     val root = ArtifactStore.cached("incr_clusters", dir) { out =>
       val docs = Tables.documents(s, dir)
       val k = Tables.snapshotBoundary(s, dir, "documents")
-      val artStore = snapshotArtifacts(s, docs.filter(col("doc_id") < k))
+      val artStore = snapshotArtifactsT(s, docs.filter(col("doc_id") < k))
       artStore.write.mode("overwrite").parquet(s"$out/art_store.parquet")
       clustersFromEdges(nearPairsFromArtifacts(artStore)
         .select(col("doc_a"), col("doc_b")))
@@ -574,7 +598,7 @@ object DedupOps extends OpModule {
     dupClustersIncremental(s,
       s.read.parquet(s"$root/prior_labels.parquet"),
       s.read.parquet(s"$root/art_store.parquet"),
-      snapshotArtifacts(s, docs.filter(col("doc_id") >= k)))
+      snapshotArtifactsT(s, docs.filter(col("doc_id") >= k)))
   }
 
   /** Directional containment |A∩B|/|A| and |A∩B|/|B| for the near-dup
@@ -620,8 +644,8 @@ object DedupOps extends OpModule {
     */
   def dedupIncremental(s: SparkSession, store: DataFrame,
       batch: DataFrame): DataFrame =
-    incrementalCore(s, snapshotArtifacts(s, store),
-      snapshotArtifacts(s, batch))
+    incrementalCore(s, snapshotArtifactsT(s, store),
+      snapshotArtifactsT(s, batch))
 
   /** The per-doc artifacts a snapshot run persists so later incremental
     * runs never rescan the corpus text: normalized-text digest (exact
@@ -642,6 +666,16 @@ object DedupOps extends OpModule {
       .select(col("doc_id"), col("digest"), col("mh"), col("shingles"))
   }
 
+  /** [[snapshotArtifacts]] materialized once (eager lineage cut) — for
+    * query forms that COMPUTE the artifacts inline and then reference
+    * them several times (digest join + band join + shingle sets each
+    * re-run the text pass on an unpinned frame). Callers reading
+    * artifacts back from parquet must NOT go through here — a checkpoint
+    * of a plain scan would just copy the store.
+    */
+  private def snapshotArtifactsT(s: SparkSession, docs: DataFrame): DataFrame =
+    snapshotArtifacts(s, docs).transform(graft.Checkpoints.truncate)
+
   /** [[dedupIncremental]] fed from a PERSISTED artifact store
     * ([[snapshotArtifacts]] written by the prior snapshot run): the store
     * side contributes only `doc_id, digest, mh, shingles` — its raw text
@@ -649,7 +683,7 @@ object DedupOps extends OpModule {
     */
   def dedupIncrementalFromStore(s: SparkSession, storeArtifacts: DataFrame,
       batch: DataFrame): DataFrame =
-    incrementalCore(s, storeArtifacts, snapshotArtifacts(s, batch))
+    incrementalCore(s, storeArtifacts, snapshotArtifactsT(s, batch))
 
   /** N-gram NOVELTY of a crawl batch against the store — the freshness
     * signal continued-pretraining curation ranks new data by ("how much
@@ -859,10 +893,16 @@ object DedupOps extends OpModule {
     */
   private[graft] def clustersFromEdgesCounted(pairs: DataFrame,
       roundCap: Int = 20, jump: Boolean = true): (DataFrame, Int) = {
+    // symmetrize in ONE pass over `pairs` (explode), not a two-branch
+    // self-union: `pairs` is typically an expensive subtree (the whole
+    // LSH near-dup pipeline for dupClusters) and the persist below
+    // materializes the union by executing every branch — the union form
+    // paid that subtree twice per invocation
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs
-        .select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     var checkpointed = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))

@@ -480,10 +480,14 @@ object EventOps extends OpModule {
     val activity = ev
       .select(col("user_id"), date_trunc("week", col("ts")).as("a_week"))
       .distinct()
+    // pinned: both the cohort-size aggregate and the triangle aggregate
+    // read this frame — unpinned, each re-ran the two event scans and
+    // the cohort/activity joins
     val joined = cohorts.join(activity, "user_id")
       .filter(col("a_week") >= col("cohort_week"))
       .withColumn("week_offset",
         (datediff(col("a_week"), col("cohort_week")) / 7).cast("int"))
+      .transform(graft.Checkpoints.truncate)
     val sized = joined.groupBy(col("cohort_week"))
       .agg(countDistinct(col("user_id")).as("cohort_size"))
     joined.groupBy(col("cohort_week"), col("week_offset"))
@@ -592,7 +596,11 @@ object EventOps extends OpModule {
     val boundary = lit("2024-01-15").cast("timestamp")
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    // pinned: the merge reads the store twice (open + closed split) —
+    // unpinned, each split re-ran the historical window pass. The
+    // FromStore twin reads persisted parquet and must not pay this.
     val store = scd2Rows(ev.filter(col("ts") < boundary))
+      .transform(graft.Checkpoints.truncate)
     val batch = ev.filter(col("ts") >= boundary)
     scd2MergeFrom(store, batch)
   }
@@ -622,6 +630,9 @@ object EventOps extends OpModule {
     // A batch row is a change iff it differs from its effective
     // predecessor: the previous batch row if one exists, else the store's
     // open state, else nothing (first event ever → always a change).
+    // pinned (batch-sized): the new-row window pass and the first-change
+    // aggregate both read the change set — unpinned, each re-ran the
+    // batch window + open-row join
     val changes = batch
       .withColumn("prev_in_batch", lag(col("event_type"), 1).over(wb))
       .join(open, Seq("user_id"), "left")
@@ -629,6 +640,7 @@ object EventOps extends OpModule {
         coalesce(col("prev_in_batch"), col("open_state")))
       .filter(col("prev_eff").isNull ||
         col("prev_eff") =!= col("event_type"))
+      .transform(graft.Checkpoints.truncate)
     val newRows = changes
       .withColumn("valid_to", lead(col("ts"), 1).over(wb))
       .withColumn("version",
@@ -807,9 +819,13 @@ object EventOps extends OpModule {
     * long sessions; the array form is bounded and exchange-light.
     */
   def cooccurPmi(s: SparkSession, dir: String): DataFrame = {
+    // pinned: the pair census, the per-type incidence counts and the
+    // session total all read this frame — unpinned, each of the three
+    // re-ran the sessionize windows + collect_set aggregate
     val sessTypes = sessionizedEvents(s, dir)
       .groupBy(col("user_id"), col("session_id"))
       .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .transform(graft.Checkpoints.truncate)
     val pairs = sessTypes.select(explode(expr(
       """flatten(transform(types, (a, i) ->
         |  transform(slice(types, i + 2, size(types)),
@@ -1274,8 +1290,12 @@ object EventOps extends OpModule {
     * no float division.
     */
   def userOverlap(s: SparkSession, dir: String): DataFrame = {
+    // pinned: the per-type sizes and BOTH sides of the pair self-join
+    // read this distinct (user, type) incidence frame — unpinned, each
+    // of the three references re-ran the scan + distinct shuffle
     val ut = Tables.events(s, dir)
       .select(col("event_type"), col("user_id")).distinct()
+      .transform(graft.Checkpoints.truncate)
     val sizes = ut.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_users"))
     val pairs = ut.select(col("event_type").as("type_a"), col("user_id"))

@@ -61,10 +61,15 @@ object GraphOps extends OpModule {
     val damping = 850000L // 0.85 in micro-units
     val nIter = 3
     val nation = Tables.nation(s, dir)
-    val edges = tradeEdges(s, dir)
+    // ≤ |nations|² rows; pin the census FIRST so the outw aggregate and
+    // the join both read the materialized frame — `edges.join(outw)`
+    // over an unpinned census would execute the fact joins once per
+    // reference (the outw branch and the probe branch)
+    val edges = tradeEdges(s, dir).transform(graft.Checkpoints.truncate)
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    // ≤ |nations|² rows; pin so the unrolled iterations reuse it instead
-    // of re-running the fact joins (lineage cut, context-cleaner managed)
+    // pinned too: all three unrolled iterations read `e` — un-pinned,
+    // each iteration re-ran the outw aggregate + join (3 extra
+    // broadcast builds)
     val e = edges.join(outw, "src").transform(graft.Checkpoints.truncate)
 
     val nodes = nation.select(col("n_nationkey").as("node"))
@@ -122,16 +127,39 @@ object GraphOps extends OpModule {
       .select(col("a"), col("b"))
   }
 
+  /** [[strongEdges]] materialized ONCE (eager lineage cut) — every graph
+    * query that references the census more than once goes through here,
+    * so the fact-table joins behind it are paid exactly once per query
+    * instead of once per reference (guide §2.4: the self-join/self-union
+    * consumers below would otherwise re-plan — and, absent runtime
+    * exchange reuse, re-execute — the whole census per reference; the
+    * r18-start `graph_triangles` plan carried 276 Exchange nodes for
+    * this reason, `graph_jaccard_neighbors` 268).
+    */
+  private def strongEdgesT(s: SparkSession, dir: String): DataFrame =
+    strongEdges(s, dir).transform(graft.Checkpoints.truncate)
+
+  /** Symmetrize an (a, b) edge list in ONE pass: explode each row into
+    * (a→b, b→a) instead of a two-branch self-union, which executes its
+    * source subtree twice when the source is not materialized.
+    */
+  private def symOf(e: DataFrame): DataFrame = e
+    .select(explode(array(
+      struct(col("a").as("u"), col("b").as("v")),
+      struct(col("b").as("u"), col("a").as("v")))).as("uv"))
+    .select(col("uv.u").as("u"), col("uv.v").as("v"))
+
   def triangles(s: SparkSession, dir: String): DataFrame = {
-    val strong = strongEdges(s, dir)
+    val strong = strongEdgesT(s, dir)
     val tri = strong.as("ab")
       .join(strong.as("bc"), col("ab.b") === col("bc.a"))
       .join(strong.as("ac"),
         col("ab.a") === col("ac.a") && col("bc.b") === col("ac.b"))
       .select(col("ab.a").as("x"), col("ab.b").as("y"), col("bc.b").as("z"))
-    val perNode = tri.select(col("x").as("node"))
-      .unionAll(tri.select(col("y").as("node")))
-      .unionAll(tri.select(col("z").as("node")))
+    // one pass over tri (explode), not a 3-branch self-union that would
+    // execute the triangle join three times
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_count"))
     Tables.nation(s, dir)
       .join(perNode, col("n_nationkey") === col("node"), "left")
@@ -204,9 +232,9 @@ object GraphOps extends OpModule {
     * dimension.
     */
   def bfsHops(s: SparkSession, dir: String): DataFrame = {
-    val strong = strongEdges(s, dir)
-    val sym = strong.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(strong.select(col("b").as("u"), col("a").as("v")))
+    // one-pass symmetrization (explode) so materializing `sym` runs the
+    // census once, not once per union branch
+    val sym = symOf(strongEdges(s, dir))
       .persist()
     val seed = sym.agg(min(col("u")).as("seed"))
     var checkpointed = sym.select(col("u").as("node")).distinct()
@@ -271,9 +299,8 @@ object GraphOps extends OpModule {
     * bounded by max degree, never data volume.
     */
   def jaccardNeighbors(s: SparkSession, dir: String): DataFrame = {
-    val strong = strongEdges(s, dir)
-    val sym = strong.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(strong.select(col("b").as("u"), col("a").as("v")))
+    val strong = strongEdgesT(s, dir)
+    val sym = symOf(strong)
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val common = sym.as("x")
       .join(sym.as("y"),
@@ -300,9 +327,10 @@ object GraphOps extends OpModule {
     * once and the degree aggregate runs on ≤|entities|² rows.
     */
   def degreeCensus(s: SparkSession, dir: String): DataFrame = {
-    val strong = strongEdges(s, dir)
-    val deg = strong.select(col("a").as("node"))
-      .unionByName(strong.select(col("b").as("node")))
+    // one census pass: explode each edge into its two endpoints instead
+    // of a self-union that executes the census per branch
+    val deg = strongEdges(s, dir)
+      .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     Tables.nation(s, dir)
       .join(deg, col("n_nationkey") === col("node"), "left")
@@ -347,8 +375,7 @@ object GraphOps extends OpModule {
 
   private def lpaLabelsFrom(s: SparkSession, dir: String,
       strong: DataFrame): DataFrame = {
-    val sym = strong.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(strong.select(col("b").as("u"), col("a").as("v")))
+    val sym = symOf(strong)
       .transform(graft.Checkpoints.truncate)
     val nodes = Tables.nation(s, dir).select(col("n_nationkey").as("node"))
     // the nation graph is ≤ 25 nodes — always the broadcast regime; the
@@ -395,8 +422,7 @@ object GraphOps extends OpModule {
         .select(col("u").as("node"), col("lbl").as("new_lbl"))
       lbl = lbl.join(winner, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-      if (!broadcastLabels && r < rounds)
-        lbl = lbl.transform(graft.Checkpoints.truncate)
+        .transform(graft.Checkpoints.truncate)
     }
     lbl
   }
@@ -453,15 +479,20 @@ object GraphOps extends OpModule {
       if (broadcastLabels) broadcast(f) else f
     val la = lbl.select(col("node").as("a"), col("lbl").as("lbl_a"))
     val lb = lbl.select(col("node").as("b"), col("lbl").as("lbl_b"))
+    // referenced twice below (ec, dc) — pin it so the label joins over
+    // the census run once, not once per aggregate
     val labeled = strong.join(side(la), "a").join(side(lb), "b")
+      .transform(graft.Checkpoints.truncate)
     val m = strong.agg(count(lit(1)).as("m"))
     // intra-community edges per community
     val ec = labeled.filter(col("lbl_a") === col("lbl_b"))
       .groupBy(col("lbl_a").as("community_id"))
       .agg(count(lit(1)).as("e_c"))
-    // degree mass per community: each edge adds 1 to both endpoints
-    val dc = labeled.select(col("lbl_a").as("community_id"))
-      .unionByName(labeled.select(col("lbl_b").as("community_id")))
+    // degree mass per community: each edge adds 1 to both endpoints —
+    // one pass (explode), not a 2-branch self-union of `labeled`
+    val dc = labeled
+      .select(explode(array(col("lbl_a"), col("lbl_b")))
+        .as("community_id"))
       .groupBy(col("community_id")).agg(count(lit(1)).as("d_c"))
     val sizes = lbl.groupBy(col("lbl").as("community_id"))
       .agg(count(lit(1)).as("n_nodes"))

@@ -269,7 +269,12 @@ object MultimodalOps extends OpModule {
     * leaves its bucket's partition unaggregated.
     */
   def mmPhashHamming(s: SparkSession, dir: String): DataFrame = {
+    // pinned (4 narrow columns per doc): the census, the second-min
+    // pass and the probe slice all read the decoded frame — unpinned,
+    // each of the four references re-ran the decode+hash mapPartitions
+    // pass over the payload bytes
     val hashed = phashed(s, dir)
+      .transform(graft.Checkpoints.truncate)
     // ---- distinct-hash CENSUS first: a 16-bit hash space holds ≤ 65k
     // values, so media corpora repeat hashes massively (exact dups,
     // re-encodes, this fixture's 500k docs over a few hundred hashes) —
