@@ -203,10 +203,14 @@ object TextOps extends OpModule {
     val terms = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
+    // pinned: tf is read by the join below AND is the df census' input —
+    // df(token) is exactly tf's per-token row count (tf rows ARE the
+    // distinct (doc, token) pairs), so deriving df from the pinned tf
+    // saves the second corpus explode + the distinct the old form paid
     val tf = terms.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("token")).distinct()
-      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .transform(graft.Checkpoints.truncate)
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "token")
       .crossJoin(broadcast(nRow))
       .withColumn("tfidf",
@@ -334,7 +338,11 @@ object TextOps extends OpModule {
   private[graft] def kneserNeyAll(s: SparkSession,
       dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // pinned: the per-a window pass, the per-b continuation census and
+    // the type total all read the pair census — unpinned, each re-ran
+    // the corpus bigram explode
     val pc = pairCounts(s, dir, "n_ab")
+      .transform(graft.Checkpoints.truncate)
     val wA = Window.partitionBy(col("a"))
     val withA = pc
       .withColumn("n_a", sum(col("n_ab")).over(wA))
@@ -430,7 +438,11 @@ object TextOps extends OpModule {
     */
   private[graft] def perplexityKnFrames(s: SparkSession, train: DataFrame,
       score: DataFrame): DataFrame = {
-    val (pc, aStats, bStats, tot) = knModelOf(train)
+    // checkpoint = true: the scorer consumes all four model tables, so
+    // an unpinned census would re-run the train-slice token explode
+    // once per table (4×) — the same reasoning the served artifact
+    // build already applied
+    val (pc, aStats, bStats, tot) = knModelOf(train, checkpoint = true)
     knScore(pc, aStats, bStats, tot, score)
   }
 
@@ -757,11 +769,15 @@ object TextOps extends OpModule {
   def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // pinned: the pair census, the tag pass and the merge windows all
+    // read the lookahead stream — unpinned, each re-ran the corpus
+    // posexplode + lead window
     val withNext = Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
       .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .transform(graft.Checkpoints.truncate)
     val top = withNext.filter(col("nxt").isNotNull)
       .groupBy(col("tok").as("a"), col("nxt").as("b"))
       .agg(count(lit(1)).as("n"))
@@ -874,15 +890,20 @@ object TextOps extends OpModule {
         col("tok"))
   }
 
-  /** Corpus size above which the doc-array training form pays for its
-    * per-round cache-force actions and typed-encoder boundary. Below
-    * it — the oracle fixtures — the loop runs the plain single-flow
-    * form: extra scheduler round trips would meaningfully tax a 3 s
-    * run at sf0.1 while saving little. The array loop is pinned
-    * bit-identical to the plain one at two SFs in Round12OpsSpec, so
-    * the gate is a cost choice, not a semantic one.
+  /** Corpus size above which training runs the doc-array form. The
+    * original bar (20000) paid for the array form's per-round
+    * cache-force action — one full corpus pass per round for zero
+    * information — which made the plain windowed form cheaper on small
+    * fixtures. Round 18 FUSED that force into the census job (the
+    * census scan applies the pending merge map and fills the new cache
+    * in the same pass), after which the array form wins in EVERY
+    * measured regime: 2.24→1.10 s (train) at 500 docs, 4.18→1.57 s at
+    * 5000 docs (BENCH_bpe_* A/B, r18), and it already won the 100×
+    * stress tier. Bar 0 = always the array form; the plain loop remains
+    * as the fully plan-analyzable definition Round12OpsSpec pins the
+    * array form bit-identical against (merge table AND final stream).
     */
-  private val bpeAdaptiveMinDocs = 20000L
+  private val bpeAdaptiveMinDocs = 0L
 
   /** The pair census of a lookahead slice — the (a, b) → count frame
     * each plain-form training round argmaxes over. Map-side-combined
@@ -990,8 +1011,11 @@ object TextOps extends OpModule {
     *    to the windowed [[mergeCore]] mechanics in Round11OpsSpec.
     *
     * No windows, no positional renumbering, no full-stream
-    * checkpoints: per round the corpus is scanned twice from cache
-    * (census + forced merge rewrite) and nothing corpus-sized ever
+    * checkpoints: per round the corpus is scanned ONCE from cache — the
+    * census job applies the previous round's pending merge map (filling
+    * the new generation's cache as a side effect) and aggregates the
+    * pair census in the same pass; the parent generation is dropped
+    * only after that job completes — and nothing corpus-sized ever
     * shuffles. Lineage stays shallow (one narrow map per round off a
     * cached parent), so executor loss on a real cluster recomputes a
     * partition from the parquet scan + ≤N local passes —
@@ -1020,6 +1044,16 @@ object TextOps extends OpModule {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
+    // the previous round's state is dropped only AFTER the census job
+    // has materialized the current one — so the census collect below is
+    // the ONLY per-round action: it applies the pending merge map (one
+    // narrow pass off the parent cache, filling the new cache as a side
+    // effect) and aggregates the pair census in the same job. The old
+    // form paid a separate count() per round purely to force the cache
+    // before unpersisting the parent — one full corpus pass per round
+    // for zero information.
+    var prev: Option[org.apache.spark.sql.Dataset[(Long, Array[String])]] =
+      None
     while (round <= bpeTrainMerges && !exhausted) {
       val chosen = state.flatMap { case (_, toks) =>
         if (toks.length < 2) Iterator.empty
@@ -1029,21 +1063,29 @@ object TextOps extends OpModule {
         .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("a"), col("b")).limit(1)
         .collect()
+      // `state` is fully cached now (the census scanned every partition)
+      // — its parent's blocks are dead
+      prev.foreach(_.unpersist(false))
+      prev = None
       if (chosen.isEmpty) exhausted = true // no adjacent pair anywhere
       else {
         val (a, b, n) = (chosen(0).getString(0), chosen(0).getString(1),
           chosen(0).getLong(2))
         merges += ((round, a, b, n))
-        val prev = state
-        state = prev.map { case (id, toks) => (id, bpeMergeOnce(toks, a, b)) }
+        prev = Some(state)
+        state = state
+          .map { case (id, toks) => (id, bpeMergeOnce(toks, a, b)) }
           .persist(StorageLevel.MEMORY_AND_DISK)
-        // force the new cache off the old one BEFORE dropping it —
-        // unpersisting first would make the next census recompute the
-        // whole merge chain from the parquet scan
-        state.count()
-        prev.unpersist(false)
       }
       round += 1
+    }
+    // the FINAL round's merge map was never forced by a following census
+    // — force it here (the only per-invocation forced pass left) so its
+    // parent's blocks can be dropped and callers get the loop's
+    // established contract: a fully-cached state with no live ancestors
+    prev.foreach { p =>
+      state.count()
+      p.unpersist(false)
     }
     (merges.result(), state)
   }
@@ -1066,7 +1108,10 @@ object TextOps extends OpModule {
     // the merge table, so the per-doc count pass the apply path cuts
     // would be a wasted corpus scan here — but the state cache still
     // has to be dropped explicitly
-    val totalDocs = Tables.documents(s, dir).count()
+    // parquet-footer row count (metadata only) — the dispatch bit must
+    // not cost a full-scan count() action before round 1 (bpeLoop's
+    // stance; this entry point was still paying the scan)
+    val totalDocs = Tables.documentsCount(s, dir)
     val ms =
       if (totalDocs >= bpeAdaptiveMinDocs) {
         val (m, state) = bpeLoopArrays(s, dir)
@@ -1357,8 +1402,12 @@ object TextOps extends OpModule {
       .filter(length(col("token")) > 0)
     val aggs = count(lit(1)).as("len") +: bm25QueryTerms.map(t =>
       sum(when(col("token") === t, 1L).otherwise(0L)).as(s"tf_$t"))
+    // pinned (doc-count-sized, 6 narrow columns): the stacked tf frame
+    // and the corpus-stats aggregate both read it — unpinned, each
+    // reference re-ran the corpus explode + per-doc aggregate
     val perDoc = terms.groupBy(col("doc_id"))
       .agg(aggs.head, aggs.tail: _*)
+      .transform(graft.Checkpoints.truncate)
     val stacked = perDoc.select(col("doc_id"), col("len"),
       expr(s"stack(${bm25QueryTerms.size}, " +
         bm25QueryTerms.map(t => s"'$t', tf_$t").mkString(", ") +
@@ -1417,19 +1466,32 @@ object TextOps extends OpModule {
       .filter(size(col("toks")) >= 5)
       .withColumn("blk", concat_ws(" ", slice(col("toks"), 1, 5)))
       .withColumn("n2", (size(col("toks")) - 1).cast("long"))
-    val pairs = base
+    // the per-doc blocking metadata is pinned NARROW (doc_id, blk, n2 —
+    // no token arrays) so the block self-join's two sides read one
+    // materialization instead of each re-running the tokenize pass
+    val bmeta = base.select(col("doc_id"), col("blk"), col("n2"))
+      .transform(graft.Checkpoints.truncate)
+    // pinned: referenced by the candidate-id pass, the overlap join and
+    // the final left join
+    val pairs = bmeta
       .select(col("blk"), col("doc_id").as("doc_a"), col("n2").as("n2_a"))
-      .join(base.select(col("blk"), col("doc_id").as("doc_b"),
+      .join(bmeta.select(col("blk"), col("doc_id").as("doc_b"),
         col("n2").as("n2_b")), "blk")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n2_a"), col("n2_b"))
-    val candIds = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .transform(graft.Checkpoints.truncate)
+    // candidate ids in ONE pass over the pinned pair list
+    val candIds = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    // pinned: the bigram multisets of the candidate sliver feed both
+    // sides of the overlap join
     val grams = base.join(candIds, "doc_id")
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(toks) - 2), " +
           "i -> concat(toks[i], ' ', toks[i + 1]))")).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .transform(graft.Checkpoints.truncate)
     val ov = pairs
       .join(grams.select(col("doc_id").as("doc_a"), col("g"),
         col("c").as("ca")), "doc_a")
