@@ -300,8 +300,11 @@ object SimOps extends OpModule {
     // √n on bigger corpora — see scaledCells
     val c = if (cells > 0) cells
             else scaledCells(Tables.vectorCount(s, dir))
+    // pinned: both sides of the cell self-join read the assignment —
+    // unpinned, each re-ran the quantizer ranking + probe explode
     val assigned = probeAssigned(Tables.embeddings(s, dir),
       typedlit(driverSeeds(s, dir, c)), probes)
+      .transform(graft.Checkpoints.truncate)
     val a = assigned.select(col("cell"), col("vec_id").as("va"),
       col("embedding").as("emb_a"), col("norm").as("norm_a"))
     val b = assigned.select(col("cell"), col("vec_id").as("vb"),
@@ -370,6 +373,13 @@ object SimOps extends OpModule {
     */
   private def embedIncrementalCore(store0: DataFrame,
       batch: DataFrame): DataFrame = {
+    // the batch assignment is referenced twice (store×batch and
+    // batch×batch) but deliberately NOT pinned: the batch is the small
+    // side by the incremental contract, the double quantizer ranking is
+    // proportionally small, and PlanAuditSpec's FromStore audit
+    // verifies the batch boundary as a PUSHED predicate on every raw
+    // embeddings scan — a pin would eagerly materialize the batch at
+    // build time and hide that contract from the final plan.
     def side(df: DataFrame, a: String, b: String, n: String): DataFrame =
       df.select(col("cell"), col("vec_id").as(a), col("embedding").as(b),
         col("norm").as(n))
@@ -1471,10 +1481,17 @@ object SimOps extends OpModule {
   private def semanticAssigned(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val seedsLit = typedlit(driverSeeds(s, dir, dedupCells))
+    // pinned: every consumer references this frame several times (the
+    // plain form 3×: both dominance sides + the anti-join probe; the
+    // incremental form 6× across its store/batch splits) — unpinned,
+    // each reference re-ran the 32-dot argmax assignment over the
+    // corpus. In production this IS the persisted cell-assigned
+    // artifact the incremental path reads.
     withNorm(Tables.embeddings(s, dir))
       .withColumn("cell",
         element_at(rankedSeeds(seedsLit), 1).getField("sid"))
       .select(col("vec_id"), col("cell"), col("embedding"), col("norm"))
+      .transform(graft.Checkpoints.truncate)
   }
 
   /** Target ids dominated by a LOWER-id cell-mate from `cands` at
@@ -1728,6 +1745,34 @@ object SimOps extends OpModule {
         col("embedding"), typedlit(pqCodebook(s, dir))))
   }
 
+  /** The (q_id, lut) query frame with LUTs built DRIVER-side
+    * ([[lutFlatOf]]) — bit-identical to projecting [[pqLutCol]] over the
+    * query rows (same strict (x−c)² fold, same non-negative half-up
+    * micro-rounding; the annIvfPqScaledQuery precedent, spec-pinned ≡
+    * the expression form through the exhaustive-probe ≡ llm_ann_pq8
+    * identity). Exists because the expression form evaluates 8·K
+    * interpreted lambda distances per query row — ~2.5 s of the 3.9 s
+    * llm_ann_pq8 wall at 256-code books (PqStageProbe, r18) — while the
+    * driver loop over the request-sized query batch is milliseconds.
+    */
+  private def pqLutFrameDriver(s: SparkSession, dir: String,
+      cb: Seq[Seq[Seq[Double]]], queryPred: Column): DataFrame = {
+    import s.implicits._
+    val kCodes = cb.head.size
+    val cbArr = cb.map(_.map(_.toArray).toArray).toArray
+    val qEmb = Tables.embeddings(s, dir).filter(queryPred)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    qEmb.toSeq
+      .map { case (id, v) =>
+        (id, lutFlatOf(v.map(_.toDouble), cbArr).toSeq) }
+      .toDF("q_id", "flat_lut")
+      .withColumn("lut", transform(
+        sequence(lit(0), lit(pqSubspaces - 1)), m =>
+          slice(col("flat_lut"), m * lit(kCodes) + lit(1), lit(kCodes))))
+      .select(col("q_id"), col("lut"))
+  }
+
   /** The query-side 8 × K LUT column of [[pqDistMicro]] entries. */
   private[graft] def pqLutCol(cbLit: Column, k: Int = pqCodes): Column =
     transform(sequence(lit(0), lit(pqSubspaces - 1)), m =>
@@ -1812,12 +1857,22 @@ object SimOps extends OpModule {
   private[graft] def annPqOnCb(s: SparkSession, dir: String,
       encoded: DataFrame, cb: Seq[Seq[Seq[Double]]],
       queryPred: Column = col("vec_id") < 20): DataFrame = {
+    import s.implicits._
     import graft.functions.TopKByScore
     graft.functions.GraftFunctions.register(s)
     val corpus = encoded.select(col("vec_id"), col("codes"))
-    val qs = Tables.embeddings(s, dir).filter(queryPred)
-      .select(col("vec_id").as("q_id"),
-        pqLutCol(typedlit(cb), cb.head.size).as("lut"))
+    // the query LUTs are built DRIVER-side ([[lutFlatOf]] — bit-identical
+    // to the [[pqLutCol]] expression form: same strict (x−c)² fold, same
+    // non-negative half-up micro-rounding; the annIvfPqScaledQuery
+    // precedent, whose exhaustive-probe ≡ llm_ann_pq8 spec pin is
+    // exactly this identity). The expression form evaluated 8·K
+    // interpreted lambda distances per query row inside the broadcast
+    // build — at 256-code books that was ~2.5 s of the 3.9 s
+    // llm_ann_pq8 wall (PqStageProbe, r18: join_only 0.49 s vs
+    // scan_adc 3.0 s). The query batch is request-sized (the
+    // [[trainSample]] bounded-collect class), so the driver loop is
+    // O(|queries| · 8K), corpus-independent.
+    val qs = pqLutFrameDriver(s, dir, cb, queryPred)
     val topk = udaf(TopKByScore.TopKAgg(5),
       Encoders.product[TopKByScore.ScoredId])
     broadcast(qs).join(corpus, col("q_id") =!= col("vec_id"))
@@ -1829,6 +1884,37 @@ object SimOps extends OpModule {
         col("col.id").as("neighbor_id"),
         (-col("col.score")).cast("long").as("adc_micro"))
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** The join+ADC stage of [[annPq8]] WITHOUT the top-k aggregate — a
+    * probe surface for [[graft.PqStageProbe]] so the scan and the
+    * aggregate cost separately (round-18 measurement).
+    */
+  private[graft] def pq8AdcScanProbe(s: SparkSession, dir: String,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val corpus = pq8Encoded(s, dir, cb).select(col("vec_id"), col("codes"))
+    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"),
+        pqLutCol(typedlit(cb), cb.head.size).as("lut"))
+    broadcast(qs).join(corpus, col("q_id") =!= col("vec_id"))
+      .withColumn("adc_micro", pqAdcCol)
+      .select(col("q_id"), col("vec_id"), col("adc_micro"))
+  }
+
+  /** The same join WITHOUT the ADC column — column pruning then drops
+    * the LUT from the broadcast side, isolating pure join mechanics
+    * (probe surface, round-18 measurement).
+    */
+  private[graft] def pq8JoinOnlyProbe(s: SparkSession, dir: String,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val corpus = pq8Encoded(s, dir, cb).select(col("vec_id"), col("codes"))
+    val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"),
+        pqLutCol(typedlit(cb), cb.head.size).as("lut"))
+    broadcast(qs).join(corpus, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"))
   }
 
   /** Trained-codebook PQ geometry (the Jégou et al. standard the r16
@@ -2357,15 +2443,18 @@ object SimOps extends OpModule {
     // callers pairing the trained 8-bit book pass both together
     val cb = cbOpt.getOrElse(pqCodebook(s, dir))
     val encoded = encodedOpt.getOrElse(pqEncoded(s, dir))
-    val qs = withNorm(Tables.embeddings(s, dir).filter(queryPred))
+    // LUTs driver-built ([[pqLutFrameDriver]] — the annPqOnCb move);
+    // the exact-rerank stage reads q_emb/q_norm from the expression
+    // domain unchanged
+    val qLut = pqLutFrameDriver(s, dir, cb, queryPred)
+    val qEmbN = withNorm(Tables.embeddings(s, dir).filter(queryPred))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("norm").as("q_norm"),
-        pqLutCol(typedlit(cb), cb.head.size).as("lut"))
+        col("norm").as("q_norm"))
     val short = udaf(TopKByScore.TopKAgg(shortlist),
       Encoders.product[TopKByScore.ScoredId])
     val topk = udaf(TopKByScore.TopKAgg(5),
       Encoders.product[TopKByScore.ScoredId])
-    val cands = broadcast(qs.select(col("q_id"), col("lut")))
+    val cands = broadcast(qLut)
       .join(encoded.select(col("vec_id"), col("codes")),
         col("q_id") =!= col("vec_id"))
       .withColumn("adc_micro", pqAdcCol)
@@ -2374,8 +2463,7 @@ object SimOps extends OpModule {
         .as("short"))
       .select(col("q_id"), explode(col("short.id")).as("vec_id"))
     cands
-      .join(broadcast(qs.select(col("q_id"), col("q_emb"), col("q_norm"))),
-        Seq("q_id"))
+      .join(broadcast(qEmbN), Seq("q_id"))
       .join(encoded.select(col("vec_id"), col("embedding"), col("norm")),
         Seq("vec_id"))
       .withColumn("cosine",
